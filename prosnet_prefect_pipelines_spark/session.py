@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the engine's workloads.
+
+Local testing runs on ``local[N]`` (single JVM); the configuration is
+nevertheless written for a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from a high initial number
+- Arrow enabled for the few pandas-UDF paths (dedup/multimodal)
+- session timezone pinned to UTC so timestamp semantics are stable and
+  comparable with external oracles
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "prosnet_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf we rely on, on a session we did not build.
+
+    The driver hands us its own SparkSession; timestamp comparisons against
+    the DuckDB oracle (UTC-naive) require a UTC session timezone.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,116 @@
+"""Self-check harness replicating the driver's DuckDB-oracle compare.
+
+Runs every ``queries()`` entry and its ``oracle_sql()`` twin at a given
+scale factor, canonicalizes both results (columns sorted by name, rows
+sorted, values stringified), and reports row-count / schema / value
+matches. Usage:
+
+    python scripts/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canonical(df) -> tuple[list[str], list[tuple], str]:
+    """(sorted columns, sorted stringified rows, value hash)."""
+    import math
+
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v)
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    h = hashlib.sha256("\n".join("|".join(r) for r in rows).encode()).hexdigest()[:16]
+    return cols, rows, h
+
+
+def first_diff(rows_a, rows_b):
+    for i, (a, b) in enumerate(zip(rows_a, rows_b)):
+        if a != b:
+            return i, a, b
+    if len(rows_a) != len(rows_b):
+        i = min(len(rows_a), len(rows_b))
+        return i, rows_a[i] if i < len(rows_a) else None, rows_b[i] if i < len(rows_b) else None
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    import __spark_entry__ as entry_mod
+    from prosnet_prefect_pipelines_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = only or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:400]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:400]}")
+            n_fail += 1
+            continue
+        s_cols, s_rows, s_hash = canonical(sdf)
+        o_cols, o_rows, o_hash = canonical(odf)
+        status = []
+        if len(s_rows) != len(o_rows):
+            status.append(f"rowcount {len(s_rows)} vs {len(o_rows)}")
+        if s_cols != o_cols:
+            status.append(f"schema {s_cols} vs {o_cols}")
+        if s_hash != o_hash and not status:
+            d = first_diff(s_rows, o_rows)
+            status.append(f"values differ at sorted row {d[0]}:\n  spark:  {d[1]}\n  oracle: {d[2]}")
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows hash={s_hash} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail at {sf_dir}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
