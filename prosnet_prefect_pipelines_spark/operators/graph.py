@@ -1,0 +1,130 @@
+"""Iterative graph operators: transitive closure + connected components.
+
+These are the two reference semantics Spark has no built-in for
+(SURVEY §4 "custom work" items 1-2):
+
+- ``wdt:P279*`` property paths (J5 — sparql/wikidata-city.sparql:6,
+  wikidata-organization.sparql:5) -> ``transitive_closure``
+- ``owl:sameAs`` entity-resolution clusters (J9 —
+  pfp-prefect-pipelines/sparql/create_provided_entities_graph_v2.sparql:10-27)
+  -> ``connected_components``
+
+Both are driver-coordinated fixpoint loops of DataFrame joins.
+Scale design:
+- every iteration ``localCheckpoint``s the running result — without it the
+  lineage (and thus task binaries + recovery cost) grows linearly with
+  iterations, which kills long chains at 100 TB
+- frontier-style expansion keeps the join input at |frontier| x |edges|,
+  not |closure| x |edges|
+- components use pointer-jumping (label(label) contraction) on top of
+  neighbor propagation, giving O(log diameter) rounds instead of
+  O(diameter)
+- convergence checks are single scalar aggregations per round
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    reflexive: bool = False,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """All (src, dst) pairs connected by 1+ edge hops; 0 hops if reflexive.
+
+    SPARQL ``p*`` includes the zero-length path — the start node itself
+    matches (SURVEY §2.3 J5 note) — so ``reflexive=True`` adds (x, x) for
+    every node on either edge side.
+    Raises after ``max_iterations`` (safety for unnoticed cycles; cycles
+    themselves are handled — reached pairs are deduped away).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    reach = e
+    frontier = e
+    for _ in range(max_iterations):
+        # one hop further from the current frontier only
+        step = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        frontier = step.join(reach, on=["src", "dst"], how="left_anti").localCheckpoint(
+            eager=True
+        )
+        if frontier.isEmpty():
+            break
+        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(f"transitive_closure: no fixpoint after {max_iterations} iterations")
+    if reflexive:
+        nodes = e.select(F.col("src").alias("n")).unionByName(
+            e.select(F.col("dst").alias("n"))
+        ).distinct()
+        reach = reach.unionByName(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+    return reach
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Undirected connected components -> (node, component) with the
+    component labeled by its minimum member (lexicographic for strings).
+
+    Min-label propagation + pointer jumping; deterministic output.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # neighbor propagation: candidate label for a = label(b) of each neighbor
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp <- label(comp) (path halving)
+        jumped = (
+            new_labels.alias("l")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("r"),
+                on="comp",
+                how="left",
+            )
+            .select(F.col("node"), F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = jumped
+        if changed:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint after {max_iterations} iterations")

@@ -1,1 +1,68 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Aggregation queries (SURVEY §2.4): GROUP_CONCAT family + counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import aggregates as A
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# SPARQL default separator is a single space — downstream splits on
+# whitespace (wikidata_index.py:111), so it is observable behavior.
+
+GROUP_CONCAT_SQL = """
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ' ' ORDER BY c_mktsegment) AS segments,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("group_concat", oracle=GROUP_CONCAT_SQL, covers=["A3"])
+def q_group_concat(spark, sf_dir):
+    """GROUP_CONCAT bag semantics with deterministic sorted element order
+    (wikidata-city.sparql:1,25)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return customer.groupBy("c_nationkey").agg(
+        A.group_concat("c_mktsegment").alias("segments"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+GROUP_CONCAT_DISTINCT_SQL = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ' ' ORDER BY c_mktsegment) AS segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("group_concat_distinct", oracle=GROUP_CONCAT_DISTINCT_SQL, covers=["A4"])
+def q_group_concat_distinct(spark, sf_dir):
+    """GROUP_CONCAT(DISTINCT ...) (wikidata-organization.sparql:1,38)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return customer.groupBy("c_nationkey").agg(
+        A.group_concat_distinct("c_mktsegment").alias("segments")
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("count_distinct", oracle=COUNT_DISTINCT_SQL, covers=["A1", "A2", "A5", "A6"])
+def q_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT ?item) — the reference's derived sizing query
+    (wikidata_index.py:173-179). Exact here; approx_count_distinct is the
+    100 TB sizing path."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -71,6 +71,11 @@ triples AS (
     SELECT 'urn:cust/' || CAST(c_custkey AS VARCHAR), 'owl:sameAs',
            'urn:cust/' || CAST(c_custkey - 1 AS VARCHAR), NULL
     FROM customer WHERE c_custkey % 10 <> 1 AND c_acctbal >= 0
+    UNION ALL
+    -- pre-existing provided-entity proxies for a sparse subset of customers
+    SELECT 'urn:proxy/' || CAST(c_custkey AS VARCHAR), 'pfp:proxy_for',
+           'urn:cust/' || CAST(c_custkey AS VARCHAR), NULL
+    FROM customer WHERE c_custkey % 50 = 0
 )
 """
 
@@ -118,6 +123,13 @@ def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         customer.filter((F.col("c_custkey") % 10 != 1) & (F.col("c_acctbal") >= 0)).select(
             *t(cust_s, "owl:sameAs", F.concat(F.lit("urn:cust/"), (F.col("c_custkey") - 1).cast("string")))
+        ),
+        customer.filter(F.col("c_custkey") % 50 == 0).select(
+            *t(
+                F.concat(F.lit("urn:proxy/"), F.col("c_custkey").cast("string")),
+                "pfp:proxy_for",
+                cust_s,
+            )
         ),
     ]
     out = parts[0]

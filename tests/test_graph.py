@@ -1,0 +1,67 @@
+"""Unit tests for closure / components on shapes the oracle data lacks:
+cycles, diamonds, isolated chains (FIXTURES.md A1 content requirements)."""
+
+from __future__ import annotations
+
+import pytest
+
+from prosnet_prefect_pipelines_spark.operators.graph import (
+    connected_components,
+    transitive_closure,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_closure_diamond(spark):
+    # a -> b, a -> c, b -> d, c -> d (diamond): a reaches d once
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"),
+    }
+
+
+def test_closure_cycle_terminates(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    # every node reaches every node (incl. itself via the cycle)
+    assert got == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_closure_reflexive_zero_length(spark):
+    e = _edges(spark, [("a", "b")])
+    got = {(r.src, r.dst) for r in transitive_closure(e, reflexive=True).collect()}
+    assert got == {("a", "b"), ("a", "a"), ("b", "b")}
+
+
+def test_closure_max_iterations(spark):
+    e = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(6)])
+    with pytest.raises(RuntimeError):
+        transitive_closure(e, max_iterations=2)
+
+
+def test_components_chain_cycle_and_separate(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"),          # chain
+         ("x", "y"), ("y", "z"), ("z", "x"),  # cycle
+         ("q", "r")],                      # pair
+    )
+    got = {(r.node, r.comp) for r in connected_components(e).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+        ("q", "q"), ("r", "q"),
+    }
+
+
+def test_components_long_chain_pointer_jumping(spark):
+    # 40-node chain: plain propagation needs 40 rounds; pointer jumping
+    # must converge well under the 50-iteration cap
+    e = _edges(spark, [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)])
+    rows = connected_components(e, max_iterations=12).collect()
+    assert {r.comp for r in rows} == {"n00"}
+    assert len(rows) == 40
