@@ -167,7 +167,11 @@ def feature_code_postprocessing(c: Column) -> Column:
     positions = F.filter(
         F.transform(pa, lambda x: F.array_position(rank_arr, x)), lambda p: p > 0
     )
-    best = F.element_at(rank_arr, F.array_min(positions).cast("int"))
+    # NB: element_at(arr, NULL) resolves to the LAST element in Spark 4
+    # (observed) — guard the no-ranked-code case explicitly.
+    best = F.when(
+        F.size(positions) > 0, F.element_at(rank_arr, F.array_min(positions).cast("int"))
+    )
     return (
         F.when(F.size(pa) > 0, best)
         .when((F.size(codes) > 0) & (F.length(codes.getItem(0)) > 0), codes.getItem(0))
@@ -267,7 +271,7 @@ def wkt_point_literal(lng: Column, lat: Column) -> Column:
 # --- F19 ----------------------------------------------------------------------
 def gender_capitalize(c: Column) -> Column:
     """`male` -> `Male` (str.capitalize; get_data_apis_vanilla.py:630)."""
-    return F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 2147483646)))
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.lower(c.substr(F.lit(2), F.length(c))))
 
 
 # --- F20 ----------------------------------------------------------------------

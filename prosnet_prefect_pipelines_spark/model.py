@@ -177,6 +177,21 @@ def load_tables(spark, sf_dir: str, names=None):
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def read_events(spark, sf_dir: str):
+    """events table with exact integer-nanosecond time column ``ts_ns``.
+
+    The parquet annotates TIMESTAMP(NANOS), which Spark 4 refuses; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the physical int64 arrives
+    unchanged. Keeping event time as epoch-nanos makes window arithmetic
+    exact and engine-independent (DuckDB twin: ``epoch_ns(ts)``); convert
+    with ``timestamp_micros(ts_ns DIV 1000)`` only at the presentation edge.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_ns", F.col("ts").cast("long")).drop("ts")
+
+
 def register_views(spark, sf_dir: str, names=None) -> None:
     """Register driver parquet tables as temp views (same names DuckDB uses)."""
     for name, df in load_tables(spark, sf_dir, names).items():

@@ -26,6 +26,10 @@ def register(name: str, oracle: str | None = None, covers: list[str] | None = No
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects
+            # by default; read the physical int64 and handle nanos ourselves
+            # (model.read_events) — exact in both engines.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
