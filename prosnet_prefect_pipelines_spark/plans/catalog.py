@@ -30,6 +30,10 @@ def register(name: str, oracle: str | None = None, covers: list[str] | None = No
             # by default; read the physical int64 and handle nanos ourselves
             # (model.read_events) — exact in both engines.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # skip whole-stage codegen for oversized generated methods
+            # (triple-template renderers) — they never JIT and Janino
+            # compile time dominates; see session.get_spark
+            spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -1,0 +1,71 @@
+"""Triple-template machinery: one entity row -> N conditional triples.
+
+The reference's render_* functions (SURVEY §2.8, R1-R10;
+pfp-prefect-pipelines/get_data_apis_vanilla.py:115-895) each emit 5-40
+``g.add(...)`` calls per entity, guarded by null checks. Spark shape: build
+an array of conditional (s, p, o, o_lang) structs per row, drop the NULLs,
+explode — a single narrow pass over the entity DataFrame, fully parallel,
+no UDFs.
+
+rdflib ``Graph.add`` has set semantics (duplicate triples collapse), so
+renderers end with ``.distinct()`` to match observable output.
+
+Scale: explode multiplies rows ~20-40x but stays pipelined inside
+whole-stage codegen; the only shuffle is the final distinct, which a real
+deployment partitions by subject (``s``) so downstream per-subject
+operations reuse the partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Template:
+    """One conditional triple: emitted when ``cond`` is true (None = always)."""
+
+    s: Column
+    p: Column | str
+    o: Column
+    lang: Column | str | None = None
+    cond: Column | None = None
+
+
+def _struct(t: Template) -> Column:
+    p = F.lit(t.p) if isinstance(t.p, str) else t.p
+    lang = (
+        F.lit(None).cast("string")
+        if t.lang is None
+        else (F.lit(t.lang) if isinstance(t.lang, str) else t.lang)
+    )
+    st = F.struct(t.s.alias("s"), p.alias("p"), t.o.alias("o"), lang.alias("o_lang"))
+    if t.cond is not None:
+        st = F.when(t.cond, st)
+    # a NULL s or o also suppresses the triple (rdflib would crash on None;
+    # the reference guards every such case — cond is the explicit guard)
+    return F.when(t.s.isNotNull() & t.o.isNotNull(), st) if t.cond is None else st
+
+
+def explode_templates(df: DataFrame, templates: list[Template]) -> DataFrame:
+    """Apply all templates in one pass -> (s, p, o, o_lang) rows."""
+    arr = F.array_compact(F.array(*[_struct(t) for t in templates]))
+    return (
+        df.select(F.explode(arr).alias("t"))
+        .select(F.col("t.s").alias("s"), F.col("t.p").alias("p"),
+                F.col("t.o").alias("o"), F.col("t.o_lang").alias("o_lang"))
+    )
+
+
+def node(prefix: str, *parts: Column | str) -> Column:
+    """URI minting helper: ``prefix`` + parts concatenated.
+
+    Mirrors the reference's ``idmapis[f"personproxy.{id}"]`` pattern.
+    """
+    cols = [F.lit(prefix)]
+    for p in parts:
+        cols.append(F.lit(p) if isinstance(p, str) else p.cast("string"))
+    return F.concat(*cols)

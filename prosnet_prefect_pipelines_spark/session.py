@@ -35,6 +35,12 @@ def get_spark(app_name: str = "prosnet_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet uses TIMESTAMP(NANOS); read as int64 nanos
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fall back from whole-stage codegen when the generated method
+        # exceeds the JIT compile limit (8 KB bytecode): the triple-template
+        # renderers produce ~45-branch expressions whose generated method
+        # never JITs and whose Janino compile dominates runtime (observed
+        # 10-90s erratic vs ~2s after)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
