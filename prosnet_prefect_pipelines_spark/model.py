@@ -189,7 +189,15 @@ def read_events(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_ns", F.col("ts").cast("long")).drop("ts")
+    # ts_us: exact integer division (expr div) — going through double loses
+    # precision at 1.7e18. DuckDB's parquet reader truncates ns->us the
+    # same way (its TIMESTAMP is microseconds), so ts_us is the
+    # cross-engine-exact event time; ts_ns keeps full precision.
+    return (
+        df.withColumn("ts_ns", F.col("ts").cast("long"))
+        .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+        .drop("ts")
+    )
 
 
 def register_views(spark, sf_dir: str, names=None) -> None:

@@ -1,0 +1,1 @@
+"""Incremental batch + Structured Streaming operators (SURVEY §2.10)."""
