@@ -1,0 +1,206 @@
+"""Document deduplication at scale (BASELINE.json north-star extension).
+
+Four strategies over a (id, text) corpus, all shuffle-conscious:
+
+- exact:        hash-groupBy on sha256(text) — one shuffle on the hash
+- ngram-jaccard: word-shingle inverted index self-join — shuffle on
+                 shingle, pair aggregation on (a, b); exact but quadratic
+                 in per-shingle document frequency
+- minhash-lsh:  shingles -> K minhashes -> banded bucket join -> verify
+                 candidates with exact Jaccard. Candidate generation is
+                 linear in corpus size; only candidate pairs pay the
+                 verification join. The 100 TB path.
+- simhash:      b-bit signature from per-token hash bits — one explode +
+                 two aggregations; near-dup = small Hamming distance
+
+Hashing modes: ``portable`` derives integer ids by dense-ranking the
+distinct shingle/token vocabulary (deterministic and expressible in ANSI
+SQL -> DuckDB-oracle-checkable, but costs a vocabulary sort);
+``fast`` uses xxhash64 — the production path at scale (no global sort,
+not oracle-comparable across engines). Both share all downstream logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), standard minhash modulus
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Sliding word k-grams joined with single spaces."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (keeper, n_copies, content_hash): one row per distinct content,
+    keeper = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """distinct (id, shingle) — the inverted-index input."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) via shingle inverted index.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from the
+    intersection counts of the shingle self-join — no cross join.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), on="shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_shingles", "na"), on="a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_shingles", "nb"), on="b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _portable_shingle_ids(sh: DataFrame) -> DataFrame:
+    """Deterministic integer id per shingle: dense rank over the sorted
+    distinct vocabulary (ANSI-SQL expressible; costs a global sort —
+    production uses hash_mode='fast')."""
+    vocab = sh.select("shingle").distinct()
+    w = Window.orderBy("shingle")
+    return vocab.withColumn("sid", F.row_number().over(w))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """-> (id, j, minhash) for j in 0..num_hashes-1.
+
+    hash_j(s) = (a_j * sid + b_j) mod PRIME with fixed odd a_j / b_j.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    if hash_mode == "portable":
+        ids = _portable_shingle_ids(sh)
+        sh = sh.join(ids, on="shingle").select("id", "sid")
+    elif hash_mode == "fast":
+        sh = sh.select("id", (F.abs(F.xxhash64("shingle")) % PRIME).alias("sid"))
+    else:
+        raise ValueError(hash_mode)
+    hashes = [(j, 2 * j + 1, 97 * j + 13) for j in range(num_hashes)]
+    hdf = sh.sparkSession.createDataFrame(hashes, "j int, a long, b long")
+    return (
+        sh.join(F.broadcast(hdf))
+        .groupBy("id", "j")
+        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % PRIME).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """LSH candidate pairs verified with exact Jaccard (a < b, jaccard >= t).
+
+    Bands of r = num_hashes/bands rows; docs sharing any band bucket are
+    candidates. Verification keeps precision exact; recall is the usual
+    1-(1-s^r)^b curve. Output = candidates ∩ {jaccard >= threshold}.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode)
+    band_sig = (
+        sig.withColumn("band", (F.col("j") / r).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s.getField("minhash").cast("string"),
+                ),
+                "_",
+            ).alias("bucket")
+        )
+    )
+    cands = (
+        band_sig.alias("x")
+        .join(band_sig.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    return cands.join(exact, on=["a", "b"]).select("a", "b", "jaccard")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, hash_mode: str = "portable"
+) -> DataFrame:
+    """-> (id, simhash): b-bit SimHash over tokens (with multiplicity).
+
+    bit_h(token) = ((tid * A_h + B_h) mod PRIME) mod 2; signature bit h is
+    1 iff sum over tokens of (2*bit_h - 1) > 0. Fully relational: one
+    token explode, a bits cross join (|bits| small), two aggregations.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    if hash_mode == "portable":
+        vocab = tok.select("token").distinct()
+        w = Window.orderBy("token")
+        ids = vocab.withColumn("tid", F.row_number().over(w))
+        tok = tok.join(ids, on="token").select("id", "tid")
+    else:
+        tok = tok.select("id", (F.abs(F.xxhash64("token")) % PRIME).alias("tid"))
+    bits_rows = [(h, 31 * h + 7, 113 * h + 41) for h in range(bits)]
+    bdf = tok.sparkSession.createDataFrame(bits_rows, "h int, a long, b long")
+    per_bit = (
+        tok.join(F.broadcast(bdf))
+        .withColumn("sign", ((F.col("tid") * F.col("a") + F.col("b")) % PRIME % 2) * 2 - 1)
+        .groupBy("id", "h")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

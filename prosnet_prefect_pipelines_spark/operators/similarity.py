@@ -1,0 +1,119 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(north-star extension; BASELINE.json).
+
+- ``cosine_topk``: brute-force all-pairs cosine top-k — the exactness
+  baseline. O(n^2 d); fine for verification scale, the wrong shape at
+  100 TB.
+- ``rhp_lsh_topk``: random-hyperplane LSH — b-bit sign signatures bucket
+  the vectors; top-k is computed within buckets only. Linear scan cost,
+  shuffle on the bucket key; the scale path. Hyperplane coefficients are
+  a fixed deterministic function of (plane, dimension) so both engines
+  (and reruns) agree.
+
+All dot products run as ordered folds over the array (zip_with +
+aggregate on the JVM), cast to double before multiplication; cosines are
+rounded to 6 dp and ties broken by neighbor id — deterministic,
+engine-independent rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """-> (id, neighbor, cos): exact top-k neighbors per vector.
+
+    cos rounded to 6 dp, rank ties broken by neighbor id.
+    """
+    left = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("id") != F.col("neighbor"))
+    scored = pairs.select(
+        "id", "neighbor", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("id", "neighbor", "cos")
+    )
+
+
+def rhp_signature(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Random-hyperplane sign signature as a bit string.
+
+    coef(h, d) = ((h*31 + d*17) % 7) - 3 — fixed pseudo-random integers in
+    [-3, 3], identical across engines/runs.
+    """
+    bits = []
+    for h in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(((h * 31 + d * 17) % 7) - 3) for d in range(dim)]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def rhp_lsh_topk(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 5, planes: int = 8
+) -> DataFrame:
+    """Approximate top-k within random-hyperplane buckets.
+
+    Output shape matches cosine_topk; vectors in sparse buckets may get
+    fewer than k neighbors (the recall/cost trade). Multi-probe or
+    fewer planes raise recall; production tunes planes to bucket size.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rhp_signature(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    pairs = (
+        sig.alias("x")
+        .join(sig.alias("y"), on="bucket")
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id"),
+            F.col("y.id").alias("neighbor"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("id", "neighbor", "cos")
+    )

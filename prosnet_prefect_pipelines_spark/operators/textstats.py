@@ -1,0 +1,94 @@
+"""Text analysis for training-data pipelines (north-star extension):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side); the only shuffle-bearing step is
+whatever aggregation the caller adds. Each op is engine-independent
+(checked against DuckDB twins in plans/q_text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language (tiny n-gram-free heuristic; the point is
+# the distributed shape — swap for fastText/CLD at will behind the same API)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "que", "y", "es"],
+}
+PUNCT_CLASS = "[.,;:!?]"
+FP_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; ties resolved in LANG_MARKERS order;
+    no hits at all -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties (>=)
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+def quality_stats(text: Column) -> dict[str, Column]:
+    """Length/token/punctuation/stopword ratio features, all exact."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": F.round((n_chars - (n_tok - 1)) / n_tok, 6),
+        "punct_ratio": F.round(n_punct / n_chars, 6),
+        "stopword_ratio": F.round(n_stop / n_tok, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: penalize very short docs, reward stopword
+    presence, penalize punctuation soup. Deterministic rational arithmetic
+    rounded at the end."""
+    s = quality_stats(text)
+    length_term = F.least(s["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_term + 0.4 * s["stopword_ratio"] + 0.2 * (1 - s["punct_ratio"]), 6
+    )
+
+
+def fingerprint(text: Column, mod: int = FP_MOD) -> Column:
+    """Order-sensitive polynomial rolling hash over characters:
+    acc = (acc*31 + ascii(ch)) mod m — a deterministic document
+    fingerprint (rolling-hash family)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+    )

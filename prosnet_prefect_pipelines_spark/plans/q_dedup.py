@@ -1,1 +1,176 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Deduplication queries (north-star extension; BASELINE.json).
+
+The corpus = documents ∪ exact copies (doc_id%10==0, +100000) ∪ near
+copies with the last word dropped (doc_id%7==0, +200000), built
+identically in both engines, so every strategy has real duplicates to
+find. All four strategies run in `portable` hash mode (dense-ranked
+vocabulary ids) so the full pipeline — shingles, minhashes, banding,
+verification — is checked value-for-value against DuckDB; production
+mode `fast` (xxhash64) shares every line of downstream logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import dedup as D
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, regexp_replace(text, '\\s+\\S+$', '')
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+SHINGLES_CTE = """
+words AS (
+    SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT id, shingle FROM words,
+    LATERAL (
+        SELECT unnest(
+            CASE WHEN len(w) >= 3
+                 THEN list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' '))
+                 ELSE [array_to_string(w, ' ')] END
+        ) AS shingle
+    ) s
+)
+"""
+
+JACCARD_CTE = """
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY id),
+inter AS (
+    SELECT x.id AS a, y.id AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shingles x JOIN shingles y ON x.shingle = y.shingle AND x.id < y.id
+    GROUP BY x.id, y.id
+),
+jac AS (
+    SELECT a, b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.id
+    JOIN sizes sb ON inter.b = sb.id
+)
+"""
+
+
+def corpus(spark, sf_dir):
+    """Spark twin of CORPUS_CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("id"),
+                F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+            )
+        )
+    )
+
+
+EXACT_SQL = f"""
+WITH {CORPUS_CTE}
+SELECT sha256(text) AS content_hash, min(id) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=EXACT_SQL, covers=["O3", "O4"])
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, min-id keeper — one shuffle on the
+    content hash (never on full text)."""
+    return D.exact_dedup(corpus(spark, sf_dir), "id", "text")
+
+
+NGRAM_SQL = f"""
+WITH {CORPUS_CTE}, {SHINGLES_CTE}, {JACCARD_CTE}
+SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.6
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_SQL, covers=["J1"])
+def q_dedup_ngram(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs via shingle inverted-index self-join
+    (no cross join; cost bounded by per-shingle document frequency)."""
+    return D.ngram_jaccard_pairs(corpus(spark, sf_dir), "id", "text", k=3, threshold=0.6)
+
+
+MINHASH_SQL = f"""
+WITH {CORPUS_CTE}, {SHINGLES_CTE},
+vocab AS (
+    SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+    FROM (SELECT DISTINCT shingle FROM shingles) v
+),
+sid_tbl AS (SELECT s.id, v.sid FROM shingles s JOIN vocab v USING (shingle)),
+hashes AS (SELECT j, CAST(2*j+1 AS BIGINT) AS a, CAST(97*j+13 AS BIGINT) AS b
+           FROM generate_series(0, 11) t(j)),
+sigs AS (
+    SELECT id, j, min((a * sid + b) % 2147483647) AS minhash
+    FROM sid_tbl, hashes GROUP BY id, j
+),
+bands AS (
+    SELECT id, CAST(j // 3 AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY j) AS bucket
+    FROM sigs GROUP BY id, band
+),
+cands AS (
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+),
+{JACCARD_CTE.strip().removeprefix(',').strip()}
+SELECT c.a, c.b, j.jaccard
+FROM cands c JOIN jac j ON c.a = j.a AND c.b = j.b
+WHERE j.jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_SQL, covers=["J1", "A1"])
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(12) + LSH(4 bands x 3 rows) candidates, verified with exact
+    Jaccard — the scale path for near-dup detection: candidate generation
+    is linear; only bucket-colliding pairs pay verification."""
+    return D.minhash_lsh_pairs(
+        corpus(spark, sf_dir), "id", "text",
+        k=3, num_hashes=12, bands=4, threshold=0.5, hash_mode="portable",
+    )
+
+
+SIMHASH_SQL = f"""
+WITH {CORPUS_CTE},
+tok AS (
+    SELECT id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM corpus
+),
+vocab AS (
+    SELECT token, row_number() OVER (ORDER BY token) AS tid
+    FROM (SELECT DISTINCT token FROM tok) v
+),
+tid_tbl AS (SELECT t.id, v.tid FROM tok t JOIN vocab v USING (token)),
+bits AS (SELECT h, CAST(31*h+7 AS BIGINT) AS a, CAST(113*h+41 AS BIGINT) AS b
+         FROM generate_series(0, 15) t(h)),
+per_bit AS (
+    SELECT id, h, SUM(((tid * a + b) % 2147483647) % 2 * 2 - 1) AS s
+    FROM tid_tbl, bits GROUP BY id, h
+)
+SELECT id, CAST(SUM(CASE WHEN s > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY id
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_SQL, covers=["A1"])
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures over tokens (with multiplicity): one
+    explode + small bits cross-join + two aggregations; near-dup pairs are
+    then Hamming-close signatures."""
+    return D.simhash_signatures(corpus(spark, sf_dir), "id", "text", bits=16)

@@ -1,1 +1,89 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Similarity-search queries over the embeddings table (north-star
+extension). Dot products are ordered folds in both engines (Spark
+aggregate/zip_with vs DuckDB list_reduce/list_transform) so cosines are
+bit-identical before the 6-dp rounding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import similarity as S
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+DIM = 64
+
+DOT_FOLD = """
+list_reduce(
+    list_transform(generate_series(1, 64),
+                   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+    (x, y) -> x + y)
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({DOT_FOLD.format(a=a, b=b)}) / "
+        f"(sqrt({DOT_FOLD.format(a=a, b=a)}) * sqrt({DOT_FOLD.format(a=b, b=b)}))"
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH pairs AS (
+    SELECT x.vec_id AS id, y.vec_id AS neighbor,
+           round({_cos('x.embedding', 'y.embedding')}, 6) AS cos
+    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rn
+    FROM pairs
+)
+SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_cosine_topk", oracle=COSINE_TOPK_SQL, covers=["O6", "O1"])
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 — the ANN correctness baseline
+    (quadratic; verification scale only)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.cosine_topk(emb, "vec_id", "embedding", k=5)
+
+
+RHP_LSH_SQL = f"""
+WITH planes AS (SELECT h FROM generate_series(0, 7) t(h)),
+proj AS (
+    SELECT e.vec_id, p.h,
+           list_reduce(
+               list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE)
+                                   * (((p.h * 31 + (i - 1) * 17) % 7) - 3)),
+               (x, y) -> x + y) AS pr
+    FROM embeddings e, planes p
+),
+sig AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+    FROM proj GROUP BY vec_id
+),
+pairs AS (
+    SELECT x.vec_id AS id, y.vec_id AS neighbor,
+           round({_cos('ex.embedding', 'ey.embedding')}, 6) AS cos
+    FROM sig x
+    JOIN sig y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    JOIN embeddings ex ON ex.vec_id = x.vec_id
+    JOIN embeddings ey ON ey.vec_id = y.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rn
+    FROM pairs
+)
+SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_rhp_lsh_topk", oracle=RHP_LSH_SQL, covers=["O6", "J1"])
+def q_ann_rhp_lsh(spark, sf_dir):
+    """Random-hyperplane LSH top-5: sign-signature buckets bound the
+    candidate set — the linear-cost scale path (8 planes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.rhp_lsh_topk(emb, "vec_id", "embedding", dim=DIM, k=5, planes=8)

@@ -1,1 +1,166 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Text-analysis + multimodal queries over documents (north-star
+extension). Language markers are appended in-query from the lang column
+to give the classifier signal to find (the raw corpus is same-vocabulary
+synthetic text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import multimodal as M
+from prosnet_prefect_pipelines_spark.operators import textstats as T
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# documents with language-marker words mixed in for lang-id to detect
+LANG_TEXT_CTE = """
+lang_docs AS (
+    SELECT doc_id, lang,
+           text || CASE lang
+               WHEN 'de' THEN ' der die das und der die'
+               WHEN 'fr' THEN ' le la les et le la'
+               WHEN 'es' THEN ' el los que y el los'
+               ELSE '' END AS text
+    FROM documents
+)
+"""
+
+
+def lang_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suffix = (
+        F.when(F.col("lang") == "de", F.lit(" der die das und der die"))
+        .when(F.col("lang") == "fr", F.lit(" le la les et le la"))
+        .when(F.col("lang") == "es", F.lit(" el los que y el los"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", "lang", F.concat(F.col("text"), suffix).alias("text"))
+
+
+def _score_sql(markers: list[str]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        f" t -> t IN ({in_list})))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH {LANG_TEXT_CTE},
+scored AS (
+    SELECT doc_id, lang,
+           {_score_sql(T.LANG_MARKERS["en"])} AS s_en,
+           {_score_sql(T.LANG_MARKERS["de"])} AS s_de,
+           {_score_sql(T.LANG_MARKERS["fr"])} AS s_fr,
+           {_score_sql(T.LANG_MARKERS["es"])} AS s_es
+    FROM lang_docs
+)
+SELECT doc_id, lang AS true_lang,
+       CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS detected_lang
+FROM scored
+"""
+
+
+@register("text_lang_id", oracle=LANG_ID_SQL, covers=["F13"])
+def q_text_lang_id(spark, sf_dir):
+    """Marker-stopword language ID: argmax hit count, ties in
+    [en, de, fr, es] order, no hits -> 'und'."""
+    docs = lang_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        T.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+QUALITY_SQL = """
+WITH t AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.4 * round(n_stop / n_tokens, 6)
+             + 0.2 * (1 - round(n_punct / n_chars, 6)), 6) AS quality
+FROM s
+"""
+
+
+@register("text_quality", oracle=QUALITY_SQL, covers=["P7"])
+def q_text_quality(spark, sf_dir):
+    """Quality features + composite score: length, token, punctuation,
+    stopword ratios — all exact rational arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = T.quality_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["punct_ratio"].alias("punct_ratio"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, ch) -> (acc * 31 + ch) % {T.FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=FINGERPRINT_SQL, covers=["F1"])
+def q_text_fingerprint(spark, sf_dir):
+    """Order-sensitive polynomial rolling hash per document + token count —
+    the document-fingerprinting primitive."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+MULTIMODAL_SQL = f"""
+SELECT doc_id AS id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       ascii(substr(text, length(text), 1)) AS last_byte,
+       CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, ch) -> acc + ch) % {M.ADLER_MOD} AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+@register("multimodal_features", oracle=MULTIMODAL_SQL, covers=["S8", "K3"])
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: text -> binary payload column + metadata struct
+    -> Arrow-batched mapInPandas feature extraction (the decode stub's
+    contract), oracle-checked byte-for-byte. ASCII corpus => byte stats
+    computable from the text in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.extract_binary_features(payload)
