@@ -58,6 +58,7 @@ def _load_all() -> None:
         q_relational,
         q_render,
         q_similarity,
+        q_sinks,
         q_streaming,
         q_text,
     )

@@ -1,0 +1,101 @@
+"""Sinks (SURVEY §2.9): JSON docs, idempotent batch upsert, publication hooks.
+
+- K3 JSON doc sink: distributed ``df.write.json``; the reference's single
+  pretty-printed file (geonames_place_index.py:44-53) is a driver-edge
+  presentation option.
+- K1/K2 Typesense-style upsert: ``foreachPartition`` batch import with an
+  injected client factory — idempotent per upsert key under task retries
+  (push_to_typesense.py:23-53). Tests inject a fake client; production
+  wires the typesense SDK behind the same callable.
+- K5-K8 (git push, PR/MR creation, markdown report, Slack notify) are
+  driver-side publication hooks, out of the execution engine by design
+  (SURVEY §2.9) — modeled as plain callables invoked after the write.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+
+def write_json_docs(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """K3: JSON-lines doc dump (geonames_place_index.py:44-53)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).json(path)
+
+
+def upsert_foreach_partition(
+    df: DataFrame,
+    make_client: Callable[[], "UpsertClient"],
+    batch_size: int = 100,
+) -> None:
+    """K1/K2: batched idempotent upsert via foreachPartition.
+
+    ``make_client`` is constructed INSIDE each task (connections are not
+    picklable and must not be shared across executors). Batches mirror the
+    reference's documents.import_(..., action="upsert") — exactly-once per
+    key under retries because the key makes redelivery idempotent.
+    """
+
+    def run(rows: Iterator[Row]) -> None:
+        client = make_client()
+        client.ensure_collection()
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(row.asDict(recursive=True))
+            if len(batch) >= batch_size:
+                client.upsert_batch(batch)
+                batch = []
+        if batch:
+            client.upsert_batch(batch)
+
+    df.foreachPartition(run)
+
+
+class UpsertClient:
+    """Protocol for K1/K2 clients (duck-typed; see tests for a fake)."""
+
+    def ensure_collection(self) -> None:  # K1 get-or-create
+        raise NotImplementedError
+
+    def upsert_batch(self, docs: list[dict]) -> None:  # K2 bulk upsert
+        raise NotImplementedError
+
+
+class LocalJsonUpsertClient(UpsertClient):
+    """File-backed upsert client: append JSON lines to a per-task file.
+
+    Stands in for the Typesense SDK in tests/local runs; upsert key
+    semantics (last-write-wins by id) are applied at read-back.
+    """
+
+    def __init__(self, directory: str) -> None:
+        self.directory = directory
+
+    def ensure_collection(self) -> None:
+        import os
+
+        os.makedirs(self.directory, exist_ok=True)
+
+    def upsert_batch(self, docs: list[dict]) -> None:
+        import os
+        import uuid
+
+        p = os.path.join(self.directory, f"batch-{uuid.uuid4().hex}.jsonl")
+        with open(p, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d, sort_keys=True) + "\n")
+
+
+def publication_hook(
+    artifact_path: str,
+    steps: list[Callable[[str], None]],
+) -> None:
+    """K5-K8 driver-side chain: run each publication step on the written
+    artifact (git commit/push, create PR/MR, report, notify). Steps are
+    injected callables — the engine only sequences them
+    (push_rdf_file_to_github_gitlab.py:136-177 shape)."""
+    for step in steps:
+        step(artifact_path)
