@@ -16,8 +16,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one representative per operator family (kept fast-but-real;
 # every bench query also runs under the correctness gate).
 HEADLINE = [
-    "pricing_summary",
-    "person_index_docs",
+    "pricing_summary",        # groupBy-agg over the fact table
+    "person_index_docs",      # flagship bindings->docs pipeline
+    "bgp_join",               # multi-way triples self-join
+    "optional_join",          # left join + pre-filtered agg
+    "group_concat",           # sorted collect_list aggregation
+    "closure_subclass",       # iterative transitive closure
+    "sameas_components",      # connected components fixpoint
+    "entity_resolution",      # components + proxy minting
+    "render_person_triples",  # 45-template explode renderer
+    "dedup_exact",            # hash-groupBy dedup
+    "dedup_minhash_lsh",      # shingle->minhash->bands->verify
+    "ann_rhp_lsh_topk",       # hyperplane-LSH cosine top-k
+    "tumbling_window",        # event-time window agg
+    "session_window",         # sessionization window pass
+    "text_quality",           # per-doc text statistics
+    "ntriples_serialize",     # RDF writer formatting
 ]
 
 
@@ -40,6 +54,14 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # release checkpointed RDD blocks from iterative operators: dropped
+        # Python refs only free JVM-side cache blocks after both GCs run,
+        # and accumulated blocks degrade later queries
+        del df
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -70,7 +70,9 @@ def ngram_jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from the
     intersection counts of the shingle self-join — no cross join.
     """
-    sh = shingle_table(df, id_col, text_col, k)
+    # materialize: sh feeds a self-join + the sizes agg — without a
+    # checkpoint the whole corpus->shingle lineage recomputes per branch
+    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.alias("x")
@@ -109,12 +111,16 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 12,
     hash_mode: str = "portable",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """-> (id, j, minhash) for j in 0..num_hashes-1.
 
     hash_j(s) = (a_j * sid + b_j) mod PRIME with fixed odd a_j / b_j.
+    ``shingles``: optionally pass a (materialized) shingle_table to share
+    the scan with other stages.
     """
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, k)
+    sh = sh.localCheckpoint(eager=False)  # used by vocab AND the sid join
     if hash_mode == "portable":
         ids = _portable_shingle_ids(sh)
         sh = sh.join(ids, on="shingle").select("id", "sid")
@@ -149,7 +155,8 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode)
+    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode, shingles=sh)
     band_sig = (
         sig.withColumn("band", (F.col("j") / r).cast("int"))
         .groupBy("id", "band")
@@ -162,7 +169,7 @@ def minhash_lsh_pairs(
                 "_",
             ).alias("bucket")
         )
-    )
+    ).localCheckpoint(eager=False)  # self-joined below
     cands = (
         band_sig.alias("x")
         .join(band_sig.alias("y"), on=["band", "bucket"])
@@ -170,8 +177,25 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
-    return cands.join(exact, on=["a", "b"]).select("a", "b", "jaccard")
+    # verify ONLY the candidates — this is the point of LSH: the exact
+    # Jaccard join is restricted to bucket-colliding pairs, never all pairs
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(sh.select(F.col("id").alias("a"), "shingle"), on="a")
+        .join(sh.select(F.col("id").alias("b"), F.col("shingle")), on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), on="a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), on="b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 def simhash_signatures(
@@ -183,7 +207,9 @@ def simhash_signatures(
     1 iff sum over tokens of (2*bit_h - 1) > 0. Fully relational: one
     token explode, a bits cross join (|bits| small), two aggregations.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).localCheckpoint(eager=False)  # feeds vocab AND the tid join
     if hash_mode == "portable":
         vocab = tok.select("token").distinct()
         w = Window.orderBy("token")

@@ -43,32 +43,55 @@ def transitive_closure(
     Raises after ``max_iterations`` (safety for unnoticed cycles; cycles
     themselves are handled — reached pairs are deduped away).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
-    reach = e
-    frontier = e
-    for _ in range(max_iterations):
-        # one hop further from the current frontier only
-        step = (
-            frontier.alias("f")
-            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
-            .distinct()
-        )
-        frontier = step.join(reach, on=["src", "dst"], how="left_anti").localCheckpoint(
-            eager=True
-        )
-        if frontier.isEmpty():
-            break
-        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(f"transitive_closure: no fixpoint after {max_iterations} iterations")
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+        e = e.localCheckpoint(eager=True)
+        # small graphs: per-stage overhead dominates — drop the fixpoint's
+        # shuffle parallelism; large graphs keep the session setting
+        if e.count() < 50_000:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # reach = lazy union of MATERIALIZED frontier frames: each frontier
+        # is checkpointed once, the union itself never is — no recompute
+        # (every leaf is cached) and no per-iteration re-materialization of
+        # the growing result
+        frontiers = [e]
+        frontier = e
+
+        def reach():
+            out = frontiers[0]
+            for fr in frontiers[1:]:
+                out = out.unionByName(fr)
+            return out
+
+        for _ in range(max_iterations):
+            # one hop further from the current frontier only
+            step = (
+                frontier.alias("f")
+                .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+                .distinct()
+            )
+            frontier = step.join(reach(), on=["src", "dst"], how="left_anti").localCheckpoint(
+                eager=True
+            )
+            if frontier.isEmpty():
+                break
+            frontiers.append(frontier)
+        else:
+            raise RuntimeError(
+                f"transitive_closure: no fixpoint after {max_iterations} iterations"
+            )
+        result = reach()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if reflexive:
         nodes = e.select(F.col("src").alias("n")).unionByName(
             e.select(F.col("dst").alias("n"))
         ).distinct()
-        reach = reach.unionByName(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
-    return reach
+        result = result.unionByName(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+    return result
 
 
 def connected_components(
@@ -82,49 +105,68 @@ def connected_components(
 
     Min-label propagation + pointer jumping; deterministic output.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        # neighbor propagation: candidate label for a = label(b) of each neighbor
-        prop = (
-            sym.join(labels.withColumnRenamed("node", "b"), on="b")
-            .select(F.col("a").alias("node"), "comp")
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping: comp <- label(comp) (path halving)
-        jumped = (
-            new_labels.alias("l")
-            .join(
-                new_labels.select(
-                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("r"),
-                on="comp",
-                how="left",
-            )
-            .select(F.col("node"), F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
+    spark = edges.sparkSession
+    # iterative frames are usually small relative to the source tables —
+    # run the fixpoint at low parallelism to cut per-stage overhead, and
+    # restore the session setting afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
+        if sym.count() < 100_000:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        labels = jumped
-        if changed:
-            return labels
-    raise RuntimeError(f"connected_components: no fixpoint after {max_iterations} iterations")
+        # convergence detector: order-independent fingerprint of the full
+        # label assignment — one scalar aggregation, no compare join
+        def fingerprint(df) -> int:
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode (Spark 4 default)
+            row = df.agg(
+                F.sum(F.xxhash64(F.col("node"), F.col("comp")).cast("decimal(38,0)")).alias("h")
+            ).collect()[0]
+            return row.h
+
+        prev_fp = fingerprint(labels)
+        for _ in range(max_iterations):
+            # neighbor propagation: candidate label for a = label(b)
+            prop = (
+                sym.join(labels.withColumnRenamed("node", "b"), on="b")
+                .select(F.col("a").alias("node"), "comp")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer jumping: comp <- label(comp) (path halving)
+            jumped = (
+                new_labels.alias("l")
+                .join(
+                    new_labels.select(
+                        F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                    ).alias("r"),
+                    on="comp",
+                    how="left",
+                )
+                .select(F.col("node"), F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            labels = jumped
+            fp = fingerprint(labels)
+            if fp == prev_fp:
+                return labels
+            prev_fp = fp
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iterations} iterations"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -100,7 +100,7 @@ def rhp_lsh_topk(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         rhp_signature(F.col(vec_col), dim, planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)  # self-joined below; signatures are 8 folds/row
     pairs = (
         sig.alias("x")
         .join(sig.alias("y"), on="bucket")
