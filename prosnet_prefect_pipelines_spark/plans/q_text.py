@@ -155,7 +155,7 @@ FROM documents
 """
 
 
-@register("multimodal_features", oracle=MULTIMODAL_SQL, covers=["S8", "K3"])
+@register("multimodal_features", oracle=MULTIMODAL_SQL, covers=[])
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: text -> binary payload column + metadata struct
     -> Arrow-batched mapInPandas feature extraction (the decode stub's

@@ -1,0 +1,217 @@
+"""Generate COVERAGE.md: SURVEY §2 operator id -> implementation pointer,
+covering catalog queries, oracle status. Run after adding operators."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prosnet_prefect_pipelines_spark.plans import catalog  # noqa: E402
+
+PKG = "prosnet_prefect_pipelines_spark"
+
+# operator id -> (short description, implementation pointer)
+INVENTORY: dict[str, tuple[str, str]] = {
+    # §2.1 scans/sources
+    "S1": ("SPARQL paginated fetch", f"{PKG}/sources/http.py (paginated_fetch) + sparql_bindings.py"),
+    "S2": ("SPARQL connection setup", f"{PKG}/sources/http.py (fetch callable injected per task)"),
+    "S3": ("SPARQL query rewrite/incremental template", f"{PKG}/streaming/incremental.py (pushed predicate)"),
+    "S4": ("REST TTL paginated fetch", f"{PKG}/sources/http.py (paginated_fetch)"),
+    "S5": ("Swagger route discovery", f"{PKG}/sources/http.py (driver-side route list feeds offsets)"),
+    "S6": ("REST JSON paginated fetch", f"{PKG}/sources/http.py + model.APIS_PERSON_SCHEMA from_json"),
+    "S7": ("Batched relation fetch (semi-join pushdown)", f"{PKG}/operators/relational.py (exists_anti_join)"),
+    "S8": ("HTTP zip TSV scan (GeoNames)", f"{PKG}/sources/geonames.py"),
+    "S9": ("RDF directory load", f"{PKG}/sources/rdf.py (read_rdf_directory)"),
+    "S10": ("TTL chunk graph union + named graph", f"{PKG}/sources/rdf.py (named_graph column)"),
+    "S11": ("Git clone staging", f"{PKG}/sinks.py (publication_hook; driver-side, out-of-engine)"),
+    # §2.2 projections/filters
+    "P1": ("Rename / field mapping", f"{PKG}/plans/person_index.py (build_person_docs)"),
+    "P2": ("Projection + doc construction", f"{PKG}/sources/geonames.py (build_place_docs)"),
+    "P3": ("Id canonicalization", f"{PKG}/functions/scalar.py (wikidata_id_rebuild)"),
+    "P4": ("Dynamic postprocess dispatch", f"{PKG}/functions/scalar.py (POSTPROCESSORS registry)"),
+    "P5": ("Label creation dispatch", f"{PKG}/functions/scalar.py (LABEL_CREATORS registry)"),
+    "P6": ("URL-template filter", f"{PKG}/operators/relational.py (values_join / filter)"),
+    "P7": ("Empty/None guards", f"{PKG}/functions/scalar.py (_opt; null-safe expressions throughout)"),
+    # §2.3 joins
+    "J1": ("BGP inner join", f"{PKG}/operators/relational.py (bgp, triple_pattern)"),
+    "J2": ("OPTIONAL = left outer join", f"{PKG}/operators/relational.py (optional_join)"),
+    "J3": ("UNION disjunctive patterns", f"{PKG}/operators/relational.py (union_all)"),
+    "J4": ("VALUES inline table", f"{PKG}/operators/relational.py (values_join)"),
+    "J5": ("Property path closure (wdt:P279*)", f"{PKG}/operators/graph.py (transitive_closure)"),
+    "J6": ("Federated label join (lang fallback)", f"{PKG}/operators/relational.py (label_service_join)"),
+    "J7": ("Existence anti-join", f"{PKG}/operators/relational.py (exists_anti_join)"),
+    "J8": ("Residence propagation join", f"{PKG}/render/person.py (template self-join pattern; R6 family)"),
+    "J9": ("sameAs cluster resolution", f"{PKG}/operators/graph.py (connected_components) + resolve.py"),
+    # §2.4 aggregations
+    "A1": ("COUNT(DISTINCT)", f"{PKG}/operators/aggregates.py (count_distinct_paginator)"),
+    "A2": ("COUNT envelope", f"{PKG}/operators/aggregates.py"),
+    "A3": ("GROUP_CONCAT", f"{PKG}/operators/aggregates.py (group_concat)"),
+    "A4": ("GROUP_CONCAT(DISTINCT)", f"{PKG}/operators/aggregates.py (group_concat_distinct)"),
+    "A5": ("Running total", f"{PKG}/operators/aggregates.py (count at sink; pagination gone)"),
+    "A6": ("Triple count", f"{PKG}/operators/aggregates.py"),
+    # §2.5 sorts/limits/distinct
+    "O1": ("ORDER BY stable key", "plans/q_relational.py (order_limit_topk)"),
+    "O2": ("LIMIT/OFFSET pagination", f"{PKG}/operators/relational.py (paginate)"),
+    "O3": ("DISTINCT", "plans/q_relational.py (distinct_pairs) + dedup_exact"),
+    "O4": ("Python distinct", "same as O3 (select().distinct())"),
+    "O5": ("UNION bag semantics", f"{PKG}/operators/relational.py (union_all)"),
+    "O6": ("Min-by-custom-rank top-1", f"{PKG}/functions/scalar.py (feature_code_postprocessing)"),
+    # §2.7 scalar functions
+    "F1": ("date_postprocessing", f"{PKG}/functions/scalar.py"),
+    "F2": ("cocatenated_dates_postprocessing", f"{PKG}/functions/scalar.py"),
+    "F3": ("label_creator_person", f"{PKG}/functions/scalar.py"),
+    "F4": ("label_creator_place", f"{PKG}/functions/scalar.py"),
+    "F5": ("label_creator_organization", f"{PKG}/functions/scalar.py"),
+    "F6": ("geopoint_creator (WKT parse, lat/lng swap)", f"{PKG}/functions/scalar.py"),
+    "F7": ("feature_code_postprocessing", f"{PKG}/functions/scalar.py"),
+    "F8": ("GeoNames label", f"{PKG}/functions/scalar.py (geonames_label)"),
+    "F9": ("GeoNames id URI", f"{PKG}/functions/scalar.py (geonames_id_uri)"),
+    "F10": ("Wikidata id rebuild", f"{PKG}/functions/scalar.py (wikidata_id_rebuild)"),
+    "F11": ("Time-span expansion", f"{PKG}/functions/scalar.py (time_span_bounds/label)"),
+    "F12": ("WKT point literal build", f"{PKG}/functions/scalar.py (wkt_point_literal)"),
+    "F13": ("lang()/langmatches filter", f"{PKG}/operators/relational.py (triple_pattern lang=)"),
+    "F14": ("COALESCE", f"{PKG}/operators/relational.py (label_service_join) + resolve.py"),
+    "F15": ("STRUUID / URI mint", f"{PKG}/resolve.py (deterministic sha256 strengthening)"),
+    "F16": ("dateTime range predicates", "plans/q_flagship.py (pricing_summary filter)"),
+    "F17": ("Incremental date predicate", f"{PKG}/streaming/incremental.py"),
+    "F18": ("timedelta formatting", "driver-side metric (bench.py timings); not an engine op"),
+    "F19": ("gender capitalize", f"{PKG}/functions/scalar.py (gender_capitalize)"),
+    "F20": ("name appellation format", f"{PKG}/functions/scalar.py (name_appellation)"),
+    "F21": ("swagger/json path probing", "plans/q_functions.py (json_probe; get_json_object)"),
+    # §2.8 rendering
+    "R1": ("render_person", f"{PKG}/render/person.py"),
+    "R2": ("render_personplace_relation", f"{PKG}/render/templates.py (branch templates; same machinery)"),
+    "R3": ("render_personperson_relation", f"{PKG}/render/templates.py (isin-branched templates)"),
+    "R4": ("render_personrole_from_relation", f"{PKG}/render/templates.py"),
+    "R5": ("render_personrole", f"{PKG}/render/templates.py"),
+    "R6": ("render_personinstitution_relation", f"{PKG}/render/templates.py + J8 join"),
+    "R7": ("render_organizationplace_relation", f"{PKG}/render/templates.py"),
+    "R8": ("render_organization", f"{PKG}/render/templates.py + F11"),
+    "R9": ("render_event", f"{PKG}/render/templates.py"),
+    "R10": ("render_place", f"{PKG}/render/templates.py + F12"),
+    "R11": ("Namespace prefixes / base graph", f"{PKG}/render/namespaces.py"),
+    "R12": ("Inverse-property materialization", f"{PKG}/render/person.py (materialize_inverses)"),
+    "R13": ("CONSTRUCT provided entities", f"{PKG}/resolve.py (provided_entity_triples)"),
+    # §2.9 sinks
+    "K1": ("Get-or-create collection", f"{PKG}/sinks.py (UpsertClient.ensure_collection)"),
+    "K2": ("Bulk upsert", f"{PKG}/sinks.py (upsert_foreach_partition)"),
+    "K3": ("JSON file sink", f"{PKG}/sinks.py (write_json_docs)"),
+    "K4": ("RDF serialize", f"{PKG}/sources/rdf.py (triples_to_ntriples, write_ntriples)"),
+    "K5": ("Git branch/commit/push", f"{PKG}/sinks.py (publication_hook; driver-side)"),
+    "K6": ("PR/MR creation", f"{PKG}/sinks.py (publication_hook; driver-side)"),
+    "K7": ("Markdown run report", "bench.py JSON line (driver-side metrics)"),
+    "K8": ("Slack notification", f"{PKG}/sinks.py (publication_hook; driver-side)"),
+    # §2.10 incremental/streaming
+    "T1": ("Incremental window", f"{PKG}/streaming/incremental.py (incremental_window)"),
+    "T2": ("Idempotent upsert / late data", f"{PKG}/streaming/incremental.py (upsert_dedup)"),
+    "T3": ("Stop condition (empty page)", f"{PKG}/sources/http.py (None body drops page)"),
+    "T4": ("Rate limiting / retries", f"{PKG}/sources/http.py (TokenBucket, bounded retries)"),
+}
+
+EXTENSIONS: dict[str, tuple[str, str]] = {
+    "X-DEDUP-EXACT": ("Exact dedup (hash-groupBy)", f"{PKG}/operators/dedup.py (exact_dedup)"),
+    "X-DEDUP-NGRAM": ("N-gram Jaccard near-dup", f"{PKG}/operators/dedup.py (ngram_jaccard_pairs)"),
+    "X-DEDUP-MINHASH": ("MinHash + LSH near-dup", f"{PKG}/operators/dedup.py (minhash_lsh_pairs)"),
+    "X-DEDUP-SIMHASH": ("SimHash signatures", f"{PKG}/operators/dedup.py (simhash_signatures)"),
+    "X-ANN-BRUTE": ("Brute-force cosine top-k", f"{PKG}/operators/similarity.py (cosine_topk)"),
+    "X-ANN-LSH": ("Random-hyperplane LSH top-k", f"{PKG}/operators/similarity.py (rhp_lsh_topk)"),
+    "X-TEXT-LANG": ("Language ID", f"{PKG}/operators/textstats.py (lang_id)"),
+    "X-TEXT-QUALITY": ("Quality scoring", f"{PKG}/operators/textstats.py (quality_stats/score)"),
+    "X-TEXT-TOKENS": ("Token counting", f"{PKG}/operators/textstats.py (token_count)"),
+    "X-TEXT-FP": ("Document fingerprinting", f"{PKG}/operators/textstats.py (fingerprint)"),
+    "X-MM-BINARY": ("Multimodal binary columns", f"{PKG}/operators/multimodal.py (attach_binary_payload)"),
+    "X-MM-FEATURES": ("Arrow-batched feature extraction", f"{PKG}/operators/multimodal.py (extract_binary_features)"),
+    "X-MM-DECODE": ("Image/audio decode (STUB)", f"{PKG}/operators/multimodal.py (decode_image; NotImplementedError)"),
+    "X-WIN-TUMBLE": ("Tumbling windows", f"{PKG}/streaming/windows.py (tumble)"),
+    "X-WIN-SLIDE": ("Sliding windows", f"{PKG}/streaming/windows.py (sliding_windows)"),
+    "X-WIN-SESSION": ("Session windows", f"{PKG}/streaming/windows.py (sessionize)"),
+    "X-STREAM": ("Structured Streaming twins", "tests/test_streaming.py (watermark/session/foreachBatch)"),
+}
+
+EXT_QUERIES = {
+    "X-DEDUP-EXACT": ["dedup_exact"],
+    "X-DEDUP-NGRAM": ["dedup_ngram_jaccard"],
+    "X-DEDUP-MINHASH": ["dedup_minhash_lsh"],
+    "X-DEDUP-SIMHASH": ["dedup_simhash"],
+    "X-ANN-BRUTE": ["ann_cosine_topk"],
+    "X-ANN-LSH": ["ann_rhp_lsh_topk"],
+    "X-TEXT-LANG": ["text_lang_id"],
+    "X-TEXT-QUALITY": ["text_quality"],
+    "X-TEXT-TOKENS": ["text_fingerprint"],
+    "X-TEXT-FP": ["text_fingerprint"],
+    "X-MM-BINARY": ["multimodal_features"],
+    "X-MM-FEATURES": ["multimodal_features"],
+    "X-MM-DECODE": [],
+    "X-WIN-TUMBLE": ["tumbling_window"],
+    "X-WIN-SLIDE": ["sliding_window"],
+    "X-WIN-SESSION": ["session_window"],
+    "X-STREAM": [],
+}
+
+
+def main() -> None:
+    queries, oracles = catalog.load()
+    by_op: dict[str, list[str]] = {}
+    for qname, ids in catalog.COVERAGE.items():
+        for op in ids:
+            by_op.setdefault(op, []).append(qname)
+
+    lines = [
+        "# COVERAGE — SURVEY §2 operator inventory -> implementation & checks",
+        "",
+        "Generated by `python scripts/gen_coverage.py`. 'Oracle' = the query is",
+        "value-hash-checked against its DuckDB twin by the driver "
+        "(`__spark_entry__.py`); 'rows-only' = no SQL-expressible twin;",
+        "'module' = exercised via unit tests rather than a catalog query.",
+        "",
+        "## Reference operators (SURVEY §2)",
+        "",
+        "| id | operator | implementation | catalog queries | check |",
+        "|---|---|---|---|---|",
+    ]
+    for op, (desc, impl) in INVENTORY.items():
+        qs = sorted(set(by_op.get(op, [])))
+        if qs:
+            check = "oracle" if all(q in oracles for q in qs) else "mixed"
+        else:
+            check = "module tests"
+        lines.append(f"| {op} | {desc} | `{impl}` | {', '.join(qs) or '—'} | {check} |")
+
+    lines += [
+        "",
+        "## Scale extensions (BASELINE.json north star)",
+        "",
+        "| id | capability | implementation | catalog queries | check |",
+        "|---|---|---|---|---|",
+    ]
+    for op, (desc, impl) in EXTENSIONS.items():
+        qs = EXT_QUERIES.get(op, [])
+        if qs:
+            check = "oracle" if all(q in oracles for q in qs) else "mixed"
+        elif op == "X-MM-DECODE":
+            check = "stubbed (gated NotImplementedError)"
+        else:
+            check = "module tests"
+        lines.append(f"| {op} | {desc} | `{impl}` | {', '.join(qs) or '—'} | {check} |")
+
+    lines += [
+        "",
+        "## Query -> operator ids",
+        "",
+        "| query | covers | oracle |",
+        "|---|---|---|",
+    ]
+    for qname in sorted(queries):
+        ids = ", ".join(catalog.COVERAGE.get(qname, [])) or "extension"
+        lines.append(f"| {qname} | {ids} | {'yes' if qname in oracles else 'rows-only'} |")
+
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md"), "w") as f:
+        f.write(out)
+    print(f"COVERAGE.md: {len(INVENTORY)} reference ops, {len(EXTENSIONS)} extensions, {len(queries)} queries")
+
+
+if __name__ == "__main__":
+    main()
