@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pricing_summary",        # groupBy-agg over the fact table
     "person_index_docs",      # flagship bindings->docs pipeline
+    "city_index_docs",        # closure semi-join + group_concat + rank-min
+    "org_index_docs",         # union branches + values + distinct group_concat
     "bgp_join",               # multi-way triples self-join
     "optional_join",          # left join + pre-filtered agg
     "group_concat",           # sorted collect_list aggregation

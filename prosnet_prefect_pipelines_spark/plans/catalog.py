@@ -55,6 +55,7 @@ def _load_all() -> None:
         q_flagship,
         q_functions,
         q_graph,
+        q_index,
         q_relational,
         q_render,
         q_similarity,

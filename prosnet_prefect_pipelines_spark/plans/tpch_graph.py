@@ -76,16 +76,71 @@ triples AS (
     SELECT 'urn:proxy/' || CAST(c_custkey AS VARCHAR), 'pfp:proxy_for',
            'urn:cust/' || CAST(c_custkey AS VARCHAR), NULL
     FROM customer WHERE c_custkey % 50 = 0
+    UNION ALL
+    -- city-index shape: customers typed into the subclass tree (wdt:P31),
+    -- with 1-2 GeoNames-style feature codes and a WKT coordinate
+    SELECT 'urn:cust/' || CAST(c_custkey AS VARCHAR), 'wdt:P31',
+           'urn:class/' || CAST(1 + c_custkey % 1999 AS VARCHAR), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'urn:cust/' || CAST(c_custkey AS VARCHAR), 'wdt:P2452',
+           'P.' || (['PPLC','PPLCH','PPLA','PPLA2','PPLA3','PPLA4','PPL','PPLF','PPLG',
+                     'PPLH','PPLL','PPLQ','PPLR','PPLS','PPLW','PPLX','STLMT',
+                     'ADM1','ADM1H','ADM2','ADM2H','ADM3','ADM3H','ADM4','ADM4H',
+                     'ADM5','ADM5H','ADMD','ADMDH'])[(c_custkey % 29) + 1], NULL
+    FROM customer WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT 'urn:cust/' || CAST(c_custkey AS VARCHAR), 'wdt:P2452', 'X.UNK', NULL
+    FROM customer WHERE c_custkey % 4 = 0
+    UNION ALL
+    SELECT 'urn:cust/' || CAST(c_custkey AS VARCHAR), 'wdt:P625',
+           'Point(' || CAST(CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS VARCHAR)
+           || ' ' || CAST(CAST((c_custkey % 180) - 90 + 0.25 AS DOUBLE) AS VARCHAR) || ')', NULL
+    FROM customer WHERE c_custkey % 6 <> 0
+    UNION ALL
+    -- organization-index shape over suppliers: org typing, de/en labels,
+    -- country link, inception/dissolvement date literals
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'rdf:type', 'ex:Organization', NULL
+    FROM supplier
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'wdt:P31',
+           'ex:orgtype' || CAST(s_suppkey % 9 AS VARCHAR), NULL
+    FROM supplier
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'ex:label', s_name, 'en'
+    FROM supplier
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'ex:label', 'DE ' || s_name, 'de'
+    FROM supplier WHERE s_suppkey % 3 = 0
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'ex:country',
+           'urn:nation/' || CAST(s_nationkey AS VARCHAR), NULL
+    FROM supplier
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'wdt:P571',
+           CAST(1800 + s_suppkey % 150 AS VARCHAR) || '-01-01T00:00:00Z', NULL
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'wdt:P571',
+           CAST(1810 + s_suppkey % 150 AS VARCHAR) || '-06-15T00:00:00Z', NULL
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL
+    SELECT 'urn:sup/' || CAST(s_suppkey AS VARCHAR), 'wdt:P576',
+           CAST(1900 + s_suppkey % 120 AS VARCHAR) || '-12-31T00:00:00Z', NULL
+    FROM supplier WHERE s_suppkey % 4 = 0
 )
 """
 
 
 def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the triples DataFrame; see TRIPLES_CTE for the oracle twin."""
+    from prosnet_prefect_pipelines_spark.functions.scalar import FEATURE_CODES_RANK
+
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
 
     def t(s, p, o, o_lang=None):
         lang = F.lit(o_lang).cast("string") if o_lang is None else F.lit(o_lang)
@@ -130,6 +185,51 @@ def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pfp:proxy_for",
                 cust_s,
             )
+        ),
+    ]
+
+    ck = F.col("c_custkey")
+    rank_arr = F.array(*[F.lit(x) for x in FEATURE_CODES_RANK])
+    sup_s = F.concat(F.lit("urn:sup/"), F.col("s_suppkey").cast("string"))
+    sk = F.col("s_suppkey")
+    parts += [
+        # city-index shape (wdt:P31 typing, feature codes, WKT coords)
+        customer.select(
+            *t(cust_s, "wdt:P31", F.concat(F.lit("urn:class/"), (F.lit(1) + ck % 1999).cast("string")))
+        ),
+        customer.filter(ck % 3 != 0).select(
+            *t(cust_s, "wdt:P2452",
+               F.concat(F.lit("P."), F.element_at(rank_arr, (ck % 29 + 1).cast("int"))))
+        ),
+        customer.filter(ck % 4 == 0).select(*t(cust_s, "wdt:P2452", F.lit("X.UNK"))),
+        customer.filter(ck % 6 != 0).select(
+            *t(cust_s, "wdt:P625",
+               F.concat(F.lit("Point("), ((ck % 360) - 180 + 0.5).cast("double").cast("string"),
+                        F.lit(" "), ((ck % 180) - 90 + 0.25).cast("double").cast("string"), F.lit(")")))
+        ),
+        # organization-index shape over suppliers
+        supplier.select(*t(sup_s, "rdf:type", F.lit("ex:Organization"))),
+        supplier.select(
+            *t(sup_s, "wdt:P31", F.concat(F.lit("ex:orgtype"), (sk % 9).cast("string")))
+        ),
+        supplier.select(*t(sup_s, "ex:label", F.col("s_name"), "en")),
+        supplier.filter(sk % 3 == 0).select(
+            *t(sup_s, "ex:label", F.concat(F.lit("DE "), F.col("s_name")), "de")
+        ),
+        supplier.select(
+            *t(sup_s, "ex:country", F.concat(F.lit("urn:nation/"), F.col("s_nationkey").cast("string")))
+        ),
+        supplier.filter(sk % 2 == 0).select(
+            *t(sup_s, "wdt:P571",
+               F.concat((F.lit(1800) + sk % 150).cast("string"), F.lit("-01-01T00:00:00Z")))
+        ),
+        supplier.filter(sk % 10 == 0).select(
+            *t(sup_s, "wdt:P571",
+               F.concat((F.lit(1810) + sk % 150).cast("string"), F.lit("-06-15T00:00:00Z")))
+        ),
+        supplier.filter(sk % 4 == 0).select(
+            *t(sup_s, "wdt:P576",
+               F.concat((F.lit(1900) + sk % 120).cast("string"), F.lit("-12-31T00:00:00Z")))
         ),
     ]
     out = parts[0]
