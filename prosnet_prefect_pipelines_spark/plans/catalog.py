@@ -58,6 +58,7 @@ def _load_all() -> None:
         q_index,
         q_relational,
         q_render,
+        q_render2,
         q_similarity,
         q_sinks,
         q_streaming,

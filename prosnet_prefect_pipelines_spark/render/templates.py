@@ -33,16 +33,21 @@ class Template:
     o: Column
     lang: Column | str | None = None
     cond: Column | None = None
+    datatype: str | None = None  # e.g. geo:wktLiteral (R10 space primitives)
 
 
-def _struct(t: Template) -> Column:
+def _lit_or_col(v, default=None) -> Column:
+    if v is None:
+        return F.lit(default).cast("string")
+    return F.lit(v) if isinstance(v, str) else v
+
+
+def _struct(t: Template, include_datatype: bool) -> Column:
     p = F.lit(t.p) if isinstance(t.p, str) else t.p
-    lang = (
-        F.lit(None).cast("string")
-        if t.lang is None
-        else (F.lit(t.lang) if isinstance(t.lang, str) else t.lang)
-    )
-    st = F.struct(t.s.alias("s"), p.alias("p"), t.o.alias("o"), lang.alias("o_lang"))
+    fields = [t.s.alias("s"), p.alias("p"), t.o.alias("o"), _lit_or_col(t.lang).alias("o_lang")]
+    if include_datatype:
+        fields.append(_lit_or_col(t.datatype).alias("o_datatype"))
+    st = F.struct(*fields)
     if t.cond is not None:
         st = F.when(t.cond, st)
     # a NULL s or o also suppresses the triple (rdflib would crash on None;
@@ -51,9 +56,12 @@ def _struct(t: Template) -> Column:
 
 
 def explode_templates(
-    df: DataFrame, templates: list[Template], chunk_size: int = 12
+    df: DataFrame,
+    templates: list[Template],
+    chunk_size: int = 12,
+    include_datatype: bool = False,
 ) -> DataFrame:
-    """Apply all templates -> (s, p, o, o_lang) rows.
+    """Apply all templates -> (s, p, o, o_lang[, o_datatype]) rows.
 
     Templates are applied in chunks of ``chunk_size`` per explode, unioned:
     one mega-expression for 40+ templates generates a method too large to
@@ -62,14 +70,14 @@ def explode_templates(
     cached by the caller when chunks > 1 so each union branch reads the
     materialized frame, not a recomputed lineage.
     """
+    cols = ["s", "p", "o", "o_lang"] + (["o_datatype"] if include_datatype else [])
     outs = []
     for i in range(0, len(templates), chunk_size):
         chunk = templates[i : i + chunk_size]
-        arr = F.array_compact(F.array(*[_struct(t) for t in chunk]))
+        arr = F.array_compact(F.array(*[_struct(t, include_datatype) for t in chunk]))
         outs.append(
             df.select(F.explode(arr).alias("t")).select(
-                F.col("t.s").alias("s"), F.col("t.p").alias("p"),
-                F.col("t.o").alias("o"), F.col("t.o_lang").alias("o_lang"),
+                *[F.col(f"t.{c}").alias(c) for c in cols]
             )
         )
     out = outs[0]

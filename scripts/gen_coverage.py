@@ -82,15 +82,15 @@ INVENTORY: dict[str, tuple[str, str]] = {
     "F21": ("swagger/json path probing", "plans/q_functions.py (json_probe; get_json_object)"),
     # §2.8 rendering
     "R1": ("render_person", f"{PKG}/render/person.py"),
-    "R2": ("render_personplace_relation", f"{PKG}/render/templates.py (branch templates; same machinery)"),
+    "R2": ("render_personplace_relation", f"{PKG}/render/entities.py (render_personplace_relations)"),
     "R3": ("render_personperson_relation", f"{PKG}/render/templates.py (isin-branched templates)"),
     "R4": ("render_personrole_from_relation", f"{PKG}/render/templates.py"),
     "R5": ("render_personrole", f"{PKG}/render/templates.py"),
     "R6": ("render_personinstitution_relation", f"{PKG}/render/templates.py + J8 join"),
     "R7": ("render_organizationplace_relation", f"{PKG}/render/templates.py"),
-    "R8": ("render_organization", f"{PKG}/render/templates.py + F11"),
-    "R9": ("render_event", f"{PKG}/render/templates.py"),
-    "R10": ("render_place", f"{PKG}/render/templates.py + F12"),
+    "R8": ("render_organization", f"{PKG}/render/entities.py (render_organization)"),
+    "R9": ("render_event", f"{PKG}/render/entities.py (_event_templates)"),
+    "R10": ("render_place", f"{PKG}/render/entities.py (render_place)"),
     "R11": ("Namespace prefixes / base graph", f"{PKG}/render/namespaces.py"),
     "R12": ("Inverse-property materialization", f"{PKG}/render/person.py (materialize_inverses)"),
     "R13": ("CONSTRUCT provided entities", f"{PKG}/resolve.py (provided_entity_triples)"),
