@@ -59,6 +59,7 @@ def _load_all() -> None:
         q_relational,
         q_render,
         q_render2,
+        q_render3,
         q_similarity,
         q_sinks,
         q_streaming,

@@ -212,3 +212,186 @@ def render_personplace_relations(rels: DataFrame) -> tuple[DataFrame, DataFrame]
     )
     worklist = rels.select(F.col("related_place.id").alias("place_id")).distinct()
     return triples, worklist
+
+
+FAMILY_RELATIONS = [5870, 5871, 5741, 5414, 5413, 5412, 5411]
+
+
+def render_personperson_relations(rels: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """R3: person-person relations; family vs person predicate chosen by
+    relation_type membership in the 7-element family list.
+
+    Reference: get_data_apis_vanilla.py:165-271. The ``relation_type is
+    None`` else-branch there (:266-270) is dead code (the dict is always
+    present); live semantics: the subclass triples hang off the parent
+    when there is one, else off the type itself.
+    Returns (triples, personB worklist).
+    """
+    rels = rels.localCheckpoint(eager=False)
+    rt = F.col("relation_type.id")
+    is_family = rt.isin(FAMILY_RELATIONS)
+    rel_pred = F.when(is_family, F.lit("bioc:has_family_relation")).otherwise(
+        F.lit("bioc:has_person_relation")
+    )
+    role_cls = F.when(is_family, F.lit("bioc:Family_Relationship_Role")).otherwise(
+        F.lit("bioc:Person_Relationship_Role")
+    )
+    pers_a = node("idmapis:personproxy.", F.col("related_person.id"))
+    pers_b = node("idmapis:personproxy.", F.col("related_personB.id"))
+    n_rel = node("idmapis:personrelation.", F.col("id"))
+    n_reltype = node("idmrelations:", rt)
+    parent = F.col("relation_type.parent_id")
+    n_parent = node("idmrelations:", parent)
+    ts = [
+        Template(pers_a, rel_pred, n_rel),
+        Template(n_rel, "rdf:type", n_reltype),
+        Template(n_rel, "rdfs:label", F.col("relation_type.label"), lang="de"),
+        Template(pers_b, "bioc:bearer_of", n_rel),
+        Template(n_reltype, "rdfs:subClassOf", n_parent, cond=parent.isNotNull()),
+        Template(n_parent, "rdfs:subClassOf", role_cls, cond=parent.isNotNull()),
+        Template(n_reltype, "rdfs:subClassOf", role_cls, cond=parent.isNull()),
+    ]
+    triples = explode_templates(rels, ts).distinct()
+    worklist = rels.select(F.col("related_personB.id").alias("person_id")).distinct()
+    return triples, worklist
+
+
+def render_organizationplace_relations(rels: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """R7: org residence triples + place worklist
+    (get_data_apis_vanilla.py:677-696)."""
+    rels = rels.localCheckpoint(eager=False)
+    triples = explode_templates(
+        rels,
+        [
+            Template(
+                node("idmapis:groupproxy.", F.col("related_institution.id")),
+                "crm:P74_has_current_or_former_residence",
+                node("idmapis:place.", F.col("related_place.id")),
+            )
+        ],
+    ).distinct()
+    worklist = rels.select(F.col("related_place.id").alias("place_id")).distinct()
+    return triples, worklist
+
+
+def render_personinstitution_relations(
+    rels: DataFrame, residence_triples: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """R6: career events (get_data_apis_vanilla.py:352-510) + J8 residence
+    propagation.
+
+    Quirks kept: the person-role hierarchy uses ``rdf:type`` (not
+    subClassOf) toward the parent role (:433-441); the career time-span
+    node is attached when either date exists (:471-479) while its bound
+    triples come from whichever dates are present.
+
+    J8 (:481-485): the reference copies whatever P74 residence objects are
+    already in the rdflib graph at render time — an order-dependent
+    read-your-writes join. Here it is the full deterministic join against
+    ``residence_triples`` (R7 output) — a documented strengthening, same
+    rationale as the deterministic proxy ids (SURVEY §7).
+    Returns (triples, institution worklist).
+    """
+    rels = rels.localCheckpoint(eager=False)
+    rid = F.col("id")
+    rt = F.col("relation_type.id")
+    parent = F.col("relation_type.parent_id")
+    pers = node("idmapis:personproxy.", F.col("related_person.id"))
+    inst = node("idmapis:groupproxy.", F.col("related_institution.id"))
+    n_rel = node("idmapis:grouprelation.", rid)
+    grouprole_t = node("idmapis:grouprole.", rt)
+    career = node("idmapis:career.", rid)
+    span = node("idmapis:career.timespan.", rid)
+    persrole = node("idmapis:personrole.", rid, ".", F.col("related_person.id"))
+    persrole_t = node("idmapis:personrole.", rt)
+    grouprole_inst = node("idmapis:grouprole.", rid, ".", F.col("related_institution.id"))
+    fstr = lambda c: F.coalesce(c.cast("string"), F.lit("None"))  # noqa: E731
+    has_start = F.col("start_date").isNotNull()
+    has_end = F.col("end_date").isNotNull()
+    ts = [
+        Template(pers, "bioc:has_group_relation", n_rel),
+        Template(n_rel, "rdf:type", grouprole_t),
+        Template(grouprole_t, "rdfs:subClassOf", node("idmapis:grouprole.", parent),
+                 cond=parent.isNotNull()),
+        Template(n_rel, "rdfs:label", F.col("relation_type.label"), lang="de"),
+        Template(n_rel, "bioc:inheres_in", inst),
+        Template(career, "rdf:type", F.lit("idmcore:Career")),
+        Template(F.lit("idmcore:Career"), "rdfs:subClassOf", F.lit("crm:E5_Event")),
+        Template(
+            career, "rdfs:label",
+            F.concat(fstr(F.col("related_person.label")), F.lit(" "),
+                     fstr(F.col("relation_type.label")), F.lit(" "),
+                     fstr(F.col("related_institution.label"))),
+            lang="de",
+        ),
+        Template(career, "bioc:had_participant_in_role", persrole),
+        Template(pers, "bioc:bearer_of", persrole),
+        Template(persrole, "rdf:type", persrole_t),
+        # quirk: rdf:type (not subClassOf) toward the parent role (:433)
+        Template(persrole_t, "rdf:type", node("idmapis:personrole.", parent),
+                 cond=parent.isNotNull()),
+        Template(career, "bioc:had_participant_in_role", grouprole_inst),
+        Template(grouprole_inst, "rdf:type", F.lit("bioc:Group_Relationship_Role")),
+        Template(grouprole_inst, "bioc:inheres_in", inst),
+        Template(career, "crm:P4_has_time-span", span, cond=has_start | has_end),
+    ]
+    for kind, cond in [("start", has_start), ("end", has_end)]:
+        bounds = scalar.time_span_bounds(
+            kind, F.col(f"{kind}_date_written"), F.col(f"{kind}_date")
+        )
+        for pred, literal in bounds.items():
+            ts.append(Template(span, pred, literal, cond=cond & literal.isNotNull()))
+        if kind == "start":
+            label = scalar.time_span_label(
+                F.col("start_date_written"), F.col("end_date_written")
+            )
+            ts.append(Template(span, "rdfs:label", label, cond=cond & label.isNotNull()))
+        # E52 typing comes from create_time_span_tripels for each kind
+        ts.append(Template(span, "rdf:type", F.lit("crm:E52_Time-Span"), cond=cond))
+    triples = explode_templates(rels, ts)
+    if residence_triples is not None:
+        # J8: copy the institution's residences onto the career as P7
+        res = residence_triples.filter(
+            F.col("p") == "crm:P74_has_current_or_former_residence"
+        ).select(F.col("s").alias("_inst"), F.col("o").alias("_plc"))
+        j8 = (
+            rels.select(career.alias("career"), inst.alias("_inst"))
+            .join(res, on="_inst")
+            .select(
+                F.col("career").alias("s"),
+                F.lit("crm:P7_took_place_at").alias("p"),
+                F.col("_plc").alias("o"),
+                F.lit(None).cast("string").alias("o_lang"),
+            )
+        )
+        triples = triples.unionByName(j8)
+    worklist = rels.select(F.col("related_institution.id").alias("institution_id")).distinct()
+    return triples.distinct(), worklist
+
+
+def render_personroles(roles: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """R4/R5: role-vocabulary rendering (get_data_apis_vanilla.py:274-349).
+
+    roles(id, label, parent_id) -> (triples, parent worklist):
+    - every role gets its rdfs:label @de
+    - roles WITHOUT a parent are typed bioc:Actor_Role (:317-319, :347-349)
+    - parents not themselves in the batch go to the worklist (the
+      reference's glob_list_vocabs second-round fetch, :312-316) — the
+      existence probe becomes a left_anti join (J7)
+    """
+    roles = roles.localCheckpoint(eager=False)
+    n_role = node("idmapis:personrole.", F.col("id"))
+    ts = [
+        Template(n_role, "rdfs:label", F.col("label"), lang="de"),
+        Template(n_role, "rdf:type", F.lit("bioc:Actor_Role"),
+                 cond=F.col("parent_id").isNull()),
+    ]
+    triples = explode_templates(roles, ts).distinct()
+    known = roles.select(F.col("id").alias("parent_id")).distinct()
+    worklist = (
+        roles.filter(F.col("parent_id").isNotNull())
+        .select("parent_id")
+        .distinct()
+        .join(known, on="parent_id", how="left_anti")
+    )
+    return triples, worklist

@@ -42,7 +42,7 @@ INVENTORY: dict[str, tuple[str, str]] = {
     "J5": ("Property path closure (wdt:P279*)", f"{PKG}/operators/graph.py (transitive_closure)"),
     "J6": ("Federated label join (lang fallback)", f"{PKG}/operators/relational.py (label_service_join)"),
     "J7": ("Existence anti-join", f"{PKG}/operators/relational.py (exists_anti_join)"),
-    "J8": ("Residence propagation join", f"{PKG}/render/person.py (template self-join pattern; R6 family)"),
+    "J8": ("Residence propagation join", f"{PKG}/render/entities.py (render_personinstitution_relations J8)"),
     "J9": ("sameAs cluster resolution", f"{PKG}/operators/graph.py (connected_components) + resolve.py"),
     # §2.4 aggregations
     "A1": ("COUNT(DISTINCT)", f"{PKG}/operators/aggregates.py (count_distinct_paginator)"),
@@ -83,11 +83,11 @@ INVENTORY: dict[str, tuple[str, str]] = {
     # §2.8 rendering
     "R1": ("render_person", f"{PKG}/render/person.py"),
     "R2": ("render_personplace_relation", f"{PKG}/render/entities.py (render_personplace_relations)"),
-    "R3": ("render_personperson_relation", f"{PKG}/render/templates.py (isin-branched templates)"),
-    "R4": ("render_personrole_from_relation", f"{PKG}/render/templates.py"),
-    "R5": ("render_personrole", f"{PKG}/render/templates.py"),
-    "R6": ("render_personinstitution_relation", f"{PKG}/render/templates.py + J8 join"),
-    "R7": ("render_organizationplace_relation", f"{PKG}/render/templates.py"),
+    "R3": ("render_personperson_relation", f"{PKG}/render/entities.py (render_personperson_relations)"),
+    "R4": ("render_personrole_from_relation", f"{PKG}/render/entities.py (render_personroles)"),
+    "R5": ("render_personrole", f"{PKG}/render/entities.py (render_personroles)"),
+    "R6": ("render_personinstitution_relation", f"{PKG}/render/entities.py (render_personinstitution_relations)"),
+    "R7": ("render_organizationplace_relation", f"{PKG}/render/entities.py (render_organizationplace_relations)"),
     "R8": ("render_organization", f"{PKG}/render/entities.py (render_organization)"),
     "R9": ("render_event", f"{PKG}/render/entities.py (_event_templates)"),
     "R10": ("render_place", f"{PKG}/render/entities.py (render_place)"),
