@@ -198,6 +198,54 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 8,
+    mode: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    mode='lsh' (the 100 TB path): random-hyperplane sign buckets generate
+    candidates — high-cosine pairs land in the same bucket with
+    probability (1 - theta/pi)^planes — then ONLY candidates pay the
+    exact-cosine verification, so precision is exact and cost is linear
+    in corpus size + quadratic per bucket. mode='brute' verifies all
+    pairs (exactness baseline; verification scale only).
+    """
+    from prosnet_prefect_pipelines_spark.operators import similarity as S
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if mode == "lsh":
+        sig = vecs.withColumn(
+            "bucket", S.rhp_signature(F.col("v"), dim, planes)
+        ).localCheckpoint(eager=False)  # self-joined below
+        pairs = (
+            sig.alias("x")
+            .join(sig.alias("y"), on="bucket")
+            .filter(F.col("x.id") < F.col("y.id"))
+        )
+    elif mode == "brute":
+        pairs = (
+            vecs.alias("x")
+            .join(vecs.alias("y"), F.col("x.id") < F.col("y.id"))
+        )
+    else:
+        raise ValueError(mode)
+    return (
+        pairs.select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.round(S.cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16, hash_mode: str = "portable"
 ) -> DataFrame:

@@ -87,6 +87,73 @@ def rhp_signature(vec: Column, dim: int, planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 8
+) -> DataFrame:
+    """-> (id, v, cell): assign every vector to its nearest centroid.
+
+    Centroids are the ``n_cells`` vectors with the smallest ids — a
+    deterministic seed choice so both engines (and reruns) agree;
+    production replaces this with k-means iterations (same assignment
+    join, run to convergence). Assignment = argmax cosine, ties broken
+    by centroid id. The centroid table is tiny and broadcast, so
+    assignment is a single narrow pass over the corpus — no shuffle.
+    """
+    cents = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_cells: int = 8
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: search only the query's own
+    cell (nprobe=1).
+
+    Output shape matches cosine_topk. Cost: assignment is linear
+    (broadcast centroids); the candidate join shuffles on the cell key
+    and each cell's pair block is |cell|^2 — with C cells of ~n/C
+    vectors, total work is n^2/C instead of n^2, and cells partition
+    cleanly across executors. Raising n_cells (or adding multi-probe
+    over the 2nd/3rd-nearest centroids) trades recall for cost.
+    """
+    assigned = ivf_assign(df, id_col, vec_col, n_cells).localCheckpoint(
+        eager=False
+    )  # self-joined below; assignment is C folds/row
+    pairs = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), on="cell")
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id"),
+            F.col("y.id").alias("neighbor"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("id", "neighbor", "cos")
+    )
+
+
 def rhp_lsh_topk(
     df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 5, planes: int = 8
 ) -> DataFrame:

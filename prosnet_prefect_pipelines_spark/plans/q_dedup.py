@@ -174,3 +174,61 @@ def q_dedup_simhash(spark, sf_dir):
     explode + small bits cross-join + two aggregations; near-dup pairs are
     then Hamming-close signatures."""
     return D.simhash_signatures(corpus(spark, sf_dir), "id", "text", bits=16)
+
+
+# -- embedding-cosine near-dup (on the embeddings table) --------------------
+
+EMB_DOT = """
+list_reduce(
+    list_transform(generate_series(1, 64),
+                   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+    (x, y) -> x + y)
+"""
+
+
+def _emb_cos(a: str, b: str) -> str:
+    return (
+        f"({EMB_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({EMB_DOT.format(a=a, b=a)}) * sqrt({EMB_DOT.format(b=b, a=b)}))"
+    )
+
+
+EMB_COSINE_SQL = f"""
+WITH planes AS (SELECT h FROM generate_series(0, 3) t(h)),
+proj AS (
+    SELECT e.vec_id, p.h,
+           list_reduce(
+               list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE)
+                                   * (((p.h * 31 + (i - 1) * 17) % 7) - 3)),
+               (x, y) -> x + y) AS pr
+    FROM embeddings e, planes p
+),
+sig AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+    FROM proj GROUP BY vec_id
+),
+cand AS (
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a, b, round({_emb_cos('ex.embedding', 'ey.embedding')}, 6) AS cos
+FROM cand
+JOIN embeddings ex ON ex.vec_id = cand.a
+JOIN embeddings ey ON ey.vec_id = cand.b
+WHERE round({_emb_cos('ex.embedding', 'ey.embedding')}, 6) >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine", oracle=EMB_COSINE_SQL, covers=["J1", "O6"])
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: random-hyperplane sign buckets
+    generate candidates (linear cost), exact cosine verifies only the
+    candidates — the 100 TB near-dup path for vector corpora. 4 planes /
+    threshold 0.35 calibrated to the synthetic embeddings' similarity
+    range (max pairwise cosine ~0.51)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.35, planes=4, mode="lsh"
+    )

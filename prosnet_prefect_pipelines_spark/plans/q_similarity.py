@@ -87,3 +87,44 @@ def q_ann_rhp_lsh(spark, sf_dir):
     candidate set — the linear-cost scale path (8 planes)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.rhp_lsh_topk(emb, "vec_id", "embedding", dim=DIM, k=5, planes=8)
+
+
+IVF_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_cos('e.embedding', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) t WHERE rn = 1
+),
+pairs AS (
+    SELECT ax.vec_id AS id, ay.vec_id AS neighbor,
+           round({_cos('ex.embedding', 'ey.embedding')}, 6) AS cos
+    FROM assign ax
+    JOIN assign ay ON ax.cid = ay.cid AND ax.vec_id <> ay.vec_id
+    JOIN embeddings ex ON ex.vec_id = ax.vec_id
+    JOIN embeddings ey ON ey.vec_id = ay.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rn
+    FROM pairs
+)
+SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=IVF_SQL, covers=["O6", "J1", "O1"])
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-5: broadcast-centroid assignment (narrow pass)
+    then candidate search restricted to the query's own cell — n^2/C work
+    and clean cell-partitioned parallelism; the inverted-file scale path
+    next to the LSH one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8)

@@ -115,8 +115,10 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-DEDUP-NGRAM": ("N-gram Jaccard near-dup", f"{PKG}/operators/dedup.py (ngram_jaccard_pairs)"),
     "X-DEDUP-MINHASH": ("MinHash + LSH near-dup", f"{PKG}/operators/dedup.py (minhash_lsh_pairs)"),
     "X-DEDUP-SIMHASH": ("SimHash signatures", f"{PKG}/operators/dedup.py (simhash_signatures)"),
+    "X-DEDUP-COSINE": ("Embedding-cosine near-dup", f"{PKG}/operators/dedup.py (embedding_cosine_pairs)"),
     "X-ANN-BRUTE": ("Brute-force cosine top-k", f"{PKG}/operators/similarity.py (cosine_topk)"),
     "X-ANN-LSH": ("Random-hyperplane LSH top-k", f"{PKG}/operators/similarity.py (rhp_lsh_topk)"),
+    "X-ANN-IVF": ("IVF (inverted-file) top-k", f"{PKG}/operators/similarity.py (ivf_topk)"),
     "X-TEXT-LANG": ("Language ID", f"{PKG}/operators/textstats.py (lang_id)"),
     "X-TEXT-QUALITY": ("Quality scoring", f"{PKG}/operators/textstats.py (quality_stats/score)"),
     "X-TEXT-TOKENS": ("Token counting", f"{PKG}/operators/textstats.py (token_count)"),
@@ -135,8 +137,10 @@ EXT_QUERIES = {
     "X-DEDUP-NGRAM": ["dedup_ngram_jaccard"],
     "X-DEDUP-MINHASH": ["dedup_minhash_lsh"],
     "X-DEDUP-SIMHASH": ["dedup_simhash"],
+    "X-DEDUP-COSINE": ["dedup_embedding_cosine"],
     "X-ANN-BRUTE": ["ann_cosine_topk"],
     "X-ANN-LSH": ["ann_rhp_lsh_topk"],
+    "X-ANN-IVF": ["ann_ivf_topk"],
     "X-TEXT-LANG": ["text_lang_id"],
     "X-TEXT-QUALITY": ["text_quality"],
     "X-TEXT-TOKENS": ["text_fingerprint"],

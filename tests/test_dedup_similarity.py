@@ -1,0 +1,112 @@
+"""Unit tests for the dedup / similarity operator families (north-star
+extensions; SURVEY §7 step 10) on tiny in-memory corpora.
+
+The catalog queries check these value-for-value against DuckDB at
+sf0.01; here we check the algorithmic relationships the oracles can't:
+approximate results are subsets of / consistent with the exact ones.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from prosnet_prefect_pipelines_spark.operators import dedup as D
+from prosnet_prefect_pipelines_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # Two tight clusters around orthogonal axes + one outlier.
+    base_a = [1.0, 0.1, 0.0, 0.05]
+    base_b = [0.0, 1.0, 0.1, 0.0]
+    rows = [
+        (1, [x + 0.00 for x in base_a]),
+        (2, [x + 0.01 for x in base_a]),
+        (3, [x - 0.01 for x in base_a]),
+        (4, [x + 0.00 for x in base_b]),
+        (5, [x + 0.02 for x in base_b]),
+        (6, [0.5, -0.5, 0.5, -0.5]),
+    ]
+    return spark.createDataFrame(rows, "id long, v array<float>")
+
+
+def _py_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_matches_python(vectors):
+    got = {
+        (r.id, r.neighbor): r.cos
+        for r in S.cosine_topk(vectors, "id", "v", k=1).collect()
+    }
+    rows = {r.id: [float(x) for x in r.v] for r in vectors.collect()}
+    for i, vi in rows.items():
+        best = max(
+            ((j, _py_cos(vi, vj)) for j, vj in rows.items() if j != i),
+            key=lambda t: (round(t[1], 6), -t[0]),
+        )
+        assert (i, best[0]) in got
+        assert got[(i, best[0])] == pytest.approx(best[1], abs=1e-6)
+
+
+def test_ivf_topk_matches_python_semantics(vectors):
+    rows = {r.id: [float(x) for x in r.v] for r in vectors.collect()}
+    # centroids = the n_cells smallest ids; assignment = argmax rounded
+    # cosine, ties broken by centroid id (the operator's contract)
+    cents = sorted(rows)[:2]
+    cell = {
+        i: max(cents, key=lambda c: (round(_py_cos(v, rows[c]), 6), -c))
+        for i, v in rows.items()
+    }
+    expected = {
+        (i, j)
+        for i in rows
+        for j in rows
+        if i != j and cell[i] == cell[j]
+    }
+    ivf = S.ivf_topk(vectors, "id", "v", k=5, n_cells=2).collect()
+    assert {(r.id, r.neighbor) for r in ivf} == expected
+    # approximate cosines are still the exact cosines of the kept pairs
+    brute = {
+        (r.id, r.neighbor): r.cos
+        for r in S.cosine_topk(vectors, "id", "v", k=5).collect()
+    }
+    for r in ivf:
+        assert r.cos == brute[(r.id, r.neighbor)]
+
+
+def test_embedding_cosine_brute_finds_cluster_pairs(vectors):
+    pairs = D.embedding_cosine_pairs(
+        vectors, "id", "v", dim=4, threshold=0.99, mode="brute"
+    ).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (4, 5) in got
+    # cross-cluster / outlier pairs excluded
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) or a in (4, 5) for a, b in got)
+
+
+def test_embedding_cosine_lsh_subset_of_brute(vectors):
+    brute = {
+        (r.a, r.b): r.cos
+        for r in D.embedding_cosine_pairs(
+            vectors, "id", "v", dim=4, threshold=0.9, mode="brute"
+        ).collect()
+    }
+    lsh = D.embedding_cosine_pairs(
+        vectors, "id", "v", dim=4, threshold=0.9, planes=2, mode="lsh"
+    ).collect()
+    for r in lsh:
+        assert (r.a, r.b) in brute
+        assert r.cos == brute[(r.a, r.b)]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")], "id long, text string"
+    )
+    rows = {r.keeper: r.n_copies for r in D.exact_dedup(df, "id", "text").collect()}
+    assert rows == {1: 2, 3: 1}
