@@ -34,6 +34,7 @@ def transitive_closure(
     dst: str = "dst",
     reflexive: bool = False,
     max_iterations: int = 64,
+    method: str = "frontier",
 ) -> DataFrame:
     """All (src, dst) pairs connected by 1+ edge hops; 0 hops if reflexive.
 
@@ -42,6 +43,12 @@ def transitive_closure(
     every node on either edge side.
     Raises after ``max_iterations`` (safety for unnoticed cycles; cycles
     themselves are handled — reached pairs are deduped away).
+
+    method='frontier': one hop per round — O(diameter) rounds, minimal
+    total work (each pair produced once). method='doubling': path
+    doubling (reach ⋈ reach) — O(log diameter) rounds at the cost of
+    re-deriving long paths from halves; wins when per-round scheduling
+    latency dominates (deep chains, modest pair counts).
     """
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -52,38 +59,12 @@ def transitive_closure(
         # shuffle parallelism; large graphs keep the session setting
         if e.count() < 50_000:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # reach = lazy union of MATERIALIZED frontier frames: each frontier
-        # is checkpointed once, the union itself never is — no recompute
-        # (every leaf is cached) and no per-iteration re-materialization of
-        # the growing result
-        frontiers = [e]
-        frontier = e
-
-        def reach():
-            out = frontiers[0]
-            for fr in frontiers[1:]:
-                out = out.unionByName(fr)
-            return out
-
-        for _ in range(max_iterations):
-            # one hop further from the current frontier only
-            step = (
-                frontier.alias("f")
-                .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
-                .distinct()
-            )
-            frontier = step.join(reach(), on=["src", "dst"], how="left_anti").localCheckpoint(
-                eager=True
-            )
-            if frontier.isEmpty():
-                break
-            frontiers.append(frontier)
+        if method == "doubling":
+            result = _closure_doubling(e, max_iterations)
+        elif method == "frontier":
+            result = _closure_frontier(e, max_iterations)
         else:
-            raise RuntimeError(
-                f"transitive_closure: no fixpoint after {max_iterations} iterations"
-            )
-        result = reach()
+            raise ValueError(method)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if reflexive:
@@ -91,6 +72,126 @@ def transitive_closure(
             e.select(F.col("dst").alias("n"))
         ).distinct()
         result = result.unionByName(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+    return result
+
+
+def _closure_frontier(e: DataFrame, max_iterations: int) -> DataFrame:
+    # reach = lazy union of MATERIALIZED frontier frames: each frontier
+    # is checkpointed once, the union itself never is — no recompute
+    # (every leaf is cached) and no per-iteration re-materialization of
+    # the growing result
+    frontiers = [e]
+    frontier = e
+
+    def reach():
+        out = frontiers[0]
+        for fr in frontiers[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    for _ in range(max_iterations):
+        # one hop further from the current frontier only; the lazy
+        # localCheckpoint materializes during the count() below — one
+        # job per round, not two
+        step = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        frontier = step.join(reach(), on=["src", "dst"], how="left_anti").localCheckpoint(
+            eager=False
+        )
+        if frontier.count() == 0:
+            break
+        frontiers.append(frontier)
+    else:
+        raise RuntimeError(
+            f"transitive_closure: no fixpoint after {max_iterations} iterations"
+        )
+    return reach()
+
+
+def _closure_doubling(e: DataFrame, max_iterations: int) -> DataFrame:
+    # after k rounds reach covers all paths of length <= 2^k
+    reach = e
+    n = reach.count()
+    for _ in range(max_iterations):
+        step = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.dst") == F.col("r.src"))
+            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+        )
+        merged = reach.unionByName(step).distinct().localCheckpoint(eager=False)
+        m = merged.count()
+        if m == n:
+            return reach
+        reach, n = merged, m
+    raise RuntimeError(
+        f"transitive_closure: no fixpoint after {max_iterations} iterations"
+    )
+
+
+def descendants(
+    edges: DataFrame,
+    roots: list[str],
+    src: str = "src",
+    dst: str = "dst",
+    reflexive: bool = True,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """-> (node): everything that reaches any root via 1+ edges
+    (plus the roots themselves when reflexive) — i.e. the subtree under
+    the roots when edges point child -> parent.
+
+    This is the right shape for ``?cls wdt:P279* <root>`` semi-joins
+    (sparql/wikidata-city.sparql:6): single-source reachability does
+    O(|subtree|) total work, where the filtered all-pairs closure the
+    query naively implies does O(|V| * depth) — the difference between a
+    bounded BFS and a quadratic blowup at 100 TB.
+    """
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+        e = e.localCheckpoint(eager=True)
+        if e.count() < 50_000:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        seed = spark.createDataFrame([(r,) for r in roots], "node string")
+        reached = [seed.localCheckpoint(eager=True)]
+        frontier = reached[0]
+
+        def all_reached():
+            out = reached[0]
+            for fr in reached[1:]:
+                out = out.unionByName(fr)
+            return out
+
+        for _ in range(max_iterations):
+            step = (
+                e.join(frontier, e["dst"] == frontier["node"])
+                .select(F.col("src").alias("node"))
+                .distinct()
+            )
+            frontier = step.join(all_reached(), on="node", how="left_anti").localCheckpoint(
+                eager=False
+            )
+            if frontier.count() == 0:
+                break
+            reached.append(frontier)
+        else:
+            raise RuntimeError(
+                f"descendants: no fixpoint after {max_iterations} iterations"
+            )
+        result = all_reached()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not reflexive:
+        result = result.join(
+            spark.createDataFrame([(r,) for r in roots], "node string"),
+            on="node",
+            how="left_anti",
+        )
     return result
 
 
@@ -158,7 +259,9 @@ def connected_components(
                     how="left",
                 )
                 .select(F.col("node"), F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
-                .localCheckpoint(eager=True)
+                # lazy: materializes during the fingerprint aggregation —
+                # one job per round, not two
+                .localCheckpoint(eager=False)
             )
             labels = jumped
             fp = fingerprint(labels)

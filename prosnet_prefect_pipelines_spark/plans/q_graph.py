@@ -49,7 +49,9 @@ def q_closure_subclass(spark, sf_dir):
     expansion with per-round localCheckpoint (SURVEY §7 hard part 1)."""
     triples = triples_from_tpch(spark, sf_dir)
     edges = R.triple_pattern(triples, "?src", "wdt:P279", "?dst")
-    return G.transitive_closure(edges, reflexive=True)
+    # the subclass tree is deep (halving chains ~log2(|part|) levels) but
+    # the pair count is modest -> path doubling: O(log depth) rounds
+    return G.transitive_closure(edges, reflexive=True, method="doubling")
 
 
 # --- J9: sameAs connected components ---------------------------------------------

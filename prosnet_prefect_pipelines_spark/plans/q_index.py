@@ -95,8 +95,12 @@ def q_city_index_docs(spark, sf_dir):
     (sparql/wikidata-city.sparql + prefect.yaml:236-264 config)."""
     triples = triples_from_tpch(spark, sf_dir)
     edges = R.triple_pattern(triples, "?src", "wdt:P279", "?dst")
-    closure = G.transitive_closure(edges, reflexive=True)
-    subtree = closure.filter(F.col("dst") == CITY_ROOT).select(F.col("src").alias("cls"))
+    # `?cls wdt:P279* <root>` as single-source reachability, not a
+    # filtered all-pairs closure: O(|subtree|) work instead of
+    # O(|V| * depth) — the plan that survives a 100x scale-up
+    subtree = G.descendants(edges, [CITY_ROOT], reflexive=True).select(
+        F.col("node").alias("cls")
+    )
 
     p31 = R.triple_pattern(triples, "?item", "wdt:P31", "?cls")
     items = p31.join(F.broadcast(subtree), on="cls").select("item").distinct()
