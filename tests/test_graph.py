@@ -58,10 +58,28 @@ def test_components_chain_cycle_and_separate(spark):
     }
 
 
-def test_components_long_chain_pointer_jumping(spark):
-    # 40-node chain: plain propagation needs 40 rounds; pointer jumping
-    # must converge well under the 50-iteration cap
+def test_components_long_chain_star_contraction(spark):
+    # 40-node chain: min-label propagation needs 40 rounds; large/small-star
+    # contraction must converge well under the 50-iteration cap
+    # (driver_threshold=0 forces the distributed path)
     e = _edges(spark, [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)])
-    rows = connected_components(e, max_iterations=12).collect()
+    rows = connected_components(e, max_iterations=12, driver_threshold=0).collect()
     assert {r.comp for r in rows} == {"n00"}
     assert len(rows) == 40
+
+
+def test_components_driver_vs_distributed_equivalence(spark):
+    # both physical strategies must label identically on an irregular
+    # graph: chains, a cycle, a diamond-merge, singleton-free pairs
+    import random
+
+    rng = random.Random(7)
+    pairs = [(f"v{rng.randrange(60):02d}", f"v{rng.randrange(60):02d}") for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    via_driver = {(r.node, r.comp) for r in connected_components(e).collect()}
+    via_stars = {
+        (r.node, r.comp)
+        for r in connected_components(e, driver_threshold=0).collect()
+    }
+    assert via_driver == via_stars
