@@ -13,18 +13,17 @@ Four strategies over a (id, text) corpus, all shuffle-conscious:
 - simhash:      b-bit signature from per-token hash bits — one explode +
                  two aggregations; near-dup = small Hamming distance
 
-Hashing modes: ``portable`` derives integer ids by dense-ranking the
-distinct shingle/token vocabulary (deterministic and expressible in ANSI
-SQL -> DuckDB-oracle-checkable, but costs a vocabulary sort);
-``fast`` uses xxhash64 — the production path at scale (no global sort,
-not oracle-comparable across engines). Both share all downstream logic.
+Hashing modes: ``portable`` derives integer ids from a 48-bit md5 prefix
+(md5 is bit-identical in Spark and DuckDB -> oracle-checkable, and a pure
+per-row expression — no vocabulary join, no global sort, nothing that
+breaks at 100 TB); ``fast`` uses xxhash64 — cheaper per byte, not
+oracle-comparable across engines. Both share all downstream logic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), standard minhash modulus
 
@@ -95,13 +94,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def _portable_shingle_ids(sh: DataFrame) -> DataFrame:
-    """Deterministic integer id per shingle: dense rank over the sorted
-    distinct vocabulary (ANSI-SQL expressible; costs a global sort —
-    production uses hash_mode='fast')."""
-    vocab = sh.select("shingle").distinct()
-    w = Window.orderBy("shingle")
-    return vocab.withColumn("sid", F.row_number().over(w))
+def portable_id(col: Column) -> Column:
+    """Deterministic 48-bit integer id for a string: md5-prefix parse.
+
+    md5 hex output is bit-identical across Spark and DuckDB, so the id —
+    and every minhash/simhash derived from it — can be value-checked
+    against an ANSI-SQL oracle while remaining a pure per-row expression
+    (no vocabulary join, no global sort)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -120,10 +120,8 @@ def minhash_signatures(
     the scan with other stages.
     """
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, k)
-    sh = sh.localCheckpoint(eager=False)  # used by vocab AND the sid join
     if hash_mode == "portable":
-        ids = _portable_shingle_ids(sh)
-        sh = sh.join(ids, on="shingle").select("id", "sid")
+        sh = sh.select("id", portable_id(F.col("shingle")).alias("sid"))
     elif hash_mode == "fast":
         sh = sh.select("id", (F.abs(F.xxhash64("shingle")) % PRIME).alias("sid"))
     else:
@@ -257,12 +255,9 @@ def simhash_signatures(
     """
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
-    ).localCheckpoint(eager=False)  # feeds vocab AND the tid join
+    )
     if hash_mode == "portable":
-        vocab = tok.select("token").distinct()
-        w = Window.orderBy("token")
-        ids = vocab.withColumn("tid", F.row_number().over(w))
-        tok = tok.join(ids, on="token").select("id", "tid")
+        tok = tok.select("id", portable_id(F.col("token")).alias("tid"))
     else:
         tok = tok.select("id", (F.abs(F.xxhash64("token")) % PRIME).alias("tid"))
     bits_rows = [(h, 31 * h + 7, 113 * h + 41) for h in range(bits)]

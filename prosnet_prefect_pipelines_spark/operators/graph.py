@@ -35,6 +35,7 @@ def transitive_closure(
     reflexive: bool = False,
     max_iterations: int = 64,
     method: str = "frontier",
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """All (src, dst) pairs connected by 1+ edge hops; 0 hops if reflexive.
 
@@ -42,29 +43,39 @@ def transitive_closure(
     matches (SURVEY §2.3 J5 note) — so ``reflexive=True`` adds (x, x) for
     every node on either edge side.
     Raises after ``max_iterations`` (safety for unnoticed cycles; cycles
-    themselves are handled — reached pairs are deduped away).
+    themselves are handled — reached pairs are deduped away). The driver
+    fast path has no iteration cap (BFS terminates on any graph).
 
-    method='frontier': one hop per round — O(diameter) rounds, minimal
-    total work (each pair produced once). method='doubling': path
-    doubling (reach ⋈ reach) — O(log diameter) rounds at the cost of
-    re-deriving long paths from halves; wins when per-round scheduling
-    latency dominates (deep chains, modest pair counts).
+    Physical strategy is adaptive, like Spark's broadcast threshold:
+    ``p*`` property paths run over ONTOLOGY edges (class trees, vocab
+    hierarchies) which stay dimension-sized even when the fact data is
+    100 TB — below ``driver_threshold`` edges, collect once and BFS on
+    the driver (O(output) work, zero shuffle rounds), else iterate
+    distributed. method='frontier': one hop per round — O(diameter)
+    rounds, minimal total work. method='doubling': path doubling
+    (reach ⋈ reach) — O(log diameter) rounds at the cost of re-deriving
+    long paths from halves; wins when per-round scheduling latency
+    dominates (deep chains, modest pair counts).
     """
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
         e = e.localCheckpoint(eager=True)
-        # small graphs: per-stage overhead dominates — drop the fixpoint's
-        # shuffle parallelism; large graphs keep the session setting
-        if e.count() < 50_000:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-        if method == "doubling":
-            result = _closure_doubling(e, max_iterations)
-        elif method == "frontier":
-            result = _closure_frontier(e, max_iterations)
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            result = _closure_driver(spark, e)
         else:
-            raise ValueError(method)
+            # per-stage overhead still dominates below ~10x the threshold —
+            # drop the fixpoint's shuffle parallelism there
+            if n_edges < 10 * driver_threshold:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+            if method == "doubling":
+                result = _closure_doubling(e, max_iterations)
+            elif method == "frontier":
+                result = _closure_frontier(e, max_iterations)
+            else:
+                raise ValueError(method)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if reflexive:
@@ -73,6 +84,33 @@ def transitive_closure(
         ).distinct()
         result = result.unionByName(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
     return result
+
+
+def _closure_driver(spark, e: DataFrame) -> DataFrame:
+    """Per-node BFS over a collected edge list — O(|closure|) total work.
+
+    Cycle-safe (visited sets); no iteration cap needed.
+    """
+    from collections import defaultdict, deque
+
+    fwd = defaultdict(list)
+    nodes = set()
+    for a, b in e.collect():
+        fwd[a].append(b)
+        nodes.add(a)
+        nodes.add(b)
+    pairs = []
+    for start in nodes:
+        vis = set()
+        dq = deque(fwd.get(start, ()))
+        while dq:
+            x = dq.popleft()
+            if x in vis:
+                continue
+            vis.add(x)
+            dq.extend(fwd.get(x, ()))
+        pairs.extend((start, d) for d in vis)
+    return spark.createDataFrame(pairs, "src string, dst string")
 
 
 def _closure_frontier(e: DataFrame, max_iterations: int) -> DataFrame:
@@ -139,6 +177,7 @@ def descendants(
     dst: str = "dst",
     reflexive: bool = True,
     max_iterations: int = 64,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """-> (node): everything that reaches any root via 1+ edges
     (plus the roots themselves when reflexive) — i.e. the subtree under
@@ -148,14 +187,28 @@ def descendants(
     (sparql/wikidata-city.sparql:6): single-source reachability does
     O(|subtree|) total work, where the filtered all-pairs closure the
     query naively implies does O(|V| * depth) — the difference between a
-    bounded BFS and a quadratic blowup at 100 TB.
+    bounded BFS and a quadratic blowup at 100 TB. Below
+    ``driver_threshold`` edges, the BFS runs on the driver over a
+    collected edge list (ontology graphs are dimension-sized; the result
+    is broadcast into the item semi-join anyway), else as a distributed
+    frontier fixpoint.
     """
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
         e = e.localCheckpoint(eager=True)
-        if e.count() < 50_000:
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            result = _descendants_driver(spark, e, roots)
+            if not reflexive:
+                result = result.join(
+                    spark.createDataFrame([(r,) for r in roots], "node string"),
+                    on="node",
+                    how="left_anti",
+                )
+            return result
+        if n_edges < 10 * driver_threshold:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         seed = spark.createDataFrame([(r,) for r in roots], "node string")
         reached = [seed.localCheckpoint(eager=True)]
@@ -193,6 +246,24 @@ def descendants(
             how="left_anti",
         )
     return result
+
+
+def _descendants_driver(spark, e: DataFrame, roots: list[str]) -> DataFrame:
+    """Multi-source BFS toward edge sources over a collected edge list."""
+    from collections import defaultdict, deque
+
+    rev = defaultdict(list)
+    for a, b in e.collect():
+        rev[b].append(a)
+    seen = set(roots)
+    dq = deque(seen)
+    while dq:
+        x = dq.popleft()
+        for child in rev.get(x, ()):
+            if child not in seen:
+                seen.add(child)
+                dq.append(child)
+    return spark.createDataFrame([(x,) for x in sorted(seen)], "node string")
 
 
 def connected_components(

@@ -25,15 +25,11 @@ COVERAGE: dict[str, list[str]] = {}
 def register(name: str, oracle: str | None = None, covers: list[str] | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects
-            # by default; read the physical int64 and handle nanos ourselves
-            # (model.read_events) — exact in both engines.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            # skip whole-stage codegen for oversized generated methods
-            # (triple-template renderers) — they never JIT and Janino
-            # compile time dominates; see session.get_spark
-            spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+            # the driver hands us its own session; pin the runtime conf the
+            # engine relies on (UTC, nanos handling, codegen policy)
+            from prosnet_prefect_pipelines_spark.session import pin_session_conf
+
+            pin_session_conf(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

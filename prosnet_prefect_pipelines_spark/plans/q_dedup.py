@@ -3,10 +3,11 @@
 The corpus = documents ∪ exact copies (doc_id%10==0, +100000) ∪ near
 copies with the last word dropped (doc_id%7==0, +200000), built
 identically in both engines, so every strategy has real duplicates to
-find. All four strategies run in `portable` hash mode (dense-ranked
-vocabulary ids) so the full pipeline — shingles, minhashes, banding,
-verification — is checked value-for-value against DuckDB; production
-mode `fast` (xxhash64) shares every line of downstream logic.
+find. All four strategies run in `portable` hash mode (48-bit md5-prefix
+ids — a per-row expression, identical in both engines) so the full
+pipeline — shingles, minhashes, banding, verification — is checked
+value-for-value against DuckDB; mode `fast` (xxhash64) shares every
+line of downstream logic.
 """
 
 from __future__ import annotations
@@ -109,11 +110,15 @@ def q_dedup_ngram(spark, sf_dir):
 
 MINHASH_SQL = f"""
 WITH {CORPUS_CTE}, {SHINGLES_CTE},
-vocab AS (
-    SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-    FROM (SELECT DISTINCT shingle FROM shingles) v
+-- portable 48-bit md5-prefix shingle id (bit-identical to Spark's
+-- conv(substring(md5(shingle),1,12),16,10))
+sid_tbl AS (
+    SELECT id,
+           list_sum(list_transform(generate_series(1, 12),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)
+                    * CAST(power(16, 12 - i) AS BIGINT))) AS sid
+    FROM shingles
 ),
-sid_tbl AS (SELECT s.id, v.sid FROM shingles s JOIN vocab v USING (shingle)),
 hashes AS (SELECT j, CAST(2*j+1 AS BIGINT) AS a, CAST(97*j+13 AS BIGINT) AS b
            FROM generate_series(0, 11) t(j)),
 sigs AS (
@@ -152,11 +157,13 @@ WITH {CORPUS_CTE},
 tok AS (
     SELECT id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM corpus
 ),
-vocab AS (
-    SELECT token, row_number() OVER (ORDER BY token) AS tid
-    FROM (SELECT DISTINCT token FROM tok) v
+tid_tbl AS (
+    SELECT id,
+           list_sum(list_transform(generate_series(1, 12),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1 AS BIGINT)
+                    * CAST(power(16, 12 - i) AS BIGINT))) AS tid
+    FROM tok
 ),
-tid_tbl AS (SELECT t.id, v.tid FROM tok t JOIN vocab v USING (token)),
 bits AS (SELECT h, CAST(31*h+7 AS BIGINT) AS a, CAST(113*h+41 AS BIGINT) AS b
          FROM generate_series(0, 15) t(h)),
 per_bit AS (

@@ -41,6 +41,18 @@ def get_spark(app_name: str = "prosnet_spark", cpus: int | None = None) -> Spark
         # never JITs and whose Janino compile dominates runtime (observed
         # 10-90s erratic vs ~2s after)
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # whole-stage codegen OFF by default: every plan in this engine's
+        # query mix is executed cold (one action per unique plan), so the
+        # Janino compile of each fused stage is paid every time and never
+        # amortized — measured 12-15s per giant renderer plan and 91s -> 55s
+        # across the headline bench, with no query regressing (the hot
+        # expressions are string/struct munging where interpreted eval ties
+        # codegen even warm). On a long-lived cluster session re-running the
+        # same plans, flip SPARK_GRAFT_WSCG=true to amortize the compile.
+        .config(
+            "spark.sql.codegen.wholeStage",
+            os.environ.get("SPARK_GRAFT_WSCG", "false"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,4 +66,13 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     the DuckDB oracle (UTC-naive) require a UTC session timezone.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    # default; read the physical int64 and handle nanos ourselves
+    # (model.read_events) — exact in both engines.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    # cold-plan workload: skip whole-stage codegen compile (see get_spark)
+    spark.conf.set(
+        "spark.sql.codegen.wholeStage", os.environ.get("SPARK_GRAFT_WSCG", "false")
+    )
     return spark

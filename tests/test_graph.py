@@ -38,9 +38,54 @@ def test_closure_reflexive_zero_length(spark):
 
 
 def test_closure_max_iterations(spark):
+    # the iteration cap only applies to the distributed fixpoint
+    # (the driver BFS path terminates on any graph)
     e = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(6)])
     with pytest.raises(RuntimeError):
-        transitive_closure(e, max_iterations=2)
+        transitive_closure(e, max_iterations=2, driver_threshold=0)
+
+
+def test_closure_driver_vs_distributed_equivalence(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(50)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    via_driver = {(r.src, r.dst) for r in transitive_closure(e, reflexive=True).collect()}
+    via_fixpoint = {
+        (r.src, r.dst)
+        for r in transitive_closure(e, reflexive=True, driver_threshold=0).collect()
+    }
+    via_doubling = {
+        (r.src, r.dst)
+        for r in transitive_closure(
+            e, reflexive=True, driver_threshold=0, method="doubling"
+        ).collect()
+    }
+    assert via_driver == via_fixpoint == via_doubling
+
+
+def test_descendants_driver_vs_distributed_equivalence(spark):
+    from prosnet_prefect_pipelines_spark.operators.graph import descendants
+
+    # child -> parent tree with a side branch not under the root
+    e = _edges(
+        spark,
+        [("b", "a"), ("c", "a"), ("d", "b"), ("e", "b"), ("f", "c"),
+         ("x", "y"), ("y", "z")],
+    )
+    for reflexive in (True, False):
+        via_driver = {r.node for r in descendants(e, ["a"], reflexive=reflexive).collect()}
+        via_dist = {
+            r.node
+            for r in descendants(
+                e, ["a"], reflexive=reflexive, driver_threshold=0
+            ).collect()
+        }
+        assert via_driver == via_dist
+        assert ("a" in via_driver) == reflexive
+        assert "x" not in via_driver
 
 
 def test_components_chain_cycle_and_separate(spark):
