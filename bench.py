@@ -31,6 +31,9 @@ HEADLINE = [
     "dedup_minhash_lsh",      # shingle->minhash->bands->verify
     "ann_rhp_lsh_topk",       # hyperplane-LSH cosine top-k
     "tumbling_window",        # event-time window agg
+    "stream_tumbling_window", # true Structured Streaming (availableNow)
+    "asof_join",              # as-of join (union + running-last window)
+    "range_join",             # bucketized point-in-interval join
     "session_window",         # sessionization window pass
     "text_quality",           # per-doc text statistics
     "ntriples_serialize",     # RDF writer formatting

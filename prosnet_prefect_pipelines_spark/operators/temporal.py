@@ -1,0 +1,119 @@
+"""Temporal joins: as-of and range (capability extension).
+
+The reference has no theta/range/as-of joins (SURVEY §2.3 note), but a
+training-data/event pipeline at 100 TB needs both. Spark has no native
+implementation of either; naive expressions degenerate to
+BroadcastNestedLoopJoin (quadratic). These operators use the two
+published scale patterns:
+
+- **as-of** (latest right row with ``r.ts <= l.ts`` per key): union both
+  sides, one shuffle on the key, and a running ``last(ignorenulls)``
+  window over event time. Cost = sort within key partitions; no range
+  product is ever materialized. (The same merge-by-time trick behind
+  kdb's aj and pandas.merge_asof, expressed relationally.)
+- **range** (point ∈ [lo, hi]): quantize intervals onto a fixed bucket
+  grid, explode each interval into the buckets it covers, equi-join
+  points on bucket, then apply the exact BETWEEN as a residual filter.
+  Shuffle is hash(bucket) — a real equi-shuffle Catalyst can plan —
+  and work scales with interval_length/bucket_width, not |L|x|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row with
+    ``right_ts <= left_ts`` for the same key (inclusive; left join
+    semantics — unmatched left rows keep NULLs).
+
+    ``right_cols`` are carried over as ``{prefix}{col}``, plus
+    ``{prefix}ts``. If several right rows share (key, ts) the one with
+    the greatest (right_cols...) tuple wins — deterministic; dedup the
+    right side first if another policy is needed.
+    """
+    rts = F.col(right_ts)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        rts.alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(rts.alias("ts"), *[F.col(c) for c in right_cols]).alias("_payload"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+    )
+    # right rows sort before left rows at equal ts (inclusive match);
+    # _payload orders right-row ties deterministically
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_payload"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.col("_ts"),
+        F.col("_payload"),
+    )
+    combined = r.select(
+        *[
+            F.col(k) if k in keys else F.lit(None).alias(k)
+            for k in (keys + [c for c in left.columns if c not in keys])
+        ],
+        "_side",
+        "_ts",
+        "_payload",
+    ).unionByName(matched)
+    out = combined.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    out = out.filter(F.col("_side") == 1).drop("_side", "_ts", "_payload")
+    for c in ["ts"] + right_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("_match").getField(c))
+    return out.drop("_match")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join of points to every interval containing them
+    (``lo <= point <= hi``), as a bucketized equi-join.
+
+    ``bucket_width`` trades replication for selectivity: each interval is
+    exploded into ``(hi-lo)/width + 1`` bucket rows. Pick it near the
+    median interval length so replication stays O(1) per interval while
+    each bucket pairs only nearby points/intervals. All columns of both
+    inputs are preserved.
+    """
+    p = points.withColumn("_bucket", (F.col(point_col) / bucket_width).cast("long"))
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(lo_col) / bucket_width).cast("long"),
+                (F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, on="_bucket")
+        .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_bucket")
+    )

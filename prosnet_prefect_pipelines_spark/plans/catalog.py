@@ -58,7 +58,9 @@ def _load_all() -> None:
         q_render3,
         q_similarity,
         q_sinks,
+        q_stream,
         q_streaming,
+        q_temporal,
         q_text,
     )
 

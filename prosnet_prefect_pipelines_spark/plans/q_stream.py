@@ -1,0 +1,124 @@
+"""True Structured Streaming queries in the catalog (X-STREAM).
+
+The batch windowing queries (q_streaming.py) compute the same algebra
+eagerly; these run the REAL streaming machinery — ``readStream`` file
+source, ``withWatermark``, ``F.window`` aggregation, ``availableNow``
+trigger, memory sink — and still hash-match the DuckDB oracle, proving
+the streaming plans produce the exact batch answers (the Dataflow-model
+claim Structured Streaming is built on).
+
+Scale notes: complete-output memory sink is the bounded-replay testing
+shape; a production deployment swaps the sink for foreachBatch-upsert
+(sinks.upsert_foreach_partition, K2 semantics) with checkpointing and
+append mode, leaving every transformation identical. File-source
+streaming partitions by input file; watermark state is per (window, key)
+— both scale horizontally.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.plans.q_streaming import (
+    SLIDING_SQL,
+    TUMBLING_SQL,
+    US_HOUR,
+)
+
+
+def _events_stream(spark, sf_dir):
+    """readStream twin of model.read_events (explicit schema, nanos long)."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    # the file-stream source requires a DIRECTORY; stage one containing a
+    # symlink to the (read-only) single-file table
+    stage = os.path.join(
+        "/tmp",
+        "spark_graft_stream",
+        hashlib.sha256(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    return (
+        stream.withColumn("ts_ns", F.col("ts").cast("long"))
+        .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+        # event-time column for watermarking (microsecond precision —
+        # matches DuckDB's parquet ns->us truncation)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .drop("ts")
+    )
+
+
+def _run_to_memory(agg_df, name_prefix: str):
+    """Execute a streaming aggregation to completion; return the result."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return agg_df.sparkSession.table(name)
+
+
+@register("stream_tumbling_window", oracle=TUMBLING_SQL, covers=["T1"])
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows via real Structured Streaming: readStream ->
+    withWatermark -> F.window -> availableNow -> memory sink; hash-matches
+    the batch oracle bit-for-bit."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "tumble")
+    return out.select(
+        (F.unix_micros(F.col("w.start"))).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register("stream_sliding_window", oracle=SLIDING_SQL, covers=["T1"])
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1-hour/30-minute windows via Structured Streaming — Spark's
+    built-in window expansion, checked against the explicit explode-based
+    batch oracle."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "slide")
+    return out.select(
+        (F.unix_micros(F.col("w.start"))).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+_ = US_HOUR  # shared constant re-exported for tests

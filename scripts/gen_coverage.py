@@ -129,7 +129,9 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-WIN-TUMBLE": ("Tumbling windows", f"{PKG}/streaming/windows.py (tumble)"),
     "X-WIN-SLIDE": ("Sliding windows", f"{PKG}/streaming/windows.py (sliding_windows)"),
     "X-WIN-SESSION": ("Session windows", f"{PKG}/streaming/windows.py (sessionize)"),
-    "X-STREAM": ("Structured Streaming twins", "tests/test_streaming.py (watermark/session/foreachBatch)"),
+    "X-STREAM": ("Structured Streaming (readStream/watermark/availableNow)", "plans/q_stream.py + tests/test_streaming.py (watermark/session/foreachBatch)"),
+    "X-ASOF": ("As-of join (latest right row at-or-before)", f"{PKG}/operators/temporal.py (as_of_join)"),
+    "X-RANGE": ("Range join (point-in-interval, bucketized)", f"{PKG}/operators/temporal.py (range_join)"),
 }
 
 EXT_QUERIES = {
@@ -151,7 +153,9 @@ EXT_QUERIES = {
     "X-WIN-TUMBLE": ["tumbling_window"],
     "X-WIN-SLIDE": ["sliding_window"],
     "X-WIN-SESSION": ["session_window"],
-    "X-STREAM": [],
+    "X-STREAM": ["stream_tumbling_window", "stream_sliding_window"],
+    "X-ASOF": ["asof_join"],
+    "X-RANGE": ["range_join"],
 }
 
 
