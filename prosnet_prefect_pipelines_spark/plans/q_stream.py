@@ -121,4 +121,43 @@ def q_stream_sliding(spark, sf_dir):
     )
 
 
+STATEFUL_UPSERT_SQL = """
+SELECT user_id, event_id, event_type, ts_us FROM (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+) t WHERE rn = 1
+"""
+
+
+@register("stream_stateful_upsert", oracle=STATEFUL_UPSERT_SQL, covers=["T2", "K2"])
+def q_stream_stateful_upsert(spark, sf_dir):
+    """Last-write-wins upsert state per user via applyInPandasWithState
+    (custom stateful operator; update mode). With a bounded availableNow
+    replay the final state equals the batch row_number()-dedup oracle."""
+    from prosnet_prefect_pipelines_spark.streaming.stateful import last_write_wins_state
+
+    ev = _events_stream(spark, sf_dir)
+    winners = last_write_wins_state(ev)
+    name = f"lww_{uuid.uuid4().hex[:8]}"
+    q = (
+        winners.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    out = spark.table(name)
+    # update-mode sinks append one row per key per batch that changed it;
+    # collapse to the final winner (same policy, idempotent)
+    from prosnet_prefect_pipelines_spark.streaming.incremental import upsert_dedup
+
+    return upsert_dedup(out, ["user_id"], "ts_us", "event_id").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+
+
 _ = US_HOUR  # shared constant re-exported for tests

@@ -130,6 +130,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-WIN-SLIDE": ("Sliding windows", f"{PKG}/streaming/windows.py (sliding_windows)"),
     "X-WIN-SESSION": ("Session windows", f"{PKG}/streaming/windows.py (sessionize)"),
     "X-STREAM": ("Structured Streaming (readStream/watermark/availableNow)", "plans/q_stream.py + tests/test_streaming.py (watermark/session/foreachBatch)"),
+    "X-STATEFUL": ("Custom stateful operator (applyInPandasWithState)", f"{PKG}/streaming/stateful.py (last_write_wins_state)"),
     "X-ASOF": ("As-of join (latest right row at-or-before)", f"{PKG}/operators/temporal.py (as_of_join)"),
     "X-RANGE": ("Range join (point-in-interval, bucketized)", f"{PKG}/operators/temporal.py (range_join)"),
 }
@@ -154,6 +155,7 @@ EXT_QUERIES = {
     "X-WIN-SLIDE": ["sliding_window"],
     "X-WIN-SESSION": ["session_window"],
     "X-STREAM": ["stream_tumbling_window", "stream_sliding_window"],
+    "X-STATEFUL": ["stream_stateful_upsert"],
     "X-ASOF": ["asof_join"],
     "X-RANGE": ["range_join"],
 }

@@ -124,3 +124,56 @@ def test_streaming_foreach_batch_upsert(spark, events_dir, tmp_path):
         spark.read.parquet(events_dir).select("user_id").distinct().count()
     )
     assert len(state) == n_users
+
+
+def test_stateful_lww_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two files forced into separate batches (maxFilesPerTrigger=1); a later
+    batch only wins where its event time (then id) is greater."""
+    import pandas as pd
+    import uuid as _uuid
+
+    from prosnet_prefect_pipelines_spark.streaming.stateful import (
+        last_write_wins_state,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    # batch 1: users 1,2; batch 2: user 1 older event (must NOT win),
+    # user 2 newer event (must win), user 3 fresh
+    pd.DataFrame(
+        {"user_id": [1, 2], "event_id": [10, 20], "event_type": ["a", "a"],
+         "ts_us": [100, 200]}
+    ).to_parquet(d / "0.parquet")
+    pd.DataFrame(
+        {"user_id": [1, 2, 3], "event_id": [11, 21, 30],
+         "event_type": ["b", "b", "b"], "ts_us": [50, 300, 10]}
+    ).to_parquet(d / "1.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"lww_test_{_uuid.uuid4().hex[:8]}"
+    q = (
+        last_write_wins_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = spark.table(name).collect()
+    # per-key winners only ever grow by (ts, id) — the final state is the
+    # max, independent of sink row order
+    final = {}
+    for r in rows:
+        cand = (r.ts_us, r.event_id, r.event_type)
+        if r.user_id not in final or cand[:2] > final[r.user_id][:2]:
+            final[r.user_id] = cand
+    assert final[1] == (100, 10, "a")   # older batch-2 event did not win
+    assert final[2] == (300, 21, "b")   # newer batch-2 event won
+    assert final[3] == (10, 30, "b")
