@@ -102,13 +102,16 @@ def range_join(
     each bucket pairs only nearby points/intervals. All columns of both
     inputs are preserved.
     """
-    p = points.withColumn("_bucket", (F.col(point_col) / bucket_width).cast("long"))
+    # integer `div`: exact at any magnitude (no double rounding), and
+    # monotonic — lo <= p <= hi implies bucket(lo) <= bucket(p) <= bucket(hi),
+    # so the interval's bucket range always covers its points' buckets
+    p = points.withColumn("_bucket", F.expr(f"`{point_col}` div {bucket_width}"))
     i = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(lo_col) / bucket_width).cast("long"),
-                (F.col(hi_col) / bucket_width).cast("long"),
+                F.expr(f"`{lo_col}` div {bucket_width}"),
+                F.expr(f"`{hi_col}` div {bucket_width}"),
             )
         ),
     )
