@@ -65,6 +65,75 @@ def extract_binary_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "id long, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: split each payload into ``n_frames``
+    contiguous byte ranges (frame i = bytes [floor(i*n/F), floor((i+1)*n/F))),
+    one output row per non-empty frame — the mapInPandas shape a video
+    frame-sampler uses, with byte slicing standing in for codec seeks.
+
+    Returns (id, frame_idx, frame: binary).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                n = len(payload)
+                for f in range(n_frames):
+                    lo = f * n // n_frames
+                    hi = (f + 1) * n // n_frames
+                    if hi > lo:
+                        ids.append(i)
+                        idxs.append(f)
+                        frames.append(bytes(payload[lo:hi]))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "id long, cells array<int>"
+
+
+def resize_bytes(df: DataFrame, out_len: int = 16) -> DataFrame:
+    """Resize plumbing: average-pool each payload's bytes into ``out_len``
+    cells (cell j = floor(mean(bytes[floor(j*n/L) : floor((j+1)*n/L)]))) —
+    the deterministic stand-in for image resize (swap the pooling for a
+    real decoder + PIL.Image.resize when imaging libs exist; the
+    mapInPandas contract — schema, batching — is identical).
+
+    Payloads shorter than ``out_len`` repeat-pad conceptually by pooling
+    over singleton/empty-skipped windows; empty payloads yield an empty
+    cell array.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def pool(payload) -> list[int]:
+            n = len(payload)
+            if n == 0:
+                return []
+            cells = []
+            for j in range(out_len):
+                lo = j * n // out_len
+                hi = (j + 1) * n // out_len
+                if hi <= lo:
+                    hi = lo + 1  # short payload: singleton window
+                window = payload[lo:hi]
+                cells.append(sum(window) // len(window))
+            return cells
+
+        for pdf in it:
+            yield pd.DataFrame({"id": pdf["id"], "cells": pdf["payload"].map(pool)})
+
+    return df.select("id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """STUB: real image decode (resize / frame-sample) needs imaging libs
     not present in this container. The plumbing twin is

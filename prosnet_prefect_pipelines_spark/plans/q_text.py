@@ -164,3 +164,35 @@ def q_multimodal_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payload = M.attach_binary_payload(docs, "doc_id", "text")
     return M.extract_binary_features(payload)
+
+
+FRAMES_SQL = """
+SELECT doc_id AS id, frame_idx, frame_len, frame_md5 FROM (
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           -- ASCII corpus: byte slices == char slices, so the oracle can
+           -- express the frame bytes with substring on the text
+           CAST((f + 1) * strlen(text) // 4 - f * strlen(text) // 4 AS BIGINT)
+               AS frame_len,
+           md5(substring(text,
+                         CAST(f * strlen(text) // 4 + 1 AS INT),
+                         CAST((f + 1) * strlen(text) // 4
+                              - f * strlen(text) // 4 AS INT))) AS frame_md5
+    FROM documents, generate_series(0, 3) t(f)
+) WHERE frame_len > 0
+"""
+
+
+@register("multimodal_frame_sample", oracle=FRAMES_SQL, covers=[])
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: payload -> 4 contiguous byte frames via
+    mapInPandas, fingerprinted Spark-side with md5(frame). The oracle
+    recomputes every frame's bytes with substring arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = M.attach_binary_payload(docs, "doc_id", "text")
+    frames = M.sample_frames(payload, n_frames=4)
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.expr("octet_length(frame)").cast("long").alias("frame_len"),
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )

@@ -125,6 +125,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-TEXT-FP": ("Document fingerprinting", f"{PKG}/operators/textstats.py (fingerprint)"),
     "X-MM-BINARY": ("Multimodal binary columns", f"{PKG}/operators/multimodal.py (attach_binary_payload)"),
     "X-MM-FEATURES": ("Arrow-batched feature extraction", f"{PKG}/operators/multimodal.py (extract_binary_features)"),
+    "X-MM-FRAMES": ("Frame sampling (mapInPandas byte frames)", f"{PKG}/operators/multimodal.py (sample_frames)"),
+    "X-MM-RESIZE": ("Resize / average-pool (mapInPandas)", f"{PKG}/operators/multimodal.py (resize_bytes)"),
     "X-MM-DECODE": ("Image/audio decode (STUB)", f"{PKG}/operators/multimodal.py (decode_image; NotImplementedError)"),
     "X-WIN-TUMBLE": ("Tumbling windows", f"{PKG}/streaming/windows.py (tumble)"),
     "X-WIN-SLIDE": ("Sliding windows", f"{PKG}/streaming/windows.py (sliding_windows)"),
@@ -150,6 +152,8 @@ EXT_QUERIES = {
     "X-TEXT-FP": ["text_fingerprint"],
     "X-MM-BINARY": ["multimodal_features"],
     "X-MM-FEATURES": ["multimodal_features"],
+    "X-MM-FRAMES": ["multimodal_frame_sample"],
+    "X-MM-RESIZE": [],
     "X-MM-DECODE": [],
     "X-WIN-TUMBLE": ["tumbling_window"],
     "X-WIN-SLIDE": ["sliding_window"],

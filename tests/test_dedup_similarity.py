@@ -110,3 +110,33 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     rows = {r.keeper: r.n_copies for r in D.exact_dedup(df, "id", "text").collect()}
     assert rows == {1: 2, 3: 1}
+
+
+def test_sample_frames_cover_payload_exactly(spark):
+    from prosnet_prefect_pipelines_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    payload = M.attach_binary_payload(df, "doc_id", "text")
+    rows = M.sample_frames(payload, n_frames=4).collect()
+    by_id = {}
+    for r in sorted(rows, key=lambda r: (r.id, r.frame_idx)):
+        by_id.setdefault(r.id, []).append(bytes(r.frame))
+    # frames are contiguous, non-overlapping, and reassemble the payload
+    assert b"".join(by_id[1]) == b"abcdefghij"
+    assert len(by_id[1]) == 4
+    # short payload: only non-empty frames emitted
+    assert b"".join(by_id[2]) == b"xy"
+    assert len(by_id[2]) == 2
+    assert 3 not in by_id  # empty payload -> no frames
+
+
+def test_resize_bytes_average_pool(spark):
+    from prosnet_prefect_pipelines_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, "aabb"), (2, "")], "doc_id long, text string")
+    payload = M.attach_binary_payload(df, "doc_id", "text")
+    got = {r.id: r.cells for r in M.resize_bytes(payload, out_len=2).collect()}
+    assert got[1] == [ord("a"), ord("b")]
+    assert got[2] == []
