@@ -59,23 +59,24 @@ def transitive_closure(
     """
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # raw (pre-distinct) count: scan-only, no shuffle; a conservative upper
+    # bound on the distinct edge count for the strategy pick
+    if raw.count() <= driver_threshold:
+        return _closure_driver(spark, raw, reflexive)
     try:
-        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-        e = e.localCheckpoint(eager=True)
+        e = raw.distinct().localCheckpoint(eager=True)
         n_edges = e.count()
-        if n_edges <= driver_threshold:
-            result = _closure_driver(spark, e)
+        # per-stage overhead still dominates below ~10x the threshold —
+        # drop the fixpoint's shuffle parallelism there
+        if n_edges < 10 * driver_threshold:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        if method == "doubling":
+            result = _closure_doubling(e, max_iterations)
+        elif method == "frontier":
+            result = _closure_frontier(e, max_iterations)
         else:
-            # per-stage overhead still dominates below ~10x the threshold —
-            # drop the fixpoint's shuffle parallelism there
-            if n_edges < 10 * driver_threshold:
-                spark.conf.set("spark.sql.shuffle.partitions", "8")
-            if method == "doubling":
-                result = _closure_doubling(e, max_iterations)
-            elif method == "frontier":
-                result = _closure_frontier(e, max_iterations)
-            else:
-                raise ValueError(method)
+            raise ValueError(method)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if reflexive:
@@ -86,17 +87,19 @@ def transitive_closure(
     return result
 
 
-def _closure_driver(spark, e: DataFrame) -> DataFrame:
+def _closure_driver(spark, raw: DataFrame, reflexive: bool) -> DataFrame:
     """Per-node BFS over a collected edge list — O(|closure|) total work.
 
-    Cycle-safe (visited sets); no iteration cap needed.
+    Cycle-safe (visited sets); no iteration cap needed. Dedup of the raw
+    edge list happens in Python (adjacency sets) — cheaper than a
+    distributed distinct for a broadcast-scale input.
     """
     from collections import defaultdict, deque
 
-    fwd = defaultdict(list)
+    fwd = defaultdict(set)
     nodes = set()
-    for a, b in e.collect():
-        fwd[a].append(b)
+    for a, b in raw.collect():
+        fwd[a].add(b)
         nodes.add(a)
         nodes.add(b)
     pairs = []
@@ -110,6 +113,8 @@ def _closure_driver(spark, e: DataFrame) -> DataFrame:
             vis.add(x)
             dq.extend(fwd.get(x, ()))
         pairs.extend((start, d) for d in vis)
+    if reflexive:
+        pairs.extend((n, n) for n in nodes)
     return spark.createDataFrame(pairs, "src string, dst string")
 
 
@@ -195,19 +200,12 @@ def descendants(
     """
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if raw.count() <= driver_threshold:
+        return _descendants_driver(spark, raw, roots, reflexive)
     try:
-        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-        e = e.localCheckpoint(eager=True)
+        e = raw.distinct().localCheckpoint(eager=True)
         n_edges = e.count()
-        if n_edges <= driver_threshold:
-            result = _descendants_driver(spark, e, roots)
-            if not reflexive:
-                result = result.join(
-                    spark.createDataFrame([(r,) for r in roots], "node string"),
-                    on="node",
-                    how="left_anti",
-                )
-            return result
         if n_edges < 10 * driver_threshold:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         seed = spark.createDataFrame([(r,) for r in roots], "node string")
@@ -248,13 +246,13 @@ def descendants(
     return result
 
 
-def _descendants_driver(spark, e: DataFrame, roots: list[str]) -> DataFrame:
+def _descendants_driver(spark, raw: DataFrame, roots: list[str], reflexive: bool) -> DataFrame:
     """Multi-source BFS toward edge sources over a collected edge list."""
     from collections import defaultdict, deque
 
-    rev = defaultdict(list)
-    for a, b in e.collect():
-        rev[b].append(a)
+    rev = defaultdict(set)
+    for a, b in raw.collect():
+        rev[b].add(a)
     seen = set(roots)
     dq = deque(seen)
     while dq:
@@ -263,6 +261,8 @@ def _descendants_driver(spark, e: DataFrame, roots: list[str]) -> DataFrame:
             if child not in seen:
                 seen.add(child)
                 dq.append(child)
+    if not reflexive:
+        seen -= set(roots)
     return spark.createDataFrame([(x,) for x in sorted(seen)], "node string")
 
 
@@ -303,16 +303,14 @@ def connected_components(
     # run the fixpoint at low parallelism to cut per-stage overhead, and
     # restore the session setting afterwards
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    if raw.count() <= driver_threshold:
+        return _components_driver(spark, raw)
     try:
-        e = (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        e = raw.distinct().localCheckpoint(eager=True)
         n_edges = e.count()
-        if n_edges <= driver_threshold:
-            return _components_driver(spark, e)
         if n_edges < 10 * driver_threshold:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         # every node of the input graph (stars lose isolated/root arity info)
