@@ -157,3 +157,46 @@ def paginate(df: DataFrame, order_by: list[str], offset: int, limit: int) -> Dat
         .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
         .drop("_rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread over ``salt`` buckets.
+
+    For skewed key distributions AQE's skew-join splitting can't fix
+    (e.g. one key holding >1 executor-memory of rows on BOTH sides is
+    impossible to split; one-sided skew with a non-splittable stage is
+    merely slow): salt the skewed (left) side with a random bucket and
+    replicate the right side across all buckets. Shuffle keys become
+    (key, bucket) — hot keys fan out over ``salt`` reducers.
+
+    Replication multiplies the right side by ``salt``; use only when the
+    right side is modest and the left is skewed. With AQE on, prefer
+    letting AQE split first and reach for salting when `.explain` still
+    shows a straggler partition.
+    """
+    l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def salted_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
+    """Two-phase count per key: pre-aggregate on (key, random salt), then
+    combine — caps any single reducer's input at ~|key rows|/salt even
+    under extreme key skew. (Spark's hash aggregate already partial-aggs
+    map-side; explicit salting helps when upstream partitioning is
+    pathological, e.g. after a skewed join.)"""
+    return (
+        df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(key)
+        .agg(F.sum("_c").alias("n"))
+    )

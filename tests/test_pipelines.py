@@ -107,3 +107,26 @@ def test_enrich_pipeline_stable_proxies(spark, sf_dir, tmp_path):
     }
     # deterministic minting: re-runs produce identical proxies (vs STRUUID)
     assert proxies1 == proxies2 and len(proxies1) > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from prosnet_prefect_pipelines_spark.operators.relational import (
+        salted_count,
+        salted_join,
+    )
+    from pyspark.sql import functions as F
+
+    # skewed left: one hot key with 5000 rows, plus a uniform tail
+    left = spark.range(5000).select(F.lit("hot").alias("k"), F.col("id").alias("v")) \
+        .unionByName(spark.range(100).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")))
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k5", 2.0), ("nope", 3.0)], "k string, w double"
+    )
+    plain = salted_join(left, right, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+    got = {r.k: (r.n, r.sw) for r in plain.collect()}
+    assert got == {"hot": (5000, 5000.0), "k5": (1, 2.0)}
+
+    counts = {r.k: r.n for r in salted_count(left, "k").collect()}
+    assert counts["hot"] == 5000 and counts["k42"] == 1
