@@ -66,3 +66,25 @@ def test_range_join_width_independence(spark):
         for w in (3, 50, 1000)
     ]
     assert results[0] == results[1] == results[2]
+
+
+def test_asof_property_vs_bruteforce(spark):
+    """Random keys/timestamps incl. duplicates: the windowed as-of equals
+    the brute-force 'latest right at-or-before' reference."""
+    import random
+
+    rng = random.Random(17)
+    left = [(f"k{rng.randrange(6)}", rng.randrange(50), i) for i in range(120)]
+    right = [(f"k{rng.randrange(6)}", rng.randrange(50), 1000 + i) for i in range(80)]
+    ldf = spark.createDataFrame(left, "k string, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k string, ts long, rid long")
+
+    got = {
+        r.lid: (r.asof_ts, r.asof_rid)
+        for r in as_of_join(ldf, rdf, ["k"], "ts", "ts", ["rid"]).collect()
+    }
+
+    for k, lts, lid in left:
+        cands = [(rts, rid) for rk, rts, rid in right if rk == k and rts <= lts]
+        expected = max(cands) if cands else (None, None)
+        assert got[lid] == expected, (k, lts, lid, got[lid], expected)
