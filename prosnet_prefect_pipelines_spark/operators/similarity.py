@@ -88,9 +88,10 @@ def rhp_signature(vec: Column, dim: int, planes: int = 8) -> Column:
 
 
 def ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 8
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 8, rank_limit: int = 1
 ) -> DataFrame:
-    """-> (id, v, cell): assign every vector to its nearest centroid.
+    """-> (id, v, cell, cell_rank): each vector's ``rank_limit`` nearest
+    centroids (rank 1 = the cell it lives in; ranks 2.. = probe cells).
 
     Centroids are the ``n_cells`` vectors with the smallest ids — a
     deterministic seed choice so both engines (and reruns) agree;
@@ -115,30 +116,36 @@ def ivf_assign(
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "v", F.col("cid").alias("cell"))
+        .filter(F.col("_rn") <= rank_limit)
+        .select("id", "v", F.col("cid").alias("cell"), F.col("_rn").alias("cell_rank"))
     )
 
 
 def ivf_topk(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_cells: int = 8
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_cells: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: search only the query's own
-    cell (nprobe=1).
+    """IVF (inverted-file) approximate top-k with multi-probe: every
+    vector is indexed in its nearest cell; each QUERY additionally probes
+    its ``nprobe`` nearest cells, catching neighbors that fell just
+    across a Voronoi boundary (the standard IVF recall lever).
 
     Output shape matches cosine_topk. Cost: assignment is linear
     (broadcast centroids); the candidate join shuffles on the cell key
-    and each cell's pair block is |cell|^2 — with C cells of ~n/C
-    vectors, total work is n^2/C instead of n^2, and cells partition
-    cleanly across executors. Raising n_cells (or adding multi-probe
-    over the 2nd/3rd-nearest centroids) trades recall for cost.
+    and each cell's block is |cell| x |probing queries| — with C cells of
+    ~n/C vectors, total work is ~nprobe * n^2/C instead of n^2, and
+    cells partition cleanly across executors.
     """
-    assigned = ivf_assign(df, id_col, vec_col, n_cells).localCheckpoint(
+    assigned = ivf_assign(df, id_col, vec_col, n_cells, rank_limit=nprobe).localCheckpoint(
         eager=False
-    )  # self-joined below; assignment is C folds/row
+    )  # both join sides below; assignment is C folds/row
+    db = assigned.filter(F.col("cell_rank") == 1)
+    probes = assigned  # ranks 1..nprobe
+    # a neighbor lives in exactly one cell and probe cells are distinct
+    # per query, so each (id, neighbor) pair arises at most once — no dedup
     pairs = (
-        assigned.alias("x")
-        .join(assigned.alias("y"), on="cell")
+        probes.alias("x")
+        .join(db.alias("y"), on="cell")
         .filter(F.col("x.id") != F.col("y.id"))
         .select(
             F.col("x.id").alias("id"),

@@ -95,20 +95,22 @@ WITH cents AS (
     FROM embeddings ORDER BY vec_id LIMIT 8
 ),
 assign AS (
-    SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, rn FROM (
         SELECT e.vec_id, c.cid,
                row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY round({_cos('e.embedding', 'c.cv')}, 6) DESC, c.cid
                ) AS rn
         FROM embeddings e CROSS JOIN cents c
-    ) t WHERE rn = 1
+    ) t WHERE rn <= 2
 ),
 pairs AS (
+    -- queries probe their 2 nearest cells; the database side is each
+    -- vector's home cell (rn = 1)
     SELECT ax.vec_id AS id, ay.vec_id AS neighbor,
            round({_cos('ex.embedding', 'ey.embedding')}, 6) AS cos
     FROM assign ax
-    JOIN assign ay ON ax.cid = ay.cid AND ax.vec_id <> ay.vec_id
+    JOIN assign ay ON ax.cid = ay.cid AND ay.rn = 1 AND ax.vec_id <> ay.vec_id
     JOIN embeddings ex ON ex.vec_id = ax.vec_id
     JOIN embeddings ey ON ey.vec_id = ay.vec_id
 ),
@@ -123,8 +125,8 @@ SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
 @register("ann_ivf_topk", oracle=IVF_SQL, covers=["O6", "J1", "O1"])
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-5: broadcast-centroid assignment (narrow pass)
-    then candidate search restricted to the query's own cell — n^2/C work
-    and clean cell-partitioned parallelism; the inverted-file scale path
-    next to the LSH one."""
+    then candidate search over the query's 2 nearest cells (multi-probe,
+    the IVF recall lever) — ~nprobe*n^2/C work and clean cell-partitioned
+    parallelism; the inverted-file scale path next to the LSH one."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8)
+    return S.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=2)

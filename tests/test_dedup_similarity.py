@@ -140,3 +140,29 @@ def test_resize_bytes_average_pool(spark):
     got = {r.id: r.cells for r in M.resize_bytes(payload, out_len=2).collect()}
     assert got[1] == [ord("a"), ord("b")]
     assert got[2] == []
+
+
+def test_ivf_multiprobe_improves_recall(spark, sf_dir):
+    from prosnet_prefect_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id, r.neighbor)
+        for r in S.cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(nprobe):
+        approx = {
+            (r.id, r.neighbor)
+            for r in S.ivf_topk(
+                emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    # probing the 2nd-nearest cell must not hurt and should help; the
+    # absolute ceiling is corpus-dependent (near-random embeddings spread
+    # true neighbors across many Voronoi cells)
+    assert r2 >= r1
+    assert r2 >= 0.25
