@@ -166,3 +166,21 @@ def test_ivf_multiprobe_improves_recall(spark, sf_dir):
     # true neighbors across many Voronoi cells)
     assert r2 >= r1
     assert r2 >= 0.25
+
+
+def test_portable_id_matches_python_md5(spark):
+    """portable_id == int(md5(s).hexdigest()[:12], 16) for arbitrary
+    strings — the cross-engine contract the dedup oracles rely on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.operators.dedup import portable_id
+
+    samples = ["", "a", "hello world", "ümlaut ünïcode", "x" * 1000,
+               "tab\tnewline\n", "ça va 漢字"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.sid for r in df.select("s", portable_id(F.col("s")).alias("sid")).collect()}
+    for s in samples:
+        expected = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+        assert got[s] == expected, s
