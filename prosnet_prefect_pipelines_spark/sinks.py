@@ -99,3 +99,29 @@ def publication_hook(
     (push_rdf_file_to_github_gitlab.py:136-177 shape)."""
     for step in steps:
         step(artifact_path)
+
+
+def bucketed_materialize(
+    df: "DataFrame",
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> "DataFrame":
+    """Materialize ``df`` as a bucketed (and optionally sorted) table and
+    return it re-read — the co-located-join primitive.
+
+    Repeated joins/aggregations on ``bucket_col`` between tables bucketed
+    with the same bucket count read pre-shuffled data: Catalyst plans the
+    join with ZERO Exchange on either side (asserted in tests). At 100 TB
+    this converts every recurring fact-fact join on the entity key from a
+    full shuffle into a local merge — the batch analog of co-partitioned
+    stream-stream joins. Buckets also bound task input size (size
+    n_buckets so |table|/n_buckets fits an executor's memory).
+    """
+    spark = df.sparkSession
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+    return spark.table(table)

@@ -134,3 +134,37 @@ def test_upsert_sink_idempotent(spark, tmp_path):
             d = json.loads(line)
             docs[d["id"]] = d["label"]
     assert docs == {1: "a", 2: "b"}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count join
+    without any shuffle (co-located join)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.sinks import bucketed_materialize
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        ta = bucketed_materialize(a, "bkt_a", "k", n_buckets=8, sort_col="k")
+        tb = bucketed_materialize(b, "bkt_b", "k", n_buckets=8, sort_col="k")
+        joined = ta.join(tb, on="k")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+        # sanity: the same join on unbucketed frames DOES shuffle
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            a.join(b, on="k").explain("formatted")
+        assert "Exchange" in buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
