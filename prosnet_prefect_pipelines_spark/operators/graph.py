@@ -11,9 +11,10 @@ These are the two reference semantics Spark has no built-in for
 
 Both are driver-coordinated fixpoint loops of DataFrame joins.
 Scale design:
-- every iteration ``localCheckpoint``s the running result — without it the
-  lineage (and thus task binaries + recovery cost) grows linearly with
-  iterations, which kills long chains at 100 TB
+- every iteration materializes the running result (localCheckpoint, or a
+  reliable ``checkpoint`` when ``sc.setCheckpointDir`` is configured) —
+  without it the lineage (and thus task binaries + recovery cost) grows
+  linearly with iterations, which kills long chains at 100 TB
 - frontier-style expansion keeps the join input at |frontier| x |edges|,
   not |closure| x |edges|
 - components use pointer-jumping (label(label) contraction) on top of
@@ -26,6 +27,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Truncate lineage for fixpoint state.
+
+    ``localCheckpoint`` (executor-local blocks) is the fast default; when
+    a reliable checkpoint directory is configured
+    (``sc.setCheckpointDir``) use ``checkpoint`` instead — on a real
+    cluster, fixpoint state that lives only in executor storage dies with
+    a lost executor and recomputation walks the whole (truncated!)
+    lineage; reliable checkpoints make iteration state fault-tolerant.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def transitive_closure(
@@ -65,7 +82,7 @@ def transitive_closure(
     if raw.count() <= driver_threshold:
         return _closure_driver(spark, raw, reflexive)
     try:
-        e = raw.distinct().localCheckpoint(eager=True)
+        e = _materialize(raw.distinct(), eager=True)
         n_edges = e.count()
         # per-stage overhead still dominates below ~10x the threshold —
         # drop the fixpoint's shuffle parallelism there
@@ -142,8 +159,8 @@ def _closure_frontier(e: DataFrame, max_iterations: int) -> DataFrame:
             .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
             .distinct()
         )
-        frontier = step.join(reach(), on=["src", "dst"], how="left_anti").localCheckpoint(
-            eager=False
+        frontier = _materialize(
+            step.join(reach(), on=["src", "dst"], how="left_anti")
         )
         if frontier.count() == 0:
             break
@@ -165,7 +182,7 @@ def _closure_doubling(e: DataFrame, max_iterations: int) -> DataFrame:
             .join(reach.alias("r"), F.col("l.dst") == F.col("r.src"))
             .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
         )
-        merged = reach.unionByName(step).distinct().localCheckpoint(eager=False)
+        merged = _materialize(reach.unionByName(step).distinct())
         m = merged.count()
         if m == n:
             return reach
@@ -204,12 +221,12 @@ def descendants(
     if raw.count() <= driver_threshold:
         return _descendants_driver(spark, raw, roots, reflexive)
     try:
-        e = raw.distinct().localCheckpoint(eager=True)
+        e = _materialize(raw.distinct(), eager=True)
         n_edges = e.count()
         if n_edges < 10 * driver_threshold:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         seed = spark.createDataFrame([(r,) for r in roots], "node string")
-        reached = [seed.localCheckpoint(eager=True)]
+        reached = [_materialize(seed, eager=True)]
         frontier = reached[0]
 
         def all_reached():
@@ -224,8 +241,8 @@ def descendants(
                 .select(F.col("src").alias("node"))
                 .distinct()
             )
-            frontier = step.join(all_reached(), on="node", how="left_anti").localCheckpoint(
-                eager=False
+            frontier = _materialize(
+                step.join(all_reached(), on="node", how="left_anti")
             )
             if frontier.count() == 0:
                 break
@@ -309,7 +326,7 @@ def connected_components(
     if raw.count() <= driver_threshold:
         return _components_driver(spark, raw)
     try:
-        e = raw.distinct().localCheckpoint(eager=True)
+        e = _materialize(raw.distinct(), eager=True)
         n_edges = e.count()
         if n_edges < 10 * driver_threshold:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -318,8 +335,8 @@ def connected_components(
             e.select(F.col("a").alias("node"))
             .unionByName(e.select(F.col("b").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        nodes = _materialize(nodes, eager=True)
 
         def fingerprint(df):
             # decimal accumulator: a long sum of 64-bit hashes overflows
@@ -366,7 +383,7 @@ def connected_components(
             )
             # lazy: materializes during the fingerprint aggregation — one
             # job per round, not two
-            e = small.localCheckpoint(eager=False)
+            e = _materialize(small)
             fp = fingerprint(e)
             if fp == prev_fp:
                 break

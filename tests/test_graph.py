@@ -128,3 +128,19 @@ def test_components_driver_vs_distributed_equivalence(spark):
         for r in connected_components(e, driver_threshold=0).collect()
     }
     assert via_driver == via_stars
+
+
+def test_fixpoints_with_reliable_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured, the distributed fixpoints use
+    reliable checkpoints (cluster fault tolerance) and still produce the
+    same results."""
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        e = _edges(spark, [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)])
+        comps = connected_components(e, driver_threshold=0).collect()
+        assert {r.comp for r in comps} == {"n00"} and len(comps) == 13
+        clo = transitive_closure(e, driver_threshold=0).collect()
+        assert len(clo) == 12 * 13 // 2
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # unset for other tests
