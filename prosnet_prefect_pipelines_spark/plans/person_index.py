@@ -30,8 +30,11 @@ bindings_person AS (
              THEN 'http://www.wikidata.org/.well-known/genid/' || CAST(c_custkey AS VARCHAR)
              ELSE strftime(o.min_d, '%Y-%m-%dT%H:%M:%SZ') END AS date_of_birth,
         CASE WHEN o.n_dates >= 2 THEN strftime(o.max_d, '%Y-%m-%dT%H:%M:%SZ') END AS date_of_death,
-        CASE WHEN c_acctbal >= 0 THEN c_mktsegment END AS description
+        CASE WHEN c_acctbal >= 0 THEN c_mktsegment END AS description,
+        CASE WHEN c_custkey % 4 <> 0 THEN n.n_name END AS place_of_birthLabel,
+        CASE WHEN o.n_dates >= 2 AND c_custkey % 5 <> 0 THEN n.n_name END AS place_of_deathLabel
     FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     LEFT JOIN (
         SELECT o_custkey,
                min(o_orderdate) AS min_d,
@@ -51,6 +54,7 @@ def bindings_person_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     per_cust = orders.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("min_d"),
         F.max("o_orderdate").alias("max_d"),
@@ -59,6 +63,7 @@ def bindings_person_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso = lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")  # noqa: E731
     return (
         customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .select(
             F.concat(F.lit("http://www.wikidata.org/entity/Q"), F.col("c_custkey").cast("string")).alias("id"),
             F.col("c_name").alias("itemLabel"),
@@ -73,6 +78,10 @@ def bindings_person_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("date_of_birth"),
             F.when(F.col("n_dates") >= 2, iso(F.col("max_d"))).alias("date_of_death"),
             F.when(F.col("c_acctbal") >= 0, F.col("c_mktsegment")).alias("description"),
+            F.when(F.col("c_custkey") % 4 != 0, F.col("n_name")).alias("place_of_birthLabel"),
+            F.when(
+                (F.col("n_dates") >= 2) & (F.col("c_custkey") % 5 != 0), F.col("n_name")
+            ).alias("place_of_deathLabel"),
         )
     )
 
@@ -80,12 +89,17 @@ def bindings_person_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_person_docs(bindings: DataFrame) -> DataFrame:
     """P1 rename -> P4 postprocess -> P3 id canon -> P5 label -> doc DF.
 
-    Mirrors wikidata_index.py:183-207 with the prefect.yaml:204-210 person
-    config (field_mapping itemLabel->name, date postprocessing, person
-    label creator).
+    Mirrors wikidata_index.py:183-207 with the person-index preset
+    (wikidata_person_index.py:29-38: field_mapping itemLabel->name +
+    place_of_birthLabel/place_of_deathLabel->place_of_birth/place_of_death,
+    date postprocessing, person label creator).
     """
-    # P1: field mapping (prefect.yaml:204-207)
-    df = bindings.withColumnRenamed("itemLabel", "name")
+    # P1: field mapping (wikidata_person_index.py:29-33)
+    df = (
+        bindings.withColumnRenamed("itemLabel", "name")
+        .withColumnRenamed("place_of_birthLabel", "place_of_birth")
+        .withColumnRenamed("place_of_deathLabel", "place_of_death")
+    )
     # presence of the raw binding (needed for F3's parens rule)
     df = df.withColumn("_dob_bound", F.col("date_of_birth").isNotNull()).withColumn(
         "_dod_bound", F.col("date_of_death").isNotNull()
@@ -109,7 +123,10 @@ def build_person_docs(bindings: DataFrame) -> DataFrame:
             dod_bound=F.col("_dod_bound"),
         ),
     )
-    return df.select("id", "label", "name", "date_of_birth", "date_of_death", "description")
+    return df.select(
+        "id", "label", "name", "date_of_birth", "date_of_death", "description",
+        "place_of_birth", "place_of_death",
+    )
 
 
 def person_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +147,8 @@ postproc AS (
         CASE WHEN date_of_death IS NULL OR date_of_death LIKE 'http%' THEN NULL
              ELSE split_part(date_of_death, 'T', 1) END AS date_of_death,
         description,
+        place_of_birthLabel AS place_of_birth,
+        place_of_deathLabel AS place_of_death,
         date_of_birth IS NOT NULL AS dob_bound,
         date_of_death IS NOT NULL AS dod_bound
     FROM bindings_person
@@ -143,6 +162,7 @@ SELECT id,
                    || ')'
           ELSE '' END
        || CASE WHEN description IS NOT NULL THEN ': ' || description ELSE '' END AS label,
-       name, date_of_birth, date_of_death, description
+       name, date_of_birth, date_of_death, description,
+       place_of_birth, place_of_death
 FROM postproc
 """
