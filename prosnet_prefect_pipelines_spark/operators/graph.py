@@ -326,7 +326,12 @@ def connected_components(
     if raw.count() <= driver_threshold:
         return _components_driver(spark, raw)
     try:
-        e = _materialize(raw.distinct(), eager=True)
+        # local pre-contraction: per-partition union-find replaces each
+        # partition's edge multiset with its spanning forest (≤ #local
+        # nodes - 1 edges) BEFORE any shuffle — a narrow pass that absorbs
+        # duplicates and dense local structure; connectivity is preserved
+        # because nodes shared across partitions link the local forests
+        e = _materialize(_local_contract(raw).distinct(), eager=True)
         n_edges = e.count()
         if n_edges < 10 * driver_threshold:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -403,6 +408,43 @@ def connected_components(
         return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _local_contract(raw: DataFrame) -> DataFrame:
+    """Per-partition union-find -> (node, local min-root) forest edges.
+
+    Narrow (no shuffle); output per partition is bounded by its distinct
+    node count regardless of how many duplicate/dense edges arrive.
+    """
+    spark = raw.sparkSession
+
+    def part(rows):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in rows:
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        for n in list(parent):
+            r = find(n)
+            if r != n:
+                yield (n, r)
+
+    return spark.createDataFrame(raw.rdd.mapPartitions(part), "a string, b string")
 
 
 def _components_driver(spark, e: DataFrame) -> DataFrame:
