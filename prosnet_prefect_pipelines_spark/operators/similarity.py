@@ -191,3 +191,70 @@ def rhp_lsh_topk(
         .filter(F.col("_rn") <= k)
         .select("id", "neighbor", "cos")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    iterations: int = 5,
+) -> DataFrame:
+    """-> (cid, cv): spherical k-means centroids via Lloyd's iterations —
+    the production IVF trainer the seed-centroid shortcut stands in for.
+
+    Deterministic: init = the ``n_cells`` lowest-id vectors; assignment =
+    argmax rounded cosine with centroid-id tie-break; update = per-cell
+    elementwise mean, L2-normalized (spherical k-means — cosine geometry);
+    a fixed iteration count. Each iteration is one broadcast-join
+    assignment pass + one (cell, dim) aggregation — shuffle size is
+    n_cells x dim, independent of corpus size. Empty cells keep their
+    previous centroid.
+    """
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        vecs.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iterations):
+        w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+        assigned = (
+            vecs.join(F.broadcast(cents))
+            .select(
+                "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        # per-cell elementwise mean via posexplode -> (cid, pos) agg
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        new_cents = (
+            sums.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cv_raw"),
+            )
+            .withColumn("_n", norm(F.col("cv_raw")))
+            .select(
+                "cid",
+                F.transform(
+                    F.col("cv_raw"), lambda x: (x / F.col("_n")).cast("float")
+                ).alias("cv"),
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), on="cid", how="left")
+            .select("cid", F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    return cents

@@ -118,7 +118,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-DEDUP-COSINE": ("Embedding-cosine near-dup", f"{PKG}/operators/dedup.py (embedding_cosine_pairs)"),
     "X-ANN-BRUTE": ("Brute-force cosine top-k", f"{PKG}/operators/similarity.py (cosine_topk)"),
     "X-ANN-LSH": ("Random-hyperplane LSH top-k", f"{PKG}/operators/similarity.py (rhp_lsh_topk)"),
-    "X-ANN-IVF": ("IVF (inverted-file) top-k", f"{PKG}/operators/similarity.py (ivf_topk)"),
+    "X-ANN-IVF": ("IVF multi-probe top-k", f"{PKG}/operators/similarity.py (ivf_topk)"),
+    "X-ANN-KMEANS": ("Spherical k-means IVF trainer (Lloyd's)", f"{PKG}/operators/similarity.py (kmeans_centroids)"),
     "X-TEXT-LANG": ("Language ID", f"{PKG}/operators/textstats.py (lang_id)"),
     "X-TEXT-QUALITY": ("Quality scoring", f"{PKG}/operators/textstats.py (quality_stats/score)"),
     "X-TEXT-TOKENS": ("Token counting", f"{PKG}/operators/textstats.py (token_count)"),
@@ -146,6 +147,7 @@ EXT_QUERIES = {
     "X-ANN-BRUTE": ["ann_cosine_topk"],
     "X-ANN-LSH": ["ann_rhp_lsh_topk"],
     "X-ANN-IVF": ["ann_ivf_topk"],
+    "X-ANN-KMEANS": [],
     "X-TEXT-LANG": ["text_lang_id"],
     "X-TEXT-QUALITY": ["text_quality"],
     "X-TEXT-TOKENS": ["text_fingerprint"],

@@ -184,3 +184,36 @@ def test_portable_id_matches_python_md5(spark):
     for s in samples:
         expected = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
         assert got[s] == expected, s
+
+
+def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
+    """Lloyd's iterations must not worsen the mean best-cosine objective
+    relative to the raw seed centroids, and must find the two planted
+    clusters on a separable corpus."""
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.operators import similarity as S
+
+    # separable corpus: two tight clusters, ids interleaved so the seed
+    # centroids (2 lowest ids) start inside DIFFERENT clusters
+    rows = []
+    for i in range(30):
+        base = [1.0, 0.05, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.05, 1.0, 0.0]
+        rows.append((i, [x + (i % 5) * 0.01 for x in base]))
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+
+    def objective(cents):
+        scored = df.join(F.broadcast(cents)).select(
+            "id", S.cosine(F.col("v"), F.col("cv")).alias("c")
+        )
+        return (
+            scored.groupBy("id").agg(F.max("c").alias("best"))
+            .agg(F.avg("best")).collect()[0][0]
+        )
+
+    seed = df.orderBy("id").limit(2).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"))
+    trained = S.kmeans_centroids(df, "id", "v", n_cells=2, iterations=4)
+    assert trained.count() == 2
+    assert objective(trained) >= objective(seed) - 1e-9
+    assert objective(trained) > 0.995  # near-perfect fit on separable data
