@@ -44,3 +44,55 @@ def upsert_dedup(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
+
+
+class WatermarkStore:
+    """Durable high-watermark for scheduled incremental runs.
+
+    The reference re-reads a fixed 2-day window on a daily cron — correct
+    only while cadence < window. A persisted watermark removes that
+    coupling: each run processes ``ts > stored - overlap`` and then
+    advances the mark to the data's max, so missed runs catch up
+    automatically and the overlap only covers genuinely late data.
+    Writes are atomic (tmp + rename); in production the same two methods
+    back onto an object store / metastore table.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def read(self) -> int | None:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f)["watermark"]
+
+    def write(self, watermark: int) -> None:
+        import json
+        import os
+
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": int(watermark)}, f)
+        os.replace(tmp, self.path)
+
+
+def incremental_run(
+    df: DataFrame, ts_col: str, store: WatermarkStore, overlap_days: int = 2
+) -> DataFrame:
+    """One scheduled incremental pass: rows after (watermark - overlap),
+    advancing the stored watermark to the batch max. First run = full load.
+
+    Combine with ``upsert_dedup`` + an upsert sink so the overlap's
+    redelivered rows are idempotent (T2).
+    """
+    mark = store.read()
+    if mark is not None:
+        df = df.filter(F.col(ts_col) > F.lit(mark - overlap_days * US_PER_DAY))
+    new_mark = df.agg(F.max(ts_col)).collect()[0][0]
+    if new_mark is not None:
+        store.write(max(new_mark, mark or new_mark))
+    return df
