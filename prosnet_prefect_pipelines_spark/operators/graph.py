@@ -9,17 +9,20 @@ These are the two reference semantics Spark has no built-in for
   pfp-prefect-pipelines/sparql/create_provided_entities_graph_v2.sparql:10-27)
   -> ``connected_components``
 
-Both are driver-coordinated fixpoint loops of DataFrame joins.
-Scale design:
+Each operator picks its physical strategy from the measured edge count
+(SCALE.md): below a broadcast-scale threshold, one collect + driver
+BFS/union-find (ontologies and sameAs graphs are dimension-sized even at
+100 TB fact scale); above it, distributed fixpoint loops of DataFrame
+joins. Distributed-path scale design:
 - every iteration materializes the running result (localCheckpoint, or a
   reliable ``checkpoint`` when ``sc.setCheckpointDir`` is configured) —
   without it the lineage (and thus task binaries + recovery cost) grows
   linearly with iterations, which kills long chains at 100 TB
 - frontier-style expansion keeps the join input at |frontier| x |edges|,
   not |closure| x |edges|
-- components use pointer-jumping (label(label) contraction) on top of
-  neighbor propagation, giving O(log diameter) rounds instead of
-  O(diameter)
+- components: per-partition union-find pre-contraction (narrow pass)
+  then alternating large-star/small-star contraction (Kiveris et al.,
+  SoCC'14), O(log n) rounds instead of O(diameter)
 - convergence checks are single scalar aggregations per round
 """
 
