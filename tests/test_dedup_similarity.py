@@ -217,3 +217,24 @@ def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
     assert trained.count() == 2
     assert objective(trained) >= objective(seed) - 1e-9
     assert objective(trained) > 0.995  # near-perfect fit on separable data
+
+
+def test_shingle_modes_equivalent(spark):
+    """Arrow and expression shinglers must produce identical tables,
+    including the short/empty/whitespace edge cases."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "one two"),          # shorter than k
+        (3, ""),                 # empty
+        (4, "   padded   text   here   "),
+        (5, "tab\tsep\nnewline mix"),
+        (6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for k in (2, 3):
+        arrow = {(r.id, r.shingle) for r in D.shingle_table(df, "id", "text", k).collect()}
+        expr = {
+            (r.id, r.shingle)
+            for r in D.shingle_table(df, "id", "text", k, mode="expr").collect()
+        }
+        assert arrow == expr, k
