@@ -132,8 +132,25 @@ triples AS (
 """
 
 
+# one materialization of the derived triples view per (session, sf): a
+# dozen catalog queries read it, and without memoization each re-scans
+# the 5 source tables across 20+ union branches. localCheckpoint keeps
+# the built rows as blocks — the shared-dimension-view pattern.
+_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the triples DataFrame; see TRIPLES_CTE for the oracle twin."""
+    """Build (or reuse) the triples DataFrame; TRIPLES_CTE is the oracle twin."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRIPLES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _build_triples(spark, sf_dir).localCheckpoint(eager=False)
+    _TRIPLES_CACHE[key] = out
+    return out
+
+
+def _build_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prosnet_prefect_pipelines_spark.functions.scalar import FEATURE_CODES_RANK
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
