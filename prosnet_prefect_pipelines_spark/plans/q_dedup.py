@@ -61,8 +61,22 @@ jac AS (
 """
 
 
+_CORPUS_CACHE: dict = {}
+
+
 def corpus(spark, sf_dir):
-    """Spark twin of CORPUS_CTE."""
+    """Spark twin of CORPUS_CTE (memoized per session+sf, like
+    tpch_graph.triples_from_tpch — five dedup queries share it)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CORPUS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _build_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    _CORPUS_CACHE[key] = out
+    return out
+
+
+def _build_corpus(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.select(F.col("doc_id").alias("id"), "text")
