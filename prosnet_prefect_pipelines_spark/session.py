@@ -53,6 +53,8 @@ def get_spark(app_name: str = "prosnet_spark", cpus: int | None = None) -> Spark
             "spark.sql.codegen.wholeStage",
             os.environ.get("SPARK_GRAFT_WSCG", "false"),
         )
+        # Python Data Source filter pushdown (sources/rest_datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -75,4 +77,8 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.codegen.wholeStage", os.environ.get("SPARK_GRAFT_WSCG", "false")
     )
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; get_spark sets it at build time
     return spark

@@ -15,12 +15,12 @@ PKG = "prosnet_prefect_pipelines_spark"
 # operator id -> (short description, implementation pointer)
 INVENTORY: dict[str, tuple[str, str]] = {
     # §2.1 scans/sources
-    "S1": ("SPARQL paginated fetch", f"{PKG}/sources/http.py (paginated_fetch) + sparql_bindings.py"),
+    "S1": ("SPARQL paginated fetch", f"{PKG}/sources/rest_datasource.py (Python DataSource, offset partitions + filter pushdown) + http.py + sparql_bindings.py"),
     "S2": ("SPARQL connection setup", f"{PKG}/sources/http.py (fetch callable injected per task)"),
     "S3": ("SPARQL query rewrite/incremental template", f"{PKG}/streaming/incremental.py (pushed predicate)"),
-    "S4": ("REST TTL paginated fetch", f"{PKG}/sources/http.py (paginated_fetch)"),
+    "S4": ("REST TTL paginated fetch", f"{PKG}/sources/http.py (paginated_fetch) + rest_datasource.py"),
     "S5": ("Swagger route discovery", f"{PKG}/sources/http.py (driver-side route list feeds offsets)"),
-    "S6": ("REST JSON paginated fetch", f"{PKG}/sources/http.py + model.APIS_PERSON_SCHEMA from_json"),
+    "S6": ("REST JSON paginated fetch", f"{PKG}/sources/rest_datasource.py + http.py + model.APIS_PERSON_SCHEMA from_json"),
     "S7": ("Batched relation fetch (semi-join pushdown)", f"{PKG}/operators/relational.py (exists_anti_join)"),
     "S8": ("HTTP zip TSV scan (GeoNames)", f"{PKG}/sources/geonames.py"),
     "S9": ("RDF directory load", f"{PKG}/sources/rdf.py (read_rdf_directory)"),

@@ -168,3 +168,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_paginated_rest_datasource_pushdown(spark):
+    """PySpark 4 Python Data Source: offset pages become input partitions;
+    an incremental-date predicate is pushed into the fetcher (server-side
+    filter), not applied post-scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.sources.rest_datasource import (
+        PaginatedRestDataSource,
+        demo_fetch_page,
+    )
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    reader = (
+        spark.read.format("paginated_rest")
+        .schema("id long, name string, date_modified string")
+        .option("fetcher",
+                "prosnet_prefect_pipelines_spark.sources.rest_datasource:demo_fetch_page")
+        .option("count", 1000)
+        .option("page_size", 100)
+    )
+    df = reader.load().filter(F.col("date_modified") > "2024-01-20")
+
+    # ground truth from the fetcher itself, unfiltered
+    want = [r for r in demo_fetch_page(0, 1000, {}) if r["date_modified"] > "2024-01-20"]
+    got = df.collect()
+    assert len(got) == len(want)
+    assert {r.id for r in got} == {r["id"] for r in want}
+    # 10 pages -> 10 partitions
+    assert reader.load().rdd.getNumPartitions() == 10
