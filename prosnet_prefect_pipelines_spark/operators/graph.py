@@ -48,6 +48,19 @@ def _materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+
+def _fixpoint_conf_off(spark) -> str:
+    """Disable constraint propagation for the fixpoint loops; returns the
+    previous value for restore. Spark 4.1's InferFiltersFromConstraints
+    crashes ("key not found" in UnionBase.rewriteConstraints) when a
+    union of checkpointed frames shares exprIds across both sides of the
+    per-round anti-join — and constraint inference buys nothing in these
+    self-join loops anyway."""
+    prev = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    return prev
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",
@@ -84,6 +97,7 @@ def transitive_closure(
     # bound on the distinct edge count for the strategy pick
     if raw.count() <= driver_threshold:
         return _closure_driver(spark, raw, reflexive)
+    prev_cp = _fixpoint_conf_off(spark)
     try:
         e = _materialize(raw.distinct(), eager=True)
         n_edges = e.count()
@@ -99,6 +113,7 @@ def transitive_closure(
             raise ValueError(method)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
     if reflexive:
         nodes = e.select(F.col("src").alias("n")).unionByName(
             e.select(F.col("dst").alias("n"))
@@ -154,8 +169,8 @@ def _closure_frontier(e: DataFrame, max_iterations: int) -> DataFrame:
 
     for _ in range(max_iterations):
         # one hop further from the current frontier only; the lazy
-        # localCheckpoint materializes during the count() below — one
-        # job per round, not two
+        # materialization happens during the count() below — one job
+        # per round, not two
         step = (
             frontier.alias("f")
             .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
@@ -223,6 +238,7 @@ def descendants(
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if raw.count() <= driver_threshold:
         return _descendants_driver(spark, raw, roots, reflexive)
+    prev_cp = _fixpoint_conf_off(spark)
     try:
         e = _materialize(raw.distinct(), eager=True)
         n_edges = e.count()
@@ -257,6 +273,7 @@ def descendants(
         result = all_reached()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
     if not reflexive:
         result = result.join(
             spark.createDataFrame([(r,) for r in roots], "node string"),
@@ -328,6 +345,7 @@ def connected_components(
     )
     if raw.count() <= driver_threshold:
         return _components_driver(spark, raw)
+    prev_cp = _fixpoint_conf_off(spark)
     try:
         # local pre-contraction: per-partition union-find replaces each
         # partition's edge multiset with its spanning forest (≤ #local
@@ -411,6 +429,7 @@ def connected_components(
         return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
 
 
 def _local_contract(raw: DataFrame) -> DataFrame:

@@ -51,6 +51,15 @@ def main() -> None:
         f"in {time.time() - t0:.1f}s"
     )
 
+    # full all-pairs closure of the 300k-edge tree (~4.9M pairs, 17 rounds)
+    for method in ("frontier", "doubling"):
+        t0 = time.time()
+        clo = G.transitive_closure(tree, driver_threshold=0, method=method)
+        print(
+            f"closure (distributed, {method}): {clo.count()} pairs "
+            f"in {time.time() - t0:.1f}s"
+        )
+
 
 if __name__ == "__main__":
     main()
