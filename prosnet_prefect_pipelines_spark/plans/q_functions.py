@@ -170,12 +170,15 @@ wkt AS (
     FROM inputs
 )
 SELECT s_suppkey,
-       -- empty array (not NULL) for the non-Point case: a NULL list column
-       -- round-trips as NaN through pandas, so the query surface avoids it
-       coalesce(CASE WHEN compact LIKE 'Point%'
-            THEN [CAST(regexp_extract(compact, 'Point\\((\\S+) (\\S+)\\)', 2) AS DOUBLE),
-                  CAST(regexp_extract(compact, 'Point\\((\\S+) (\\S+)\\)', 1) AS DOUBLE)]
-       END, []) AS geopoint,
+       -- [lat, lng] emitted as two scalar doubles: list-typed output columns
+       -- break the harness canonicalizer's sort (unhashable), so the query
+       -- surface stays scalar and the array shape is covered in pytest
+       CASE WHEN compact LIKE 'Point%'
+            THEN CAST(regexp_extract(compact, 'Point\\((\\S+) (\\S+)\\)', 2) AS DOUBLE)
+       END AS geopoint_lat,
+       CASE WHEN compact LIKE 'Point%'
+            THEN CAST(regexp_extract(compact, 'Point\\((\\S+) (\\S+)\\)', 1) AS DOUBLE)
+       END AS geopoint_lng,
        'Point ( ' || CASE WHEN lng > 0 THEN '+' ELSE '' END || CAST(lng AS VARCHAR)
        || ' ' || CASE WHEN lat > 0 THEN '+' ELSE '' END || CAST(lat AS VARCHAR) || ' )' AS wkt_literal
 FROM wkt
@@ -201,11 +204,11 @@ def q_geopoint_wkt(spark, sf_dir):
                      F.col("lat").cast("string"), F.lit(")"))
         ),
     )
+    gp = scalar.geopoint_creator(F.col("compact"))
     return wkt.select(
         "s_suppkey",
-        F.coalesce(
-            scalar.geopoint_creator(F.col("compact")), F.array().cast("array<double>")
-        ).alias("geopoint"),
+        F.element_at(gp, 1).alias("geopoint_lat"),
+        F.element_at(gp, 2).alias("geopoint_lng"),
         scalar.wkt_point_literal(F.col("lng"), F.col("lat")).alias("wkt_literal"),
     )
 
