@@ -118,7 +118,13 @@ def transitive_closure(
         nodes = e.select(F.col("src").alias("n")).unionByName(
             e.select(F.col("dst").alias("n"))
         ).distinct()
-        result = result.unionByName(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+        refl = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        # cycles already put (x, x) in the closure — anti-join so the
+        # zero-length path isn't emitted twice (bag semantics)
+        refl = refl.join(
+            result.filter(F.col("src") == F.col("dst")), ["src", "dst"], "left_anti"
+        )
+        result = result.unionByName(refl)
     return result
 
 
@@ -138,6 +144,7 @@ def _closure_driver(spark, raw: DataFrame, reflexive: bool) -> DataFrame:
         nodes.add(a)
         nodes.add(b)
     pairs = []
+    self_reaching = set()
     for start in nodes:
         vis = set()
         dq = deque(fwd.get(start, ()))
@@ -147,9 +154,13 @@ def _closure_driver(spark, raw: DataFrame, reflexive: bool) -> DataFrame:
                 continue
             vis.add(x)
             dq.extend(fwd.get(x, ()))
+        if start in vis:
+            self_reaching.add(start)
         pairs.extend((start, d) for d in vis)
     if reflexive:
-        pairs.extend((n, n) for n in nodes)
+        # a cycle already yields (n, n) — don't emit the zero-length
+        # path a second time (bag semantics)
+        pairs.extend((n, n) for n in nodes if n not in self_reaching)
     return spark.createDataFrame(pairs, "src string, dst string")
 
 

@@ -67,10 +67,15 @@ _CORPUS_CACHE: dict = {}
 def corpus(spark, sf_dir):
     """Spark twin of CORPUS_CTE (memoized per session+sf, like
     tpch_graph.triples_from_tpch — five dedup queries share it)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     cached = _CORPUS_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict frames from stopped/restarted sessions — they hold
+    # localCheckpoint blocks that can never be used again
+    for k in [k for k in _CORPUS_CACHE if k[0] != app_id]:
+        del _CORPUS_CACHE[k]
     out = _build_corpus(spark, sf_dir).localCheckpoint(eager=False)
     _CORPUS_CACHE[key] = out
     return out

@@ -141,10 +141,15 @@ _TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (or reuse) the triples DataFrame; TRIPLES_CTE is the oracle twin."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     cached = _TRIPLES_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict frames from stopped/restarted sessions — they hold
+    # localCheckpoint blocks that can never be used again
+    for k in [k for k in _TRIPLES_CACHE if k[0] != app_id]:
+        del _TRIPLES_CACHE[k]
     out = _build_triples(spark, sf_dir).localCheckpoint(eager=False)
     _TRIPLES_CACHE[key] = out
     return out

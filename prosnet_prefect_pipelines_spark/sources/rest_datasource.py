@@ -52,6 +52,16 @@ _OPS = {
 }
 
 
+def _cmp(op: str, x, val) -> bool:
+    return (
+        (op == ">" and x > val)
+        or (op == ">=" and x >= val)
+        or (op == "<" and x < val)
+        or (op == "<=" and x <= val)
+        or (op == "=" and x == val)
+    )
+
+
 class _PagePartition(InputPartition):
     def __init__(self, offset: int, limit: int):
         self.offset = offset
@@ -75,7 +85,12 @@ class PaginatedRestReader(DataSourceReader):
                 yield f  # not pushable -> Spark applies it
 
     def partitions(self):
-        count = int(self.options.get("count", 0))
+        if "count" not in self.options:
+            raise ValueError(
+                "paginated_rest requires the 'count' option (total rows to "
+                "page over); omitting it would silently fetch only one page"
+            )
+        count = int(self.options["count"])
         page = int(self.options.get("page_size", 200))
         return [_PagePartition(off, page) for off in range(0, max(count, 1), page)]
 
@@ -106,8 +121,14 @@ class PaginatedRestReader(DataSourceReader):
                 if attempt > retries:
                     raise
                 time.sleep(backoff * (2 ** (attempt - 1)))
+        # Residual guard: Spark stops applying accepted filters, so a
+        # fetcher that ignores `pushed` must not leak unfiltered rows.
         for row in rows:
-            yield tuple(row.get(k) for k in fields)
+            if all(
+                row.get(col) is not None and _cmp(op, row.get(col), val)
+                for col, (op, val) in self.pushed.items()
+            ):
+                yield tuple(row.get(k) for k in fields)
 
 
 class PaginatedRestDataSource(DataSource):
@@ -120,6 +141,12 @@ class PaginatedRestDataSource(DataSource):
 
     def reader(self, schema) -> PaginatedRestReader:
         return PaginatedRestReader(schema, self.options)
+
+
+def ignores_pushdown_fetch_page(offset: int, limit: int, pushed: dict) -> list[dict]:
+    """Non-conforming endpoint for tests: drops the pushed filters on the
+    floor, exercising read()'s residual guard."""
+    return demo_fetch_page(offset, limit, {})
 
 
 def demo_fetch_page(offset: int, limit: int, pushed: dict) -> list[dict]:

@@ -82,17 +82,24 @@ class WatermarkStore:
 
 def incremental_run(
     df: DataFrame, ts_col: str, store: WatermarkStore, overlap_days: int = 2
-) -> DataFrame:
-    """One scheduled incremental pass: rows after (watermark - overlap),
-    advancing the stored watermark to the batch max. First run = full load.
+):
+    """One scheduled incremental pass: rows after (watermark - overlap).
+    First run = full load.
 
-    Combine with ``upsert_dedup`` + an upsert sink so the overlap's
-    redelivered rows are idempotent (T2).
+    Returns ``(batch_df, commit)``. The durable watermark is NOT advanced
+    here — write ``batch_df`` to the sink first, then call ``commit()``.
+    Advancing only after the sink succeeds keeps the at-least-once
+    contract: a failed sink means the next run re-reads the whole failed
+    batch, not just the overlap window. Combine with ``upsert_dedup`` +
+    an upsert sink so redelivered rows are idempotent (T2).
     """
     mark = store.read()
     if mark is not None:
         df = df.filter(F.col(ts_col) > F.lit(mark - overlap_days * US_PER_DAY))
-    new_mark = df.agg(F.max(ts_col)).collect()[0][0]
-    if new_mark is not None:
-        store.write(max(new_mark, mark or new_mark))
-    return df
+
+    def commit() -> None:
+        new_mark = df.agg(F.max(ts_col)).collect()[0][0]
+        if new_mark is not None:
+            store.write(max(new_mark, mark or new_mark))
+
+    return df, commit

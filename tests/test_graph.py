@@ -37,6 +37,23 @@ def test_closure_reflexive_zero_length(spark):
     assert got == {("a", "b"), ("a", "a"), ("b", "b")}
 
 
+def test_closure_reflexive_cycle_no_duplicates(spark):
+    """Cycles put (x, x) in the closure already; reflexive=True must not
+    emit the zero-length path a second time (bag semantics)."""
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+    for kwargs in ({}, {"driver_threshold": 0}):
+        rows = [
+            (r.src, r.dst)
+            for r in transitive_closure(e, reflexive=True, **kwargs).collect()
+        ]
+        assert len(rows) == len(set(rows)), f"duplicate rows via {kwargs or 'driver'}"
+        assert set(rows) == {
+            ("a", "a"), ("a", "b"), ("a", "c"),
+            ("b", "a"), ("b", "b"), ("b", "c"),
+            ("c", "c"),
+        }
+
+
 def test_closure_max_iterations(spark):
     # the iteration cap only applies to the distributed fixpoint
     # (the driver BFS path terminates on any graph)

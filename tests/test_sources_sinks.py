@@ -202,3 +202,49 @@ def test_paginated_rest_datasource_pushdown(spark):
     assert {r.id for r in got} == {r["id"] for r in want}
     # 10 pages -> 10 partitions
     assert reader.load().rdd.getNumPartitions() == 10
+
+
+def test_paginated_rest_requires_count(spark):
+    """Omitting 'count' must error, not silently fetch one page."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from prosnet_prefect_pipelines_spark.sources.rest_datasource import (
+        PaginatedRestDataSource,
+    )
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("id long, name string, date_modified string")
+        .option("fetcher",
+                "prosnet_prefect_pipelines_spark.sources.rest_datasource:demo_fetch_page")
+        .load()
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="count"):
+        df.count()
+
+
+def test_paginated_rest_residual_filter_guard(spark):
+    """A fetcher that ignores the pushed dict must not leak unfiltered
+    rows — read() re-applies accepted comparisons as a residual guard."""
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.sources.rest_datasource import (
+        PaginatedRestDataSource,
+    )
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("id long, name string, date_modified string")
+        .option("fetcher",
+                "prosnet_prefect_pipelines_spark.sources.rest_datasource:ignores_pushdown_fetch_page")
+        .option("count", 1000)
+        .option("page_size", 100)
+        .load()
+        .filter(F.col("date_modified") > "2024-01-20")
+    )
+    got = df.collect()
+    assert got, "filter should keep some rows"
+    assert all(r.date_modified > "2024-01-20" for r in got)

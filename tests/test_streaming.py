@@ -197,20 +197,28 @@ def test_watermark_store_incremental_runs(spark, tmp_path):
     batch1 = spark.createDataFrame(
         [(1, 1 * day), (2, 3 * day), (3, 5 * day)], "id long, ts long"
     )
-    out1 = incremental_run(batch1, "ts", store, overlap_days=1)
+    out1, commit1 = incremental_run(batch1, "ts", store, overlap_days=1)
     assert out1.count() == 3            # first run: full load
+    assert store.read() is None         # mark not advanced until commit
+    commit1()
     assert store.read() == 5 * day
 
     # next run sees old rows + new ones; only rows after (5d - 1d) flow
     batch2 = batch1.unionByName(
         spark.createDataFrame([(4, 6 * day), (5, 9 * day)], "id long, ts long")
     )
-    out2 = incremental_run(batch2, "ts", store, overlap_days=1)
+    out2, commit2 = incremental_run(batch2, "ts", store, overlap_days=1)
     got = {r.id for r in out2.collect()}
     assert got == {3, 4, 5}             # id=3 redelivered inside the overlap
+
+    # sink failure = no commit: the next run re-reads the WHOLE failed
+    # batch (at-least-once), not just the overlap window
+    out2b, commit2b = incremental_run(batch2, "ts", store, overlap_days=1)
+    assert {r.id for r in out2b.collect()} == {3, 4, 5}
+    commit2b()
     assert store.read() == 9 * day
 
     # idempotence: rerunning the same batch redelivers only the overlap,
     # and an upsert sink keyed by id absorbs it
-    out3 = incremental_run(batch2, "ts", store, overlap_days=1)
+    out3, _ = incremental_run(batch2, "ts", store, overlap_days=1)
     assert {r.id for r in out3.collect()} == {5}
