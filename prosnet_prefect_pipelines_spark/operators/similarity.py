@@ -51,6 +51,10 @@ def cosine_topk(
     """-> (id, neighbor, cos): exact top-k neighbors per vector.
 
     cos rounded to 6 dp, rank ties broken by neighbor id.
+
+    TEST/ORACLE TIER ONLY: the self-join is a cartesian product —
+    O(n²d). Use ``rhp_lsh_topk`` (auto-scaled buckets) or ``ivf_topk``
+    as the default ANN entry points at scale.
     """
     left = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"))
@@ -66,14 +70,15 @@ def cosine_topk(
     )
 
 
-def rhp_signature(vec: Column, dim: int, planes: int = 8) -> Column:
+def rhp_signature(vec: Column, dim: int, planes: int = 8, offset: int = 0) -> Column:
     """Random-hyperplane sign signature as a bit string.
 
     coef(h, d) = ((h*31 + d*17) % 7) - 3 — fixed pseudo-random integers in
-    [-3, 3], identical across engines/runs.
+    [-3, 3], identical across engines/runs. ``offset`` shifts the global
+    plane index so multiple hash tables draw disjoint hyperplane sets.
     """
     bits = []
-    for h in range(planes):
+    for h in range(offset, offset + planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -85,6 +90,16 @@ def rhp_signature(vec: Column, dim: int, planes: int = 8) -> Column:
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def auto_planes(n: int, target_bucket: int = 64, floor: int = 4) -> int:
+    """Planes needed so the expected bucket holds ~``target_bucket``
+    vectors: 2^planes buckets ≈ n / target_bucket, i.e. planes grows with
+    log2(N) — the knob that keeps within-bucket self-joins from
+    degenerating toward N²/2^planes as the corpus scales."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n, 2) / target_bucket)))
 
 
 def ivf_assign(
@@ -162,27 +177,78 @@ def ivf_topk(
 
 
 def rhp_lsh_topk(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 5, planes: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    planes: int | None = None,
+    tables: int = 2,
+    target_bucket: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k within random-hyperplane buckets.
+    """Approximate top-k within random-hyperplane buckets — the 100 TB
+    ANN path. Three scale levers (all deterministic, oracle-mirrorable):
+
+    - ``planes=None`` sizes the signature to the corpus:
+      planes ≈ log2(N / target_bucket), so bucket count GROWS with N and
+      the within-bucket self-join stays ~N * target_bucket, not
+      N²/2^planes (one count() scan to learn N; pass ``planes`` to skip).
+    - ``tables`` independent hash tables (disjoint hyperplane sets,
+      bucket keys prefixed by table id) recover the recall that more
+      planes cost: a near-pair split by one table's cut collides in
+      another. Candidate pairs are deduped before scoring.
+    - ``bucket_cap`` bounds the worst bucket (skew guard): buckets
+      larger than the cap are salted into ceil(size/cap) sub-buckets by
+      ``id % n_sub``, capping any single join block at ~cap² instead of
+      letting one hot bucket (near-duplicate floods, zero vectors) run
+      quadratic. The size lookup joins on the same bucket key as the
+      self-join — no extra shuffle stage. Requires a numeric id column
+      (pre-hash string ids to long, e.g. xxhash64).
 
     Output shape matches cosine_topk; vectors in sparse buckets may get
-    fewer than k neighbors (the recall/cost trade). Multi-probe or
-    fewer planes raise recall; production tunes planes to bucket size.
+    fewer than k neighbors (the recall/cost trade).
     """
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        rhp_signature(F.col(vec_col), dim, planes).alias("bucket"),
-    ).localCheckpoint(eager=False)  # self-joined below; signatures are 8 folds/row
+    if planes is None:
+        planes = auto_planes(df.count(), target_bucket)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    per_table = [
+        F.concat(
+            F.lit(f"{t}:"),
+            rhp_signature(F.col("v"), dim, planes, offset=t * planes),
+        )
+        for t in range(tables)
+    ]
+    sig = vecs.select(
+        "id", "v", F.explode(F.array(*per_table)).alias("bucket")
+    ).localCheckpoint(eager=False)  # self-joined below; signatures are planes*tables folds/row
+
+    if bucket_cap is not None:
+        sizes = sig.groupBy("bucket").agg(F.count("*").alias("_bc"))
+        n_sub = F.ceil(F.col("_bc") / F.lit(float(bucket_cap))).cast("long")
+        sig = (
+            sig.join(sizes, on="bucket")
+            .select(
+                "id",
+                "v",
+                F.concat(
+                    F.col("bucket"),
+                    F.lit(":"),
+                    F.pmod(F.col("id").cast("long"), n_sub).cast("string"),
+                ).alias("bucket"),
+            )
+        )
+
     pairs = (
         sig.alias("x")
         .join(sig.alias("y"), on="bucket")
         .filter(F.col("x.id") != F.col("y.id"))
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("neighbor"),
+                F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+        # a pair colliding in several tables must score once (bag semantics)
+        .dropDuplicates(["id", "neighbor"])
         .select(
-            F.col("x.id").alias("id"),
-            F.col("y.id").alias("neighbor"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+            "id", "neighbor", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))

@@ -49,29 +49,45 @@ def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, "vec_id", "embedding", k=5)
 
 
+# 2 hash tables x 4 planes (global plane index hg = t*4 + h), bucket-cap
+# 32 with id%n_sub salting — mirrors rhp_lsh_topk(planes=4, tables=2,
+# bucket_cap=32) exactly
 RHP_LSH_SQL = f"""
-WITH planes AS (SELECT h FROM generate_series(0, 7) t(h)),
+WITH planes AS (
+    SELECT t, h FROM generate_series(0, 1) tt(t), generate_series(0, 3) hh(h)
+),
 proj AS (
-    SELECT e.vec_id, p.h,
+    SELECT e.vec_id, p.t, p.h,
            list_reduce(
                list_transform(generate_series(1, 64),
                               i -> CAST(e.embedding[i] AS DOUBLE)
-                                   * (((p.h * 31 + (i - 1) * 17) % 7) - 3)),
+                                   * ((((p.t * 4 + p.h) * 31 + (i - 1) * 17) % 7) - 3)),
                (x, y) -> x + y) AS pr
     FROM embeddings e, planes p
 ),
 sig AS (
-    SELECT vec_id,
+    SELECT vec_id, t,
+           CAST(t AS VARCHAR) || ':' ||
            string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
-    FROM proj GROUP BY vec_id
+    FROM proj GROUP BY vec_id, t
+),
+sizes AS (SELECT bucket, COUNT(*) AS bc FROM sig GROUP BY bucket),
+salted AS (
+    SELECT s.vec_id,
+           s.bucket || ':' ||
+           CAST(s.vec_id % CAST(ceil(z.bc / 32.0) AS BIGINT) AS VARCHAR) AS bucket
+    FROM sig s JOIN sizes z USING (bucket)
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id, y.vec_id AS neighbor
+    FROM salted x JOIN salted y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
 ),
 pairs AS (
-    SELECT x.vec_id AS id, y.vec_id AS neighbor,
+    SELECT c.id, c.neighbor,
            round({_cos('ex.embedding', 'ey.embedding')}, 6) AS cos
-    FROM sig x
-    JOIN sig y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-    JOIN embeddings ex ON ex.vec_id = x.vec_id
-    JOIN embeddings ey ON ey.vec_id = y.vec_id
+    FROM cand c
+    JOIN embeddings ex ON ex.vec_id = c.id
+    JOIN embeddings ey ON ey.vec_id = c.neighbor
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rn
@@ -83,10 +99,14 @@ SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
 
 @register("ann_rhp_lsh_topk", oracle=RHP_LSH_SQL, covers=["O6", "J1"])
 def q_ann_rhp_lsh(spark, sf_dir):
-    """Random-hyperplane LSH top-5: sign-signature buckets bound the
-    candidate set — the linear-cost scale path (8 planes)."""
+    """Random-hyperplane LSH top-5 with the three 100 TB levers on:
+    2 hash tables (recall), 4 planes (bucket count scales with N via
+    auto_planes in production; pinned here for the oracle), and a
+    32-vector bucket cap (skew guard via deterministic id%n salting)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.rhp_lsh_topk(emb, "vec_id", "embedding", dim=DIM, k=5, planes=8)
+    return S.rhp_lsh_topk(
+        emb, "vec_id", "embedding", dim=DIM, k=5, planes=4, tables=2, bucket_cap=32
+    )
 
 
 IVF_SQL = f"""

@@ -168,6 +168,42 @@ def test_ivf_multiprobe_improves_recall(spark, sf_dir):
     assert r2 >= 0.25
 
 
+def test_auto_planes_scales_with_corpus():
+    # bucket count (2^planes) tracks N/target: each 2x of N adds a plane
+    assert S.auto_planes(500, target_bucket=64) == 4      # floor
+    assert S.auto_planes(100_000, target_bucket=64) == 11
+    assert S.auto_planes(200_000, target_bucket=64) == 12
+    assert S.auto_planes(1_000_000_000, target_bucket=64) == 24
+    # candidate work stays ~N*target: 2^planes >= N/(2*target) always
+    for n in (10, 1_000, 10**6, 10**9):
+        assert 2 ** S.auto_planes(n) >= n / (2 * 64)
+
+
+def test_rhp_lsh_multitable_recall_and_dedup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id, r.neighbor)
+        for r in S.cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    def run(**kw):
+        rows = S.rhp_lsh_topk(emb, "vec_id", "embedding", dim=64, k=5, **kw).collect()
+        pairs = [(r.id, r.neighbor) for r in rows]
+        assert len(pairs) == len(set(pairs)), "multi-table collisions must dedup"
+        return len(set(pairs) & exact) / len(exact)
+
+    r1 = run(planes=4, tables=1)
+    r2 = run(planes=4, tables=2)
+    assert r2 >= r1, "a second hash table must not lose candidates"
+    # absolute ceiling is corpus-dependent (near-random embeddings);
+    # monotonicity is the contract, the floor just guards against a
+    # broken signature wiping the candidate set
+    assert r2 >= 0.2
+    # the skew cap trades bounded work for recall but must stay sane
+    r2c = run(planes=4, tables=2, bucket_cap=32)
+    assert r2c >= 0.15
+
+
 def test_portable_id_matches_python_md5(spark):
     """portable_id == int(md5(s).hexdigest()[:12], 16) for arbitrary
     strings — the cross-engine contract the dedup oracles rely on."""
