@@ -140,6 +140,15 @@ def exists_anti_join(candidates: DataFrame, seen: DataFrame, on: list[str] | str
     return candidates.join(seen, on=on, how="left_anti")
 
 
+def drop_url_templates(df: DataFrame, col: str) -> DataFrame:
+    """P6: drop rows whose route/URL still contains a `{param}` template
+    placeholder — the swagger-route filter at
+    prosnet-prefect-pipelines/get_data_from_apis_instance.py:185.
+    Pure narrow filter; pushes to the scan.
+    """
+    return df.filter(~F.col(col).contains("{"))
+
+
 def paginate(df: DataFrame, order_by: list[str], offset: int, limit: int) -> DataFrame:
     """LIMIT/OFFSET window over a stable sort key (O2).
 

@@ -58,6 +58,7 @@ def _load_all() -> None:
         q_render3,
         q_similarity,
         q_sinks,
+        q_sources,
         q_stream,
         q_streaming,
         q_temporal,

@@ -1,0 +1,149 @@
+"""Source/sink-surface queries with DuckDB oracles for the §2 operators
+that previously had only module tests: S8 (GeoNames TSV scan -> place
+docs), P6 (URL-template filter), F10 (Wikidata id rebuild), K3 (JSON
+sink round-trip).
+
+The GeoNames queries read a deterministic fixture TSV checked into the
+repo (tests/fixtures/geonames_sample.tsv) — the oracle reads the SAME
+file via DuckDB ``read_csv``, so parsing, casting, and projection are
+compared end-to-end, mirroring the reference pipeline
+prosnet-prefect-pipelines/geonames_place_index.py:13-53.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.model import GEONAMES_COLUMNS
+from prosnet_prefect_pipelines_spark.operators.relational import drop_url_templates
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.plans.tpch_graph import TRIPLES_CTE, triples_from_tpch
+from prosnet_prefect_pipelines_spark.sources.geonames import build_place_docs, read_geonames_tsv
+
+FIXTURE_TSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "geonames_sample.tsv",
+)
+
+_DUCK_TYPES = {"DoubleType()": "DOUBLE", "LongType()": "BIGINT"}
+_GEONAMES_READ_CSV = (
+    f"read_csv('{FIXTURE_TSV}', delim='\\t', header=false, columns={{"
+    + ", ".join(
+        f"'{n}': '{_DUCK_TYPES.get(str(t), 'VARCHAR')}'" for n, t in GEONAMES_COLUMNS
+    )
+    + "})"
+)
+
+GEONAMES_DOCS_SQL = f"""
+SELECT 'https://sws.geonames.org/' || id || '/' AS id,
+       printf('%s (%s) - %s', name, country_code, feature_code) AS label,
+       name,
+       country_code AS country,
+       feature_code,
+       CAST(latitude AS DOUBLE) AS lat,
+       CAST(longitude AS DOUBLE) AS lng
+FROM {_GEONAMES_READ_CSV}
+"""
+
+
+@register("geonames_place_docs", oracle=GEONAMES_DOCS_SQL, covers=["S8", "P2", "F8", "F9", "K3"])
+def q_geonames_place_docs(spark, sf_dir):
+    """S8 + P2: headerless 19-column GeoNames TSV -> place search docs
+    (F9 id URI, F8 label, double lat/lng), the full
+    geonames_place_index.py:13-43 pipeline against a fixture TSV."""
+    docs = build_place_docs(read_geonames_tsv(spark, FIXTURE_TSV))
+    return docs.select(
+        "id", "label", "name", "country", "feature_code",
+        F.element_at("coordinates", 1).alias("lat"),
+        F.element_at("coordinates", 2).alias("lng"),
+    )
+
+
+# routes derived deterministically from events: every 3rd route keeps an
+# un-expanded {id} template parameter, like a raw swagger route listing
+ROUTE_CTE = """
+routes AS (
+    SELECT event_id,
+           '/apis/api/' || event_type ||
+           CASE WHEN event_id % 3 = 0 THEN '/{id}'
+                ELSE '/' || CAST(event_id AS VARCHAR) END AS route
+    FROM events
+)
+"""
+
+URL_TEMPLATE_FILTER_SQL = f"""
+WITH {ROUTE_CTE}
+SELECT event_id, route FROM routes WHERE route NOT LIKE '%{{%'
+"""
+
+
+@register("url_template_filter", oracle=URL_TEMPLATE_FILTER_SQL, covers=["P6"])
+def q_url_template_filter(spark, sf_dir):
+    """P6: drop swagger routes still containing a {param} placeholder
+    (get_data_from_apis_instance.py:185)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    routes = events.select(
+        "event_id",
+        F.concat(
+            F.lit("/apis/api/"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 3 == 0, F.lit("/{id}")).otherwise(
+                F.concat(F.lit("/"), F.col("event_id").cast("string"))
+            ),
+        ).alias("route"),
+    )
+    return drop_url_templates(routes, "route")
+
+
+WIKIDATA_REBUILD_SQL = f"""
+WITH {TRIPLES_CTE}
+SELECT DISTINCT o AS uri,
+       'http://www.wikidata.org/entity/' || regexp_extract(o, '([^/]+)$', 1) AS canonical
+FROM triples
+WHERE p = 'owl:sameAs'
+"""
+
+
+@register("wikidata_uri_rebuild", oracle=WIKIDATA_REBUILD_SQL, covers=["F10", "P3"])
+def q_wikidata_uri_rebuild(spark, sf_dir):
+    """F10: rebuild the canonical wikidata entity URI from the last
+    /-segment of a sameAs link (wikidata_index.py:199-201)."""
+    from prosnet_prefect_pipelines_spark.functions.scalar import wikidata_id_rebuild
+
+    t = triples_from_tpch(spark, sf_dir)
+    return (
+        t.filter(F.col("p") == "owl:sameAs")
+        .select(F.col("o").alias("uri"), wikidata_id_rebuild(F.col("o")).alias("canonical"))
+        .distinct()
+    )
+
+
+JSON_ROUNDTRIP_SQL = f"""
+SELECT 'https://sws.geonames.org/' || id || '/' AS id,
+       printf('%s (%s) - %s', name, country_code, feature_code) AS label,
+       name,
+       country_code AS country,
+       feature_code
+FROM {_GEONAMES_READ_CSV}
+"""
+
+
+@register("json_sink_roundtrip", oracle=JSON_ROUNDTRIP_SQL, covers=["K3", "S8"])
+def q_json_sink_roundtrip(spark, sf_dir):
+    """K3: place docs written through the JSON-lines sink and read back —
+    the reference's JSON doc dump (geonames_place_index.py:44-53),
+    checked for write->read fidelity against the source projection."""
+    import tempfile
+
+    from prosnet_prefect_pipelines_spark.sinks import write_json_docs
+
+    docs = build_place_docs(read_geonames_tsv(spark, FIXTURE_TSV)).select(
+        "id", "label", "name", "country", "feature_code"
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_json_sink")
+    write_json_docs(docs, out)
+    return spark.read.schema(
+        "id string, label string, name string, country string, feature_code string"
+    ).json(out)
