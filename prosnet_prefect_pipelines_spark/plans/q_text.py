@@ -182,6 +182,33 @@ SELECT doc_id AS id, frame_idx, frame_len, frame_md5 FROM (
 """
 
 
+DECODE_SQL = """
+-- images are at most 8x6x3 = 144 pixel bytes, so an uncorrelated
+-- series joined on i < n enumerates every pixel index
+SELECT d.doc_id AS id,
+       'ppm' AS format,
+       CAST(4 + d.doc_id % 5 AS INT) AS width,
+       CAST(3 + d.doc_id % 4 AS INT) AS height,
+       3 AS channels,
+       CAST(SUM((d.doc_id * 3 + s.i) % 256) AS BIGINT) AS sum_pixels,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM documents d
+JOIN generate_series(0, 143) s(i)
+  ON s.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4) * 3
+GROUP BY d.doc_id
+"""
+
+
+@register("multimodal_decode", oracle=DECODE_SQL, covers=[])
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode: a deterministic P6 PPM is synthesized per doc
+    (pixels a pure function of doc_id), then decode_image parses header +
+    pixel bytes back out (pure-stdlib decoder, also handles BMP/PNG). The
+    oracle recomputes dimensions and the exact pixel sum per image."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return M.decode_image(M.synthesize_ppm(docs, "doc_id"))
+
+
 @register("multimodal_frame_sample", oracle=FRAMES_SQL, covers=[])
 def q_multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: payload -> 4 contiguous byte frames via

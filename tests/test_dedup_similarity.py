@@ -132,6 +132,108 @@ def test_sample_frames_cover_payload_exactly(spark):
     assert 3 not in by_id  # empty payload -> no frames
 
 
+def _png_bytes(w, h, pixels, color_type=2, filters=None):
+    """Minimal PNG writer for decoder tests (zlib + manual chunks)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * channels
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    filters = filters or [0] * h
+    raw = b""
+    prev = bytes(stride)
+    for row in range(h):
+        line = bytes(pixels[row * stride : (row + 1) * stride])
+        f = filters[row]
+        enc = bytearray(line)
+        for i in reversed(range(stride)):
+            a = line[i - channels] if i >= channels else 0
+            u = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - u) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - (a + u) // 2) & 0xFF
+            elif f == 4:
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (u if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_bytes(w, h, pixels):
+    """Minimal 24-bit bottom-up BMP writer (RGB in, BGR rows out)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(range(h)):
+        line = bytearray()
+        for x in range(w):
+            r, g, b = pixels[(row * w + x) * 3 : (row * w + x) * 3 + 3]
+            line += bytes([b, g, r])
+        line += bytes(stride - w * 3)
+        body += line
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def test_decode_image_bytes_all_formats():
+    from prosnet_prefect_pipelines_spark.operators.multimodal import decode_image_bytes
+
+    pixels = bytes(range(2 * 3 * 3))  # 2x3 RGB, 18 distinct bytes
+
+    ppm = b"P6\n# a comment\n2 3\n255\n" + pixels
+    assert decode_image_bytes(ppm) == ("ppm", 2, 3, 3, pixels)
+
+    assert decode_image_bytes(_bmp_bytes(2, 3, pixels)) == ("bmp", 2, 3, 3, pixels)
+
+    # every PNG filter type must reconstruct exactly
+    for filters in ([0, 0, 0], [1, 2, 3], [4, 4, 4], [0, 4, 2]):
+        png = _png_bytes(2, 3, pixels, filters=filters)
+        assert decode_image_bytes(png) == ("png", 2, 3, 3, pixels), filters
+    # grayscale and RGBA channel counts
+    gray = bytes(range(6))
+    assert decode_image_bytes(_png_bytes(2, 3, gray, color_type=0)) == ("png", 2, 3, 1, gray)
+    rgba = bytes(range(24))
+    assert decode_image_bytes(_png_bytes(2, 3, rgba, color_type=6)) == ("png", 2, 3, 4, rgba)
+
+
+def test_decode_image_dataframe(spark):
+    from prosnet_prefect_pipelines_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    out = {r.id: r for r in M.decode_image(M.synthesize_ppm(df, "doc_id")).collect()}
+    for i in (7, 12):
+        w, h = 4 + i % 5, 3 + i % 4
+        r = out[i]
+        assert (r.format, r.width, r.height, r.channels) == ("ppm", w, h, 3)
+        assert r.n_pixels == w * h * 3
+        assert r.sum_pixels == sum((i * 3 + j) % 256 for j in range(w * h * 3))
+
+
 def test_resize_bytes_average_pool(spark):
     from prosnet_prefect_pipelines_spark.operators import multimodal as M
 
