@@ -49,3 +49,53 @@ def q_ntriples_serialize(spark, sf_dir):
         (F.col("o_lang").isNull() & (F.col("o").startswith("urn:") | F.col("o").startswith("ex:"))).alias("_is_uri"),
     )
     return triples_to_ntriples(expanded, object_is_uri=F.col("_is_uri"))
+
+
+_PNAME_SQL = "regexp_matches({x}, '^[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]+$')"
+_KNOWN_SQL = (
+    "({x} LIKE 'ex:%' OR {x} LIKE 'rdf:%' OR {x} LIKE 'owl:%' "
+    "OR {x} LIKE 'wdt:%' OR {x} LIKE 'pfp:%')"
+)
+
+
+def _term_sql(x: str) -> str:
+    """Turtle URI term: bare prefixed name when safe+declared, else <expanded>."""
+    return (
+        f"CASE WHEN {_PNAME_SQL.format(x=x)} AND {_KNOWN_SQL.format(x=x)} THEN {x} "
+        f"ELSE '<' || {_EXPAND_SQL.format(x=x)} || '>' END"
+    )
+
+
+TURTLE_SQL = f"""
+WITH {TRIPLES_CTE},
+rendered AS (
+    SELECT DISTINCT
+        {_term_sql('s')} AS subj,
+        {_term_sql('p')} || ' ' ||
+        CASE WHEN o_lang IS NULL AND (o LIKE 'urn:%' OR o LIKE 'ex:%')
+             THEN {_term_sql('o')}
+             ELSE '"' || replace(replace(replace(o, '\\', '\\\\'), '"', '\\"'),
+                                 chr(10), '\\n') || '"'
+                  || CASE WHEN o_lang IS NOT NULL THEN '@' || o_lang ELSE '' END
+        END AS po
+    FROM triples
+)
+SELECT subj || ' ' || string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po) || ' .'
+           AS block
+FROM rendered GROUP BY subj
+"""
+
+
+@register("turtle_serialize", oracle=TURTLE_SQL, covers=["K4", "R11"])
+def q_turtle_serialize(spark, sf_dir):
+    """K4, reference-default format: subject-grouped Turtle blocks with
+    prefixed-name compaction (graph.serialize(format='ttl'),
+    get_data_from_apis_instance.py:97-102) — deterministic (p,o) sort per
+    block, checked block-for-block."""
+    from prosnet_prefect_pipelines_spark.sources.rdf import triples_to_turtle_blocks
+
+    t = triples_from_tpch(spark, sf_dir)
+    is_uri = F.col("o_lang").isNull() & (
+        F.col("o").startswith("urn:") | F.col("o").startswith("ex:")
+    )
+    return triples_to_turtle_blocks(t, object_is_uri=is_uri)

@@ -50,14 +50,23 @@ def triples_to_ntriples(triples: DataFrame, object_is_uri: F.Column | None = Non
     defaults to o_datatype/o_lang being NULL and o looking like a URI/node.
     """
     o = F.col("o")
+    # typed literals carry ^^<datatype> (mutually exclusive with @lang per
+    # the RDF spec); frames without the column serialize as plain/tagged
+    o_datatype = (
+        F.col("o_datatype") if "o_datatype" in triples.columns
+        else F.lit(None).cast("string")
+    )
     if object_is_uri is None:
         object_is_uri = (
             F.col("o_lang").isNull()
+            & o_datatype.isNull()
             & (o.startswith("http") | o.startswith("urn:") | o.contains(":") & ~o.contains(" "))
         )
     literal = F.concat(
         F.lit('"'), _escape(o), F.lit('"'),
-        F.when(F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang"))).otherwise(F.lit("")),
+        F.when(F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang")))
+        .when(o_datatype.isNotNull(), F.concat(F.lit("^^<"), o_datatype, F.lit(">")))
+        .otherwise(F.lit("")),
     )
     obj = F.when(object_is_uri, F.concat(F.lit("<"), o, F.lit(">"))).otherwise(literal)
     return triples.select(
@@ -100,3 +109,117 @@ def read_rdf_directory(spark: SparkSession, path: str, named_graph: str | None =
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K4 sink: distributed text write (one shard per partition; cat-able)."""
     triples_to_ntriples(triples).write.mode(mode).text(path)
+
+
+# Turtle local names may not contain these (PN_LOCAL subset we accept for
+# bare prefixed names; anything else renders as an expanded <uri>)
+_PNAME_RE = r"^[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]+$"
+
+
+def _turtle_uri_term(c: F.Column) -> F.Column:
+    """Compact prefixed name when Turtle-safe and declared, else <uri>."""
+    from prosnet_prefect_pipelines_spark.render import namespaces
+
+    known = None
+    for prefix in namespaces.PREFIXES:
+        if prefix.startswith("urn:"):
+            continue
+        cond = c.startswith(prefix + ":")
+        known = cond if known is None else (known | cond)
+    pname_ok = c.rlike(_PNAME_RE) & known
+    return F.when(pname_ok, c).otherwise(
+        F.concat(F.lit("<"), namespaces.expand(c), F.lit(">"))
+    )
+
+
+def turtle_header() -> str:
+    """@prefix block from the R11 namespace table
+    (get_data_apis_vanilla.py:960-1047; serialize at
+    get_data_from_apis_instance.py:97-102 — the reference's default
+    output format is .ttl)."""
+    from prosnet_prefect_pipelines_spark.render import namespaces
+
+    return "\n".join(
+        f"@prefix {p}: <{uri}> ."
+        for p, uri in namespaces.PREFIXES.items()
+        if not p.startswith("urn:")
+    )
+
+
+def triples_to_turtle_blocks(
+    triples: DataFrame, object_is_uri: F.Column | None = None
+) -> DataFrame:
+    """-> one-column DF of subject-grouped Turtle ``block``s:
+
+        <subject> p1 o1 ;
+            p2 o2 .
+
+    Pure Column expressions end-to-end: object rendering reuses the
+    N-Triples literal logic, predicates/URIs compact to declared prefixed
+    names when Turtle-safe; the per-subject block is one groupBy(s) +
+    array_sort + aggregate fold — a single shuffle on the subject key,
+    embarrassingly parallel at any scale. Deterministic: (p, o) pairs
+    sorted within each block.
+    """
+    o = F.col("o")
+    o_datatype = (
+        F.col("o_datatype") if "o_datatype" in triples.columns
+        else F.lit(None).cast("string")
+    )
+    if object_is_uri is None:
+        object_is_uri = (
+            F.col("o_lang").isNull()
+            & o_datatype.isNull()
+            & (o.startswith("http") | o.startswith("urn:") | o.contains(":") & ~o.contains(" "))
+        )
+    literal = F.concat(
+        F.lit('"'), _escape(o), F.lit('"'),
+        F.when(F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang")))
+        .when(o_datatype.isNotNull(), F.concat(F.lit("^^"), _turtle_uri_term(o_datatype)))
+        .otherwise(F.lit("")),
+    )
+    rendered = triples.select(
+        _turtle_uri_term(F.col("s")).alias("subj"),
+        F.concat(
+            _turtle_uri_term(F.col("p")), F.lit(" "),
+            F.when(object_is_uri, _turtle_uri_term(o)).otherwise(literal),
+        ).alias("po"),
+    )
+    return (
+        rendered.groupBy("subj")
+        .agg(F.array_sort(F.collect_set("po")).alias("pos"))
+        .select(
+            F.concat(
+                F.col("subj"), F.lit(" "),
+                F.array_join(F.col("pos"), " ;\n    "),
+                F.lit(" ."),
+            ).alias("block")
+        )
+    )
+
+
+def write_turtle(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K4 sink, reference-default format: distributed subject-grouped
+    Turtle. Every output shard starts with the @prefix header (Turtle
+    permits re-declaration), so shards are independently parseable AND
+    their concatenation is one valid document. The header prepend is an
+    Arrow-batched mapInPandas over whole partitions — no per-row Python.
+    """
+    from collections.abc import Iterator
+
+    header = turtle_header()
+    blocks = triples_to_turtle_blocks(triples)
+
+    def add_header(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        first = True
+        for pdf in it:
+            if first and len(pdf):
+                pdf = pd.concat(
+                    [pd.DataFrame({"block": [header]}), pdf], ignore_index=True
+                )
+                first = False
+            yield pdf
+
+    blocks.mapInPandas(add_header, "block string").write.mode(mode).text(path)

@@ -102,6 +102,118 @@ def test_ntriples_roundtrip(spark):
     }
 
 
+def test_ntriples_typed_literal_roundtrip(spark):
+    """Typed literals must serialize with ^^<datatype> (mutually exclusive
+    with @lang) and parse back symmetric — the geo:wktLiteral shape the
+    place renderer emits."""
+    triples = spark.createDataFrame(
+        [
+            ("http://ex/s1", "http://ex/p", "POINT (16.4 48.2)", None,
+             "http://www.opengis.net/ont/geosparql#wktLiteral"),
+            ("http://ex/s2", "http://ex/p", "1889-04-01T00:00:00", None,
+             "http://www.w3.org/2001/XMLSchema#dateTime"),
+            ("http://ex/s3", "http://ex/p", "tagged", "de", None),
+        ],
+        "s string, p string, o string, o_lang string, o_datatype string",
+    )
+    lines = [r.line for r in rdf.triples_to_ntriples(triples).collect()]
+    assert any('"POINT (16.4 48.2)"^^<http://www.opengis.net/ont/geosparql#wktLiteral>'
+               in ln for ln in lines)
+    back = rdf.ntriples_to_triples(
+        spark.createDataFrame([(ln,) for ln in lines], "line string")
+    ).collect()
+    got = {(r.s, r.o, r.o_lang, r.o_datatype) for r in back}
+    assert got == {
+        ("http://ex/s1", "POINT (16.4 48.2)", None,
+         "http://www.opengis.net/ont/geosparql#wktLiteral"),
+        ("http://ex/s2", "1889-04-01T00:00:00", None,
+         "http://www.w3.org/2001/XMLSchema#dateTime"),
+        ("http://ex/s3", "tagged", "de", None),
+    }
+
+
+def _parse_turtle(text):
+    """Minimal Turtle parser for the subset write_turtle emits: @prefix
+    lines, subject blocks with `;`-separated predicate-objects, terms as
+    <uri> / pname / "literal"(@lang|^^dt)?. Returns expanded triples."""
+    import re
+
+    prefixes = {}
+    triples = set()
+
+    def expand(term):
+        if term.startswith("<"):
+            return term[1:-1]
+        p, _, local = term.partition(":")
+        return prefixes[p] + local if p in prefixes else term
+
+    # blocks end with ' .' at line end; prefix lines handled separately
+    body = []
+    for line in text.split("\n"):
+        m = re.match(r"@prefix (\S+): <([^>]*)> \.$", line)
+        if m:
+            prefixes[m.group(1)] = m.group(2)
+        else:
+            body.append(line)
+    for block in re.split(r" \.\n|\s*\.$", "\n".join(body)):
+        block = block.strip()
+        if not block:
+            continue
+        subj_str, rest = block.split(" ", 1)
+        for po in rest.split(" ;\n    "):
+            pred, obj = po.split(" ", 1)
+            m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z-]+)|\^\^(\S+))?$', obj)
+            if m:
+                lit = m.group(1).replace("\\\\", "\x00").replace('\\n', "\n") \
+                    .replace('\\"', '"').replace("\x00", "\\")
+                triples.add((expand(subj_str), expand(pred), lit,
+                             m.group(2), expand(m.group(3)) if m.group(3) else None))
+            else:
+                triples.add((expand(subj_str), expand(pred), expand(obj), None, None))
+    return triples
+
+
+def test_write_turtle_reparses_to_same_triples(spark, tmp_path):
+    """K4 Turtle sink (the reference's default serialization): shards each
+    start with the @prefix header and re-parse to the original triple set
+    after prefix expansion."""
+    import glob
+
+    from prosnet_prefect_pipelines_spark.render.namespaces import expand as ns_expand
+
+    triples = spark.createDataFrame(
+        [
+            ("urn:cust/1", "wdt:P31", "wd:Q5", None, None),
+            ("urn:cust/1", "ex:name", 'Alice "A." Doe', None, None),
+            ("urn:cust/1", "rdfs:label", "Alice", "en", None),
+            ("urn:place/2", "geo:asWKT", "POINT (16.4 48.2)", None, "geo:wktLiteral"),
+            ("urn:place/2", "owl:sameAs", "http://www.wikidata.org/entity/Q1741", None, None),
+        ],
+        "s string, p string, o string, o_lang string, o_datatype string",
+    )
+    out = tmp_path / "ttl"
+    rdf.write_turtle(triples.repartition(3), str(out))
+
+    got = set()
+    for shard in glob.glob(f"{out}/part-*"):
+        text = open(shard).read()
+        if text.strip():
+            assert text.startswith("@prefix"), "every shard carries the header"
+            got |= _parse_turtle(text)
+
+    expanded = triples.select(
+        ns_expand(F.col("s")).alias("s"), ns_expand(F.col("p")).alias("p"),
+        F.when(F.col("o_lang").isNull() & F.col("o_datatype").isNull()
+               & (F.col("o").startswith("urn:") | F.col("o").startswith("http")
+                  | F.col("o").startswith("wd:")),
+               ns_expand(F.col("o"))).otherwise(F.col("o")).alias("o"),
+        "o_lang",
+        ns_expand(F.col("o_datatype")).alias("o_datatype"),
+    )
+    want = {(r.s, r.p, r.o, r.o_lang, r.o_datatype) for r in expanded.collect()}
+    assert got == want
+
+
 def test_rdf_directory_read_with_named_graph(spark, tmp_path):
     triples = spark.createDataFrame(
         [("http://ex/a", "http://ex/p", "http://ex/b", None, None)],
