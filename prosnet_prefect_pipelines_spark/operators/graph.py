@@ -448,10 +448,14 @@ def _local_contract(raw: DataFrame) -> DataFrame:
 
     Narrow (no shuffle); output per partition is bounded by its distinct
     node count regardless of how many duplicate/dense edges arrive.
+    Arrow-batched (``mapInPandas``): edges arrive as columnar batches and
+    the forest leaves as one batch — the union-find state spans all of a
+    partition's batches; no row-at-a-time serialization path.
     """
-    spark = raw.sparkSession
 
-    def part(rows):
+    def part(batches):
+        import pandas as pd
+
         parent: dict = {}
 
         def find(x):
@@ -462,22 +466,26 @@ def _local_contract(raw: DataFrame) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        for row in rows:
-            a, b = row[0], row[1]
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        for n in list(parent):
+        for pdf in batches:
+            for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        out_a, out_b = [], []
+        for n in parent:
             r = find(n)
             if r != n:
-                yield (n, r)
+                out_a.append(n)
+                out_b.append(r)
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b})
 
-    return spark.createDataFrame(raw.rdd.mapPartitions(part), "a string, b string")
+    return raw.mapInPandas(part, "a string, b string")
 
 
 def _components_driver(spark, e: DataFrame) -> DataFrame:
