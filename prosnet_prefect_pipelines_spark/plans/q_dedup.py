@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.operators import dedup as D
+from prosnet_prefect_pipelines_spark.operators import graph as G
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
 CORPUS_CTE = """
@@ -127,8 +128,8 @@ def q_dedup_ngram(spark, sf_dir):
     return D.ngram_jaccard_pairs(corpus(spark, sf_dir), "id", "text", k=3, threshold=0.6)
 
 
-MINHASH_SQL = f"""
-WITH {CORPUS_CTE}, {SHINGLES_CTE},
+MINHASH_PAIR_CTES = f"""
+{CORPUS_CTE}, {SHINGLES_CTE},
 -- portable 48-bit md5-prefix shingle id (bit-identical to Spark's
 -- conv(substring(md5(shingle),1,12),16,10))
 sid_tbl AS (
@@ -153,10 +154,17 @@ cands AS (
     SELECT DISTINCT x.id AS a, y.id AS b
     FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
 ),
-{JACCARD_CTE.strip().removeprefix(',').strip()}
-SELECT c.a, c.b, j.jaccard
-FROM cands c JOIN jac j ON c.a = j.a AND c.b = j.b
-WHERE j.jaccard >= 0.5
+{JACCARD_CTE.strip().removeprefix(',').strip()},
+lsh_pairs AS (
+    SELECT c.a, c.b, j.jaccard
+    FROM cands c JOIN jac j ON c.a = j.a AND c.b = j.b
+    WHERE j.jaccard >= 0.5
+)
+"""
+
+MINHASH_SQL = f"""
+WITH {MINHASH_PAIR_CTES}
+SELECT a, b, jaccard FROM lsh_pairs
 """
 
 
@@ -200,6 +208,71 @@ def q_dedup_simhash(spark, sf_dir):
     explode + small bits cross-join + two aggregations; near-dup pairs are
     then Hamming-close signatures."""
     return D.simhash_signatures(corpus(spark, sf_dir), "id", "text", bits=16)
+
+
+# -- end-to-end keeper assignment (pairs -> clusters -> keeper) -------------
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE {MINHASH_PAIR_CTES},
+-- zero-padded ids make lexicographic min == numeric min, matching the
+-- string-keyed connected-components operator
+und AS (
+    SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS x,
+           lpad(CAST(b AS VARCHAR), 12, '0') AS y
+    FROM lsh_pairs
+    UNION ALL
+    SELECT lpad(CAST(b AS VARCHAR), 12, '0'),
+           lpad(CAST(a AS VARCHAR), 12, '0')
+    FROM lsh_pairs
+),
+reach(src, dst) AS (
+    SELECT x, y FROM und
+    UNION
+    SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x
+),
+comps AS (
+    SELECT CAST(src AS BIGINT) AS node_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS comp_id
+    FROM reach GROUP BY src
+)
+SELECT c.id, coalesce(m.comp_id, c.id) AS keeper,
+       coalesce(m.comp_id, c.id) = c.id AS keep
+FROM corpus c LEFT JOIN comps m ON c.id = m.node_id
+"""
+
+
+@register("dedup_clusters", oracle=CLUSTERS_SQL, covers=["J9", "O6"])
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup keeper assignment — the shape a training-data
+    pipeline actually ships: MinHash-LSH candidate pairs -> connected
+    components over the (sparse) duplicate graph -> keeper = min id per
+    cluster; every corpus document gets a row, singletons keep themselves.
+    Scale: candidate generation is linear in the corpus, the components
+    fixpoint runs only on the duplicate graph (orders of magnitude smaller
+    than the corpus), and the final keeper join is a left join against
+    that small label table."""
+    c = corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        c, "id", "text", k=3, num_hashes=12, bands=4, threshold=0.5,
+        hash_mode="portable",
+    )
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("b").cast("string"), 12, "0").alias("dst"),
+    )
+    comps = G.connected_components(edges).select(
+        F.col("node").cast("bigint").alias("node_id"),
+        F.col("comp").cast("bigint").alias("comp_id"),
+    )
+    return (
+        c.select("id")
+        .join(comps, F.col("id") == F.col("node_id"), "left")
+        .select(
+            "id",
+            F.coalesce("comp_id", "id").alias("keeper"),
+            (F.coalesce("comp_id", "id") == F.col("id")).alias("keep"),
+        )
+    )
 
 
 # -- embedding-cosine near-dup (on the embeddings table) --------------------
