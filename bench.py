@@ -37,7 +37,32 @@ HEADLINE = [
     "session_window",         # sessionization window pass
     "text_quality",           # per-doc text statistics
     "ntriples_serialize",     # RDF writer formatting
+    "turtle_serialize",       # prefix-compressed Turtle writer
+    "dedup_clusters",         # LSH pairs -> components -> keeper
 ]
+
+
+def _prev_round_queries() -> dict[str, float]:
+    """Per-query timings from the latest driver-recorded BENCH_r{N}.json,
+    so each round's output carries regression deltas against the last."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        queries = parsed.get("queries")
+        if isinstance(queries, dict) and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), queries)
+    return best[1] if best else {}
 
 
 def main() -> None:
@@ -70,17 +95,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _prev_round_queries()
+    if prev:
+        out["deltas"] = {
+            n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
+        }
+        out["prev_total"] = round(sum(prev.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -63,23 +63,43 @@ jac AS (
 
 
 _CORPUS_CACHE: dict = {}
+_PAIRS_CACHE: dict = {}
+
+
+def _memoized(cache: dict, spark, sf_dir, build):
+    """Per-(session, sf) lazy-localCheckpoint memo, with eviction of
+    frames left over from stopped/restarted sessions (they hold
+    checkpoint blocks that can never be used again)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+    out = build().localCheckpoint(eager=False)
+    cache[key] = out
+    return out
 
 
 def corpus(spark, sf_dir):
     """Spark twin of CORPUS_CTE (memoized per session+sf, like
-    tpch_graph.triples_from_tpch — five dedup queries share it)."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    cached = _CORPUS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # evict frames from stopped/restarted sessions — they hold
-    # localCheckpoint blocks that can never be used again
-    for k in [k for k in _CORPUS_CACHE if k[0] != app_id]:
-        del _CORPUS_CACHE[k]
-    out = _build_corpus(spark, sf_dir).localCheckpoint(eager=False)
-    _CORPUS_CACHE[key] = out
-    return out
+    tpch_graph.triples_from_tpch — six dedup queries share it)."""
+    return _memoized(_CORPUS_CACHE, spark, sf_dir, lambda: _build_corpus(spark, sf_dir))
+
+
+def lsh_pairs(spark, sf_dir):
+    """Verified MinHash-LSH near-dup pairs (the `lsh_pairs` CTE), shared
+    by the pair query and the end-to-end keeper assignment — the pair
+    view is the expensive stage (shingle explode + K minhashes), so the
+    cluster pass reuses it instead of recomputing."""
+    return _memoized(
+        _PAIRS_CACHE, spark, sf_dir,
+        lambda: D.minhash_lsh_pairs(
+            corpus(spark, sf_dir), "id", "text",
+            k=3, num_hashes=12, bands=4, threshold=0.5, hash_mode="portable",
+        ),
+    )
 
 
 def _build_corpus(spark, sf_dir):
@@ -173,10 +193,7 @@ def q_dedup_minhash(spark, sf_dir):
     """MinHash(12) + LSH(4 bands x 3 rows) candidates, verified with exact
     Jaccard — the scale path for near-dup detection: candidate generation
     is linear; only bucket-colliding pairs pay verification."""
-    return D.minhash_lsh_pairs(
-        corpus(spark, sf_dir), "id", "text",
-        k=3, num_hashes=12, bands=4, threshold=0.5, hash_mode="portable",
-    )
+    return lsh_pairs(spark, sf_dir)
 
 
 SIMHASH_SQL = f"""
@@ -252,10 +269,7 @@ def q_dedup_clusters(spark, sf_dir):
     than the corpus), and the final keeper join is a left join against
     that small label table."""
     c = corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        c, "id", "text", k=3, num_hashes=12, bands=4, threshold=0.5,
-        hash_mode="portable",
-    )
+    pairs = lsh_pairs(spark, sf_dir)
     edges = pairs.select(
         F.lpad(F.col("a").cast("string"), 12, "0").alias("src"),
         F.lpad(F.col("b").cast("string"), 12, "0").alias("dst"),
