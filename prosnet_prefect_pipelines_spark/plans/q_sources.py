@@ -120,6 +120,52 @@ def q_wikidata_uri_rebuild(spark, sf_dir):
     )
 
 
+REST_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+"""
+
+
+@register(
+    "rest_paginated_scan",
+    oracle=REST_SCAN_SQL,
+    covers=["S1", "S2", "S4", "S6", "T4", "F17"],
+)
+def q_rest_paginated_scan(spark, sf_dir):
+    """S1/S4/S6: the paginated-REST Python Data Source against a
+    parquet-paged endpoint stand-in — count sizes the offset partitions
+    (the reference's derived COUNT envelope, wikidata_index.py:148-151),
+    executors fetch pages in parallel with pacing + bounded retries (T4),
+    and the incremental-date comparison is offered to pushFilters (F17);
+    whether the endpoint honors it or not, read()'s residual guard keeps
+    the result identical."""
+    import pyarrow.parquet as pq
+
+    from prosnet_prefect_pipelines_spark.sources.rest_datasource import (
+        PaginatedRestDataSource,
+    )
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    path = f"{sf_dir}/orders.parquet"
+    count = pq.read_metadata(path).num_rows
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("o_orderkey long, o_custkey long, o_orderdate string")
+        .option(
+            "fetcher",
+            "prosnet_prefect_pipelines_spark.sources.rest_datasource"
+            ":parquet_orders_fetch_page",
+        )
+        .option("fetcher_arg", path)
+        .option("count", count)
+        .option("page_size", 2000)
+        .option("retries", 2)
+        .load()
+    )
+    return df.filter(F.col("o_orderdate") >= "1997-01-01")
+
+
 JSON_ROUNDTRIP_SQL = f"""
 SELECT 'https://sws.geonames.org/' || id || '/' AS id,
        printf('%s (%s) - %s', name, country_code, feature_code) AS label,

@@ -101,6 +101,13 @@ class PaginatedRestReader(DataSourceReader):
         fetcher_ref = self.options.get("fetcher")
         mod_name, fn_name = fetcher_ref.split(":")
         fetch = getattr(importlib.import_module(mod_name), fn_name)
+        # optional string config forwarded to the fetcher (endpoint URL,
+        # fixture path, ...) — options only carry strings, so this is the
+        # one parameterization channel a callable-by-name fetcher has
+        if "fetcher_arg" in self.options:
+            arg = self.options["fetcher_arg"]
+            inner = fetch
+            fetch = lambda off, lim, pushed: inner(off, lim, pushed, arg)  # noqa: E731
 
         retries = int(self.options.get("retries", 3))
         backoff = float(self.options.get("backoff_s", 0.1))
@@ -141,6 +148,37 @@ class PaginatedRestDataSource(DataSource):
 
     def reader(self, schema) -> PaginatedRestReader:
         return PaginatedRestReader(schema, self.options)
+
+
+def parquet_orders_fetch_page(
+    offset: int, limit: int, pushed: dict, path: str
+) -> list[dict]:
+    """Deterministic REST-endpoint stand-in paged off a parquet file: the
+    orders table sorted by key, one JSON-shaped page per call, pushed
+    comparisons applied server-side — what a real paginated API does with
+    an ORDER BY + OFFSET/LIMIT + FILTER query. Reading the whole file per
+    page is the fixture's cost, not the operator's: production endpoints
+    page server-side, and the engine only sees pages."""
+    import pyarrow.parquet as pq
+
+    table = (
+        pq.read_table(path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .sort_by("o_orderkey")
+        .slice(offset, limit)
+    )
+    out = []
+    for rec in table.to_pylist():
+        row = {
+            "o_orderkey": rec["o_orderkey"],
+            "o_custkey": rec["o_custkey"],
+            "o_orderdate": rec["o_orderdate"].strftime("%Y-%m-%d"),
+        }
+        if all(
+            row.get(col) is not None and _cmp(op, row.get(col), val)
+            for col, (op, val) in pushed.items()
+        ):
+            out.append(row)
+    return out
 
 
 def ignores_pushdown_fetch_page(offset: int, limit: int, pushed: dict) -> list[dict]:
