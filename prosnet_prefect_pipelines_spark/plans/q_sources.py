@@ -120,6 +120,57 @@ def q_wikidata_uri_rebuild(spark, sf_dir):
     )
 
 
+UPSERT_ROUNDTRIP_SQL = """
+WITH runs AS (
+    SELECT c_custkey AS id, c_name AS name, 1 AS seq FROM customer
+    UNION ALL
+    SELECT c_custkey, upper(c_name), 2 FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT id, name, seq FROM runs
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY seq DESC) = 1
+"""
+
+
+@register("typesense_upsert_roundtrip", oracle=UPSERT_ROUNDTRIP_SQL, covers=["K1", "K2"])
+def q_typesense_upsert_roundtrip(spark, sf_dir):
+    """K1/K2: two sequential doc batches pushed through the
+    foreachPartition upsert sink (get-or-create collection + batched
+    import, push_to_typesense.py:23-53) into the file-backed client, read
+    back with last-write-wins by (id, seq) — the reference's
+    action="upsert" semantics checked end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.sinks import (
+        LocalJsonUpsertClient,
+        upsert_foreach_partition,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    run1 = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.lit(1).alias("seq"),
+    )
+    run2 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("id"), F.upper("c_name").alias("name"),
+        F.lit(2).alias("seq"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_upsert_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    for batch in (run1, run2):
+        upsert_foreach_partition(batch, lambda: LocalJsonUpsertClient(out), batch_size=500)
+    docs = spark.read.schema("id long, name string, seq int").json(out)
+    w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "name", "seq")
+    )
+
+
 REST_SCAN_SQL = """
 SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
 FROM orders
