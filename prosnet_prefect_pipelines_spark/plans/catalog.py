@@ -47,6 +47,7 @@ def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from prosnet_prefect_pipelines_spark.plans import (  # noqa: F401
         q_aggregates,
+        q_curation,
         q_dedup,
         q_flagship,
         q_functions,

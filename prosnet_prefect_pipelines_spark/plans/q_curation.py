@@ -1,0 +1,175 @@
+"""Corpus-curation queries (north-star extension): deterministic
+sampling / splits / packing and the end-to-end curation pipeline a
+training-data job actually ships (dedup keep + quality gate + lang tag).
+
+The portable-fraction DuckDB twin mirrors operators/sampling.py's
+md5-prefix hash digit-for-digit, so sample membership is compared
+value-for-value across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import sampling as S
+from prosnet_prefect_pipelines_spark.operators import textstats as T
+from prosnet_prefect_pipelines_spark.plans import q_dedup
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+
+def _frac_sql(key_expr: str, salt: str = "") -> str:
+    """DuckDB twin of sampling.portable_fraction: 48-bit md5 prefix of
+    (key || salt) as a uniform [0,1) double."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || '{salt}')"
+    return (
+        "list_sum(list_transform(generate_series(1, 12), i -> "
+        f"CAST(strpos('0123456789abcdef', substr({h}, i, 1)) - 1 AS BIGINT)"
+        " * CAST(power(16, 12 - i) AS BIGINT))) / 281474976710656.0"
+    )
+
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_frac_sql('doc_id')} < 0.25
+"""
+
+
+@register("sample_hash_deterministic", oracle=SAMPLE_SQL, covers=[])
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli sample at 25%: membership is a pure
+    function of doc_id (no rand/seed), so the sample survives reruns,
+    repartitioning, and engine swaps unchanged — a narrow filter with
+    zero shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return S.hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang", "source")
+
+
+_STRATA = {"click": 0.5, "purchase": 1.0, "view": 0.1}
+
+STRATIFIED_SQL = f"""
+SELECT event_id, event_type FROM events
+WHERE {_frac_sql('event_id')} <
+      CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
+                      WHEN 'view' THEN 0.1 ELSE 0.0 END
+"""
+
+
+@register("sample_stratified", oracle=STRATIFIED_SQL, covers=[])
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (reproducible sampleBy): keep
+    100% of purchases, 50% of clicks, 10% of views, drop the rest — the
+    class-rebalancing shape, as a literal CASE + narrow filter."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return S.stratified_sample(events, "event_id", "event_type", _STRATA).select(
+        "event_id", "event_type"
+    )
+
+
+SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_frac_sql('doc_id', 'split')} < 0.1 THEN 'test'
+            WHEN {_frac_sql('doc_id', 'split')} < 0.2 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("train_val_test_split", oracle=SPLIT_SQL, covers=[])
+def q_train_val_test_split(spark, sf_dir):
+    """Key-pure train/val/test assignment (10/10/80): a document can
+    never migrate between splits across reruns or corpus growth — the
+    train-eval contamination guard. Salted independently from any
+    sampling decision on the same key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return S.train_val_test(docs, "doc_id", val_frac=0.1, test_frac=0.1).select(
+        "doc_id", "split"
+    )
+
+
+PACK_SQL = """
+WITH sized AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum
+    FROM sized
+)
+SELECT doc_id, shard, n_tokens, cum // 512 AS bin, cum % 512 AS bin_offset
+FROM c
+"""
+
+
+@register("pack_sequences", oracle=PACK_SQL, covers=[])
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing into 512-token bins, sharded 8
+    ways: each shard packs independently (one window agg per shard, no
+    global ordering), so packing parallelizes with the shard count —
+    the context-window layout step of an LLM data pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return S.pack_greedy(sized, "shard", "doc_id", "n_tokens", budget=512).select(
+        "doc_id", "shard", "n_tokens", "bin", "bin_offset"
+    )
+
+
+CURATION_SQL = f"""
+WITH RECURSIVE {q_dedup.MINHASH_PAIR_CTES}, {q_dedup.COMPONENT_CTES},
+kept AS (
+    SELECT c.id, c.text
+    FROM corpus c LEFT JOIN comps m ON c.id = m.node_id
+    WHERE coalesce(m.comp_id, c.id) = c.id
+),
+t AS (
+    SELECT id, text,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS n_punct
+    FROM kept
+),
+s AS (
+    SELECT id, n_chars, len(toks) AS n_tokens, n_punct,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+               AS n_stop
+    FROM t
+),
+scored AS (
+    SELECT id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * round(n_stop / n_tokens, 6)
+                 + 0.2 * (1 - round(n_punct / n_chars, 6)), 6) AS quality
+    FROM s
+)
+SELECT id, n_tokens, quality FROM scored WHERE quality >= 0.5
+"""
+
+
+@register("corpus_curation", oracle=CURATION_SQL, covers=["J9", "P7"])
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation pipeline a training-data job ships:
+    near-dup removal (MinHash-LSH pairs -> components -> keep only
+    cluster keepers) composed with a quality gate — one pass over the
+    corpus reusing the shared pair view; the expensive stages (shingle
+    explode, K minhashes) are computed once per session+sf."""
+    c = q_dedup.corpus(spark, sf_dir)
+    keepers = q_dedup.q_dedup_clusters(spark, sf_dir).filter(F.col("keep")).select("id")
+    kept = c.join(keepers, "id")
+    return (
+        kept.select(
+            "id",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )

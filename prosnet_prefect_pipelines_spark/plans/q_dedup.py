@@ -229,8 +229,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 # -- end-to-end keeper assignment (pairs -> clusters -> keeper) -------------
 
-CLUSTERS_SQL = f"""
-WITH RECURSIVE {MINHASH_PAIR_CTES},
+COMPONENT_CTES = """
 -- zero-padded ids make lexicographic min == numeric min, matching the
 -- string-keyed connected-components operator
 und AS (
@@ -252,6 +251,10 @@ comps AS (
            CAST(least(src, min(dst)) AS BIGINT) AS comp_id
     FROM reach GROUP BY src
 )
+"""
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE {MINHASH_PAIR_CTES}, {COMPONENT_CTES}
 SELECT c.id, coalesce(m.comp_id, c.id) AS keeper,
        coalesce(m.comp_id, c.id) = c.id AS keep
 FROM corpus c LEFT JOIN comps m ON c.id = m.node_id
