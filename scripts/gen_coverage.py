@@ -98,7 +98,7 @@ INVENTORY: dict[str, tuple[str, str]] = {
     "K1": ("Get-or-create collection", f"{PKG}/sinks.py (UpsertClient.ensure_collection)"),
     "K2": ("Bulk upsert", f"{PKG}/sinks.py (upsert_foreach_partition)"),
     "K3": ("JSON file sink", f"{PKG}/sinks.py (write_json_docs)"),
-    "K4": ("RDF serialize", f"{PKG}/sources/rdf.py (triples_to_ntriples, write_ntriples)"),
+    "K4": ("RDF serialize (nt/nq/ttl + typed literals)", f"{PKG}/sources/rdf.py (write_ntriples, write_turtle)"),
     "K5": ("Git branch/commit/push", f"{PKG}/sinks.py (publication_hook; driver-side)"),
     "K6": ("PR/MR creation", f"{PKG}/sinks.py (publication_hook; driver-side)"),
     "K7": ("Markdown run report", "bench.py JSON line (driver-side metrics)"),
@@ -128,7 +128,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-MM-FEATURES": ("Arrow-batched feature extraction", f"{PKG}/operators/multimodal.py (extract_binary_features)"),
     "X-MM-FRAMES": ("Frame sampling (mapInPandas byte frames)", f"{PKG}/operators/multimodal.py (sample_frames)"),
     "X-MM-RESIZE": ("Resize / average-pool (mapInPandas)", f"{PKG}/operators/multimodal.py (resize_bytes)"),
-    "X-MM-DECODE": ("Image/audio decode (STUB)", f"{PKG}/operators/multimodal.py (decode_image; NotImplementedError)"),
+    "X-MM-DECODE": ("Image decode (REAL: PPM/BMP/PNG, pure stdlib)", f"{PKG}/operators/multimodal.py (decode_image, decode_image_bytes)"),
     "X-WIN-TUMBLE": ("Tumbling windows", f"{PKG}/streaming/windows.py (tumble)"),
     "X-WIN-SLIDE": ("Sliding windows", f"{PKG}/streaming/windows.py (sliding_windows)"),
     "X-WIN-SESSION": ("Session windows", f"{PKG}/streaming/windows.py (sessionize)"),
@@ -136,6 +136,12 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-STATEFUL": ("Custom stateful operator (applyInPandasWithState)", f"{PKG}/streaming/stateful.py (last_write_wins_state)"),
     "X-ASOF": ("As-of join (latest right row at-or-before)", f"{PKG}/operators/temporal.py (as_of_join)"),
     "X-RANGE": ("Range join (point-in-interval, bucketized)", f"{PKG}/operators/temporal.py (range_join)"),
+    "X-DEDUP-CLUSTERS": ("End-to-end keeper assignment (pairs -> components -> keeper)", "plans/q_dedup.py (q_dedup_clusters)"),
+    "X-SAMPLE-HASH": ("Deterministic Bernoulli sampling (portable hash)", f"{PKG}/operators/sampling.py (hash_sample)"),
+    "X-SAMPLE-STRAT": ("Stratified sampling (per-stratum fractions)", f"{PKG}/operators/sampling.py (stratified_sample)"),
+    "X-SPLIT": ("Key-pure train/val/test split", f"{PKG}/operators/sampling.py (train_val_test)"),
+    "X-PACK": ("Sharded concat-then-chunk sequence packing", f"{PKG}/operators/sampling.py (pack_greedy)"),
+    "X-CURATE": ("End-to-end corpus curation (dedup keep + quality gate)", "plans/q_curation.py (q_corpus_curation)"),
 }
 
 EXT_QUERIES = {
@@ -156,7 +162,7 @@ EXT_QUERIES = {
     "X-MM-FEATURES": ["multimodal_features"],
     "X-MM-FRAMES": ["multimodal_frame_sample"],
     "X-MM-RESIZE": [],
-    "X-MM-DECODE": [],
+    "X-MM-DECODE": ["multimodal_decode"],
     "X-WIN-TUMBLE": ["tumbling_window"],
     "X-WIN-SLIDE": ["sliding_window"],
     "X-WIN-SESSION": ["session_window"],
@@ -164,6 +170,12 @@ EXT_QUERIES = {
     "X-STATEFUL": ["stream_stateful_upsert"],
     "X-ASOF": ["asof_join"],
     "X-RANGE": ["range_join"],
+    "X-DEDUP-CLUSTERS": ["dedup_clusters"],
+    "X-SAMPLE-HASH": ["sample_hash_deterministic"],
+    "X-SAMPLE-STRAT": ["sample_stratified"],
+    "X-SPLIT": ["train_val_test_split"],
+    "X-PACK": ["pack_sequences"],
+    "X-CURATE": ["corpus_curation"],
 }
 
 
@@ -206,8 +218,6 @@ def main() -> None:
         qs = EXT_QUERIES.get(op, [])
         if qs:
             check = "oracle" if all(q in oracles for q in qs) else "mixed"
-        elif op == "X-MM-DECODE":
-            check = "stubbed (gated NotImplementedError)"
         else:
             check = "module tests"
         lines.append(f"| {op} | {desc} | `{impl}` | {', '.join(qs) or '—'} | {check} |")
