@@ -293,11 +293,19 @@ def kmeans_centroids(
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
         )
-        # per-cell elementwise mean via posexplode -> (cid, pos) agg
+        # per-cell elementwise mean via posexplode -> (cid, pos) agg.
+        # Sum in DECIMAL (exact, order-independent — partial-aggregation
+        # order must not perturb the centroid) and divide once in double:
+        # the one rounding step is deterministic in any engine.
         sums = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
         )
         new_cents = (
             sums.groupBy("cid")

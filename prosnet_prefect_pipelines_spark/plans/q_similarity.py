@@ -142,6 +142,83 @@ SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
 """
 
 
+# DuckDB twin of one Lloyd's iteration, parameterized by the incoming
+# centroid CTE name: assignment (argmax rounded cosine, cid tie-break),
+# exact DECIMAL elementwise sums divided once in double, L2-normalize,
+# cast to float32 like the operator.
+def _lloyd_iter(src: str, n: int) -> str:
+    return f"""
+a{n} AS (
+    SELECT id, cid FROM (
+        SELECT x.id, c.cid,
+               row_number() OVER (
+                   PARTITION BY x.id
+                   ORDER BY round({_cos('x.v', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM v x CROSS JOIN {src} c
+    ) t WHERE rn = 1
+),
+m{n} AS (
+    SELECT a.cid, p.pos,
+           CAST(SUM(CAST(x.v[p.pos] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+    FROM a{n} a JOIN v x ON a.id = x.id, generate_series(1, 64) p(pos)
+    GROUP BY a.cid, p.pos
+),
+r{n} AS (SELECT cid, list(m ORDER BY pos) AS cvr FROM m{n} GROUP BY cid),
+c{n} AS (
+    SELECT cid,
+           list_transform(cvr, x -> CAST(x / sqrt(list_reduce(
+               list_transform(cvr, y -> y * y), (xx, yy) -> xx + yy)) AS REAL))
+               AS cv
+    FROM r{n}
+)
+"""
+
+
+KMEANS_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+c0 AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 4
+),
+{_lloyd_iter('c0', 1)},
+{_lloyd_iter('c1', 2)}
+SELECT id, cid AS cell, ccos FROM (
+    SELECT x.id, c.cid,
+           round({_cos('x.v', 'c.cv')}, 6) AS ccos,
+           row_number() OVER (
+               PARTITION BY x.id
+               ORDER BY round({_cos('x.v', 'c.cv')}, 6) DESC, c.cid
+           ) AS rn
+    FROM v x CROSS JOIN c2 c
+) t WHERE rn = 1
+"""
+
+
+@register("ann_kmeans_cells", oracle=KMEANS_SQL, covers=["O6"])
+def q_ann_kmeans_cells(spark, sf_dir):
+    """Spherical k-means (Lloyd's, 2 iterations, 4 cells) trained by the
+    IVF trainer, then every vector assigned to its trained cell. Each
+    iteration is one broadcast-centroid assignment pass plus a
+    (cell, dim)-keyed aggregation whose shuffle size is cells x dims —
+    independent of corpus size; means are exact decimal sums divided
+    once, so partial-aggregation order can't perturb the centroids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql.window import Window
+
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", n_cells=4, iterations=2)
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    scored = vecs.join(F.broadcast(cents)).select(
+        "id", "cid", F.round(S.cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("cid").alias("cell"), "ccos")
+    )
+
+
 @register("ann_ivf_topk", oracle=IVF_SQL, covers=["O6", "J1", "O1"])
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-5: broadcast-centroid assignment (narrow pass)

@@ -120,6 +120,54 @@ def q_wikidata_uri_rebuild(spark, sf_dir):
     )
 
 
+SWAGGER_SQL = """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+routes AS (
+    SELECT '/apis/api/' || event_type AS route, event_type FROM types
+    UNION ALL
+    SELECT '/apis/api/' || event_type || '/{id}', event_type FROM types
+),
+keep AS (SELECT route, event_type FROM routes WHERE route NOT LIKE '%{%')
+SELECT k.route, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM keep k JOIN events e ON e.event_type = k.event_type
+GROUP BY k.route
+"""
+
+
+@register("swagger_route_discovery", oracle=SWAGGER_SQL, covers=["S5", "P6", "F21"])
+def q_swagger_route_discovery(spark, sf_dir):
+    """S5: route discovery off a swagger document — the spec is a small
+    driver-side artifact (as in the reference,
+    get_data_from_apis_instance.py:178-187): parse its paths, drop
+    {param}-templated routes, then fan the kept routes out over the data
+    (here: row counts per discovered route). The fan-out join is the
+    distributed part; the spec itself never needs to be."""
+    import json
+
+    from prosnet_prefect_pipelines_spark.operators.relational import drop_url_templates
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = sorted(r.event_type for r in events.select("event_type").distinct().collect())
+    spec = json.dumps(
+        {"paths": {p: {"get": {}} for t in types
+                   for p in (f"/apis/api/{t}", "/apis/api/" + t + "/{id}")}}
+    )
+    spec_df = spark.createDataFrame([(spec,)], "spec string")
+    routes = spec_df.select(
+        F.explode(
+            F.json_object_keys(F.get_json_object("spec", "$.paths"))
+        ).alias("route")
+    )
+    kept = drop_url_templates(routes, "route").withColumn(
+        "event_type", F.regexp_extract("route", "^/apis/api/([^/]+)", 1)
+    )
+    return (
+        events.join(F.broadcast(kept), "event_type")
+        .groupBy("route")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
 UPSERT_ROUNDTRIP_SQL = """
 WITH runs AS (
     SELECT c_custkey AS id, c_name AS name, 1 AS seq FROM customer

@@ -209,6 +209,38 @@ def q_multimodal_decode(spark, sf_dir):
     return M.decode_image(M.synthesize_ppm(docs, "doc_id"))
 
 
+RESIZE_SQL = """
+WITH cells AS (
+    SELECT doc_id, text, j,
+           j * length(text) // 16 AS lo,
+           CASE WHEN (j + 1) * length(text) // 16 <= j * length(text) // 16
+                THEN j * length(text) // 16 + 1
+                ELSE (j + 1) * length(text) // 16 END AS hi
+    FROM documents, generate_series(0, 15) t(j)
+    WHERE length(text) > 0
+)
+SELECT doc_id AS id, CAST(j AS INT) AS cell_idx,
+       CAST(list_sum(list_transform(generate_series(lo + 1, hi),
+                                    i -> ascii(substr(text, i, 1))))
+            // (hi - lo) AS INT) AS cell
+FROM cells
+"""
+
+
+@register("multimodal_resize", oracle=RESIZE_SQL, covers=[])
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing: payload bytes average-pooled into 16 cells via
+    mapInPandas (the deterministic stand-in for image resize), cells
+    exploded to rows so the oracle can recompute every window mean with
+    byte arithmetic (ASCII corpus: byte == ascii(char))."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = M.attach_binary_payload(docs, "doc_id", "text")
+    pooled = M.resize_bytes(payload, out_len=16)
+    return pooled.select(
+        "id", F.posexplode("cells").alias("cell_idx", "cell")
+    )
+
+
 @register("multimodal_frame_sample", oracle=FRAMES_SQL, covers=[])
 def q_multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: payload -> 4 contiguous byte frames via

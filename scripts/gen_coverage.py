@@ -153,7 +153,7 @@ EXT_QUERIES = {
     "X-ANN-BRUTE": ["ann_cosine_topk"],
     "X-ANN-LSH": ["ann_rhp_lsh_topk"],
     "X-ANN-IVF": ["ann_ivf_topk"],
-    "X-ANN-KMEANS": [],
+    "X-ANN-KMEANS": ["ann_kmeans_cells"],
     "X-TEXT-LANG": ["text_lang_id"],
     "X-TEXT-QUALITY": ["text_quality"],
     "X-TEXT-TOKENS": ["text_fingerprint"],
@@ -161,7 +161,7 @@ EXT_QUERIES = {
     "X-MM-BINARY": ["multimodal_features"],
     "X-MM-FEATURES": ["multimodal_features"],
     "X-MM-FRAMES": ["multimodal_frame_sample"],
-    "X-MM-RESIZE": [],
+    "X-MM-RESIZE": ["multimodal_resize"],
     "X-MM-DECODE": ["multimodal_decode"],
     "X-WIN-TUMBLE": ["tumbling_window"],
     "X-WIN-SLIDE": ["sliding_window"],
