@@ -95,6 +95,65 @@ def shingle_table(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    train_id: str,
+    train_text: str,
+    evalset: DataFrame,
+    eval_id: str,
+    eval_text: str,
+    k: int = 3,
+    min_common: int = 1,
+) -> DataFrame:
+    """-> (train_id, eval_id, n_common): training documents sharing at
+    least ``min_common`` distinct word k-grams with an eval document —
+    the benchmark-decontamination pass of a training-data pipeline.
+
+    Scale shape: the eval side is a benchmark (thousands of docs, not
+    billions), so its shingle table is BROADCAST; the training corpus
+    streams through a narrow hash-join probe — the 100 TB side is never
+    shuffled. Count aggregation keys on (train, eval) pairs, which only
+    exist for actual collisions.
+    """
+    tr = shingle_table(train, train_id, train_text, k)
+    ev = shingle_table(evalset, eval_id, eval_text, k).withColumnRenamed(
+        "id", "eval_id"
+    )
+    return (
+        tr.join(F.broadcast(ev), on="shingle")
+        .groupBy("id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .withColumnRenamed("id", "train_id")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """-> (id, n_ngrams, n_distinct, dup_ngram_frac): the fraction of
+    k-gram occurrences inside a document that are repeats of an earlier
+    occurrence — the intra-document repetition quality signal
+    (Gopher-style repetition filters threshold on it).
+
+    One explode (k-grams WITH multiplicity) and two aggregations keyed
+    by document — shuffle keys are (id, shingle) then id, so work is
+    proportional to corpus token count and partitions by document.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    per = sh.groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.6
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from prosnet_prefect_pipelines_spark.operators import dedup as D
 from prosnet_prefect_pipelines_spark.operators import sampling as S
 from prosnet_prefect_pipelines_spark.operators import textstats as T
 from prosnet_prefect_pipelines_spark.plans import q_dedup
@@ -120,6 +121,84 @@ def q_pack_sequences(spark, sf_dir):
     return S.pack_greedy(sized, "shard", "doc_id", "n_tokens", budget=512).select(
         "doc_id", "shard", "n_tokens", "bin", "bin_offset"
     )
+
+
+# word-3-gram expansion (the dedup shingle shape) over an arbitrary CTE
+def _shingle_lateral(src: str, id_expr: str, out_id: str, distinct: bool) -> str:
+    d = "DISTINCT " if distinct else ""
+    return f"""
+    SELECT {d}{id_expr} AS {out_id}, shingle
+    FROM (SELECT {id_expr}, string_split_regex(trim(text), '\\s+') AS w FROM {src}) t,
+    LATERAL (
+        SELECT unnest(
+            CASE WHEN len(w) >= 3
+                 THEN list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' '))
+                 ELSE [array_to_string(w, ' ')] END
+        ) AS shingle
+    ) s
+"""
+
+
+DECONTAMINATE_SQL = f"""
+WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+tr_sh AS ({_shingle_lateral('documents', 'doc_id', 'train_id', True)}),
+ev_sh AS ({_shingle_lateral('ev', 'doc_id', 'eval_id', True)})
+SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM tr_sh JOIN ev_sh USING (shingle)
+GROUP BY train_id, eval_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("decontaminate_ngrams", oracle=DECONTAMINATE_SQL, covers=["J1"])
+def q_decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination: training documents sharing >= 2
+    distinct word 3-grams with an eval-set document (here: the doc_id
+    %97 slice standing in for a held-out benchmark). The eval shingle
+    table is broadcast — the training corpus is probed narrowly, never
+    shuffled, which is what makes this runnable against 100 TB of
+    training text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.ngram_contamination(
+        docs, "doc_id", "text", evalset, "doc_id", "text", k=3, min_common=2
+    )
+
+
+REPETITION_SQL = f"""
+WITH rep AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END AS text
+    FROM documents
+),
+sh AS ({_shingle_lateral('rep', 'doc_id', 'id', False)}),
+per AS (SELECT id, shingle, COUNT(*) AS c FROM sh GROUP BY id, shingle)
+SELECT id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup_ngram_frac
+FROM per GROUP BY id
+"""
+
+
+@register("doc_repetition", oracle=REPETITION_SQL, covers=["A1"])
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document repetition signal (Gopher-style quality filter):
+    fraction of 3-gram occurrences that repeat an earlier one. Every
+    fifth document is doubled in-query so the signal has real spread.
+    One explode + two document-keyed aggregations — work proportional
+    to corpus token count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.repetition_stats(rep, "doc_id", "text", k=3)
 
 
 CURATION_SQL = f"""

@@ -142,6 +142,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-SPLIT": ("Key-pure train/val/test split", f"{PKG}/operators/sampling.py (train_val_test)"),
     "X-PACK": ("Sharded concat-then-chunk sequence packing", f"{PKG}/operators/sampling.py (pack_greedy)"),
     "X-CURATE": ("End-to-end corpus curation (dedup keep + quality gate)", "plans/q_curation.py (q_corpus_curation)"),
+    "X-DECONTAM": ("Benchmark decontamination (broadcast n-gram overlap)", f"{PKG}/operators/dedup.py (ngram_contamination)"),
+    "X-REPETITION": ("Intra-doc repetition signal (Gopher-style filter)", f"{PKG}/operators/dedup.py (repetition_stats)"),
 }
 
 EXT_QUERIES = {
@@ -176,6 +178,8 @@ EXT_QUERIES = {
     "X-SPLIT": ["train_val_test_split"],
     "X-PACK": ["pack_sequences"],
     "X-CURATE": ["corpus_curation"],
+    "X-DECONTAM": ["decontaminate_ngrams"],
+    "X-REPETITION": ["doc_repetition"],
 }
 
 
