@@ -121,6 +121,71 @@ def q_stream_sliding(spark, sf_dir):
     )
 
 
+STREAM_JOIN_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_stream_join", oracle=STREAM_JOIN_SQL, covers=["T1", "J1"])
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (view -> purchase attribution within
+    1 hour): both sides are watermarked streams; the time-range join
+    condition bounds each side's state to the interval plus watermark
+    delay, so state is evicted as event time advances — the canonical
+    Structured Streaming join shape. With a bounded availableNow replay
+    the emitted matches equal the batch interval join exactly."""
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+            F.col("ts_us").alias("view_us"),
+        )
+        .withWatermark("view_time", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("ts_us").alias("purchase_us"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_time >= view_time "
+            "AND purchase_time <= view_time + interval 1 hour"
+        ),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_us",
+        "purchase_us",
+    )
+
+
 STATEFUL_UPSERT_SQL = """
 SELECT user_id, event_id, event_type, ts_us FROM (
     SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

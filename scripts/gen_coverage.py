@@ -168,7 +168,7 @@ EXT_QUERIES = {
     "X-WIN-TUMBLE": ["tumbling_window"],
     "X-WIN-SLIDE": ["sliding_window"],
     "X-WIN-SESSION": ["session_window"],
-    "X-STREAM": ["stream_tumbling_window", "stream_sliding_window"],
+    "X-STREAM": ["stream_tumbling_window", "stream_sliding_window", "stream_stream_join"],
     "X-STATEFUL": ["stream_stateful_upsert"],
     "X-ASOF": ["asof_join"],
     "X-RANGE": ["range_join"],
