@@ -206,11 +206,16 @@ def minhash_signatures(
     hash_mode: str = "portable",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """-> (id, j, minhash) for j in 0..num_hashes-1.
+    """-> (id, m0..m{num_hashes-1}): every minhash in ONE aggregation pass.
 
-    hash_j(s) = (a_j * sid + b_j) mod PRIME with fixed odd a_j / b_j.
-    ``shingles``: optionally pass a (materialized) shingle_table to share
-    the scan with other stages.
+    hash_j(s) = (a_j * sid + b_j) mod PRIME with fixed odd a_j / b_j,
+    computed as ``num_hashes`` parallel ``min()`` aggregates over the
+    shingle table — no K-fold row inflation: map-side partial aggregation
+    reduces each partition to one row per id before the only shuffle, and
+    the shuffle carries K columns instead of K rows per document (at
+    K=12 that is a 12x cut in shuffled rows vs the explode-then-group
+    shape). ``shingles``: optionally pass a (materialized) shingle_table
+    to share the scan with other stages.
     """
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, k)
     if hash_mode == "portable":
@@ -219,13 +224,13 @@ def minhash_signatures(
         sh = sh.select("id", (F.abs(F.xxhash64("shingle")) % PRIME).alias("sid"))
     else:
         raise ValueError(hash_mode)
-    hashes = [(j, 2 * j + 1, 97 * j + 13) for j in range(num_hashes)]
-    hdf = sh.sparkSession.createDataFrame(hashes, "j int, a long, b long")
-    return (
-        sh.join(F.broadcast(hdf))
-        .groupBy("id", "j")
-        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % PRIME).alias("minhash"))
-    )
+    aggs = [
+        F.min((F.lit(2 * j + 1) * F.col("sid") + F.lit(97 * j + 13)) % PRIME).alias(
+            f"m{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -248,18 +253,19 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode, shingles=sh)
-    band_sig = (
-        sig.withColumn("band", (F.col("j") / r).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                    lambda s: s.getField("minhash").cast("string"),
-                ),
-                "_",
-            ).alias("bucket")
-        )
+    # band b's bucket = its r minhash columns joined in j order — a pure
+    # projection off the wide signature row (the old (id, j) band
+    # aggregation is gone with the narrow format)
+    band_buckets = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * r + i}").cast("string") for i in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+    band_sig = sig.select(
+        "id", F.posexplode(band_buckets).alias("band", "bucket")
     ).localCheckpoint(eager=False)  # self-joined below
     cands = (
         band_sig.alias("x")

@@ -156,6 +156,11 @@ def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE scan per source table: each row carries an array of
+    conditionally-present (s, p, o, o_lang) template structs which is
+    compacted and exploded (the render-module idiom) — at scale this is
+    one pass over each fact table instead of one scan per union branch
+    (the old shape read customer 9x and supplier 8x)."""
     from prosnet_prefect_pipelines_spark.functions.scalar import FEATURE_CODES_RANK
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -164,97 +169,94 @@ def _build_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
 
-    def t(s, p, o, o_lang=None):
-        lang = F.lit(o_lang).cast("string") if o_lang is None else F.lit(o_lang)
-        return [s.alias("s"), F.lit(p).alias("p"), o.alias("o"), lang.alias("o_lang")]
+    def tb(s, p, o, lang=None, cond=None):
+        """One template branch: a struct, or null when cond is false."""
+        st = F.struct(
+            s.alias("s"),
+            F.lit(p).alias("p"),
+            o.alias("o"),
+            F.lit(lang).cast("string").alias("o_lang"),
+        )
+        return st if cond is None else F.when(cond, st)
+
+    def explode_templates(df: DataFrame, branches: list) -> DataFrame:
+        return df.select(
+            F.explode(F.array_compact(F.array(*branches))).alias("t")
+        ).select("t.s", "t.p", "t.o", "t.o_lang")
 
     nat_s = F.concat(F.lit("urn:nation/"), F.col("n_nationkey").cast("string"))
     reg_s = F.concat(F.lit("urn:region/"), F.col("r_regionkey").cast("string"))
     cust_s = F.concat(F.lit("urn:cust/"), F.col("c_custkey").cast("string"))
-
-    parts = [
-        nation.select(*t(nat_s, "rdf:type", F.lit("ex:Nation"))),
-        nation.select(*t(nat_s, "ex:label", F.col("n_name"), "en")),
-        nation.filter(F.col("n_nationkey") % 2 == 0).select(
-            *t(nat_s, "ex:label", F.concat(F.lit("DE "), F.col("n_name")), "de")
-        ),
-        nation.select(
-            *t(nat_s, "ex:inRegion", F.concat(F.lit("urn:region/"), F.col("n_regionkey").cast("string")))
-        ),
-        region.select(*t(reg_s, "rdf:type", F.lit("ex:Region"))),
-        region.select(*t(reg_s, "ex:label", F.col("r_name"), "en")),
-        customer.select(*t(cust_s, "rdf:type", F.lit("ex:Person"))),
-        customer.select(*t(cust_s, "ex:label", F.col("c_name"))),
-        customer.select(
-            *t(cust_s, "ex:nation", F.concat(F.lit("urn:nation/"), F.col("c_nationkey").cast("string")))
-        ),
-        customer.filter(F.col("c_mktsegment").isNotNull()).select(
-            *t(cust_s, "ex:segment", F.col("c_mktsegment"))
-        ),
-        part.filter(F.col("p_partkey") >= 2).select(
-            *t(
-                F.concat(F.lit("urn:class/"), F.col("p_partkey").cast("string")),
-                "wdt:P279",
-                F.concat(F.lit("urn:class/"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")),
-            )
-        ),
-        customer.filter((F.col("c_custkey") % 10 != 1) & (F.col("c_acctbal") >= 0)).select(
-            *t(cust_s, "owl:sameAs", F.concat(F.lit("urn:cust/"), (F.col("c_custkey") - 1).cast("string")))
-        ),
-        customer.filter(F.col("c_custkey") % 50 == 0).select(
-            *t(
-                F.concat(F.lit("urn:proxy/"), F.col("c_custkey").cast("string")),
-                "pfp:proxy_for",
-                cust_s,
-            )
-        ),
-    ]
-
     ck = F.col("c_custkey")
     rank_arr = F.array(*[F.lit(x) for x in FEATURE_CODES_RANK])
     sup_s = F.concat(F.lit("urn:sup/"), F.col("s_suppkey").cast("string"))
     sk = F.col("s_suppkey")
-    parts += [
+
+    nation_t = explode_templates(nation, [
+        tb(nat_s, "rdf:type", F.lit("ex:Nation")),
+        tb(nat_s, "ex:label", F.col("n_name"), "en"),
+        tb(nat_s, "ex:label", F.concat(F.lit("DE "), F.col("n_name")), "de",
+           cond=F.col("n_nationkey") % 2 == 0),
+        tb(nat_s, "ex:inRegion",
+           F.concat(F.lit("urn:region/"), F.col("n_regionkey").cast("string"))),
+    ])
+    region_t = explode_templates(region, [
+        tb(reg_s, "rdf:type", F.lit("ex:Region")),
+        tb(reg_s, "ex:label", F.col("r_name"), "en"),
+    ])
+    customer_t = explode_templates(customer, [
+        tb(cust_s, "rdf:type", F.lit("ex:Person")),
+        tb(cust_s, "ex:label", F.col("c_name")),
+        tb(cust_s, "ex:nation",
+           F.concat(F.lit("urn:nation/"), F.col("c_nationkey").cast("string"))),
+        tb(cust_s, "ex:segment", F.col("c_mktsegment"),
+           cond=F.col("c_mktsegment").isNotNull()),
+        tb(cust_s, "owl:sameAs",
+           F.concat(F.lit("urn:cust/"), (ck - 1).cast("string")),
+           cond=(ck % 10 != 1) & (F.col("c_acctbal") >= 0)),
+        tb(F.concat(F.lit("urn:proxy/"), ck.cast("string")), "pfp:proxy_for",
+           cust_s, cond=ck % 50 == 0),
         # city-index shape (wdt:P31 typing, feature codes, WKT coords)
-        customer.select(
-            *t(cust_s, "wdt:P31", F.concat(F.lit("urn:class/"), (F.lit(1) + ck % 1999).cast("string")))
-        ),
-        customer.filter(ck % 3 != 0).select(
-            *t(cust_s, "wdt:P2452",
-               F.concat(F.lit("P."), F.element_at(rank_arr, (ck % 29 + 1).cast("int"))))
-        ),
-        customer.filter(ck % 4 == 0).select(*t(cust_s, "wdt:P2452", F.lit("X.UNK"))),
-        customer.filter(ck % 6 != 0).select(
-            *t(cust_s, "wdt:P625",
-               F.concat(F.lit("Point("), ((ck % 360) - 180 + 0.5).cast("double").cast("string"),
-                        F.lit(" "), ((ck % 180) - 90 + 0.25).cast("double").cast("string"), F.lit(")")))
-        ),
-        # organization-index shape over suppliers
-        supplier.select(*t(sup_s, "rdf:type", F.lit("ex:Organization"))),
-        supplier.select(
-            *t(sup_s, "wdt:P31", F.concat(F.lit("ex:orgtype"), (sk % 9).cast("string")))
-        ),
-        supplier.select(*t(sup_s, "ex:label", F.col("s_name"), "en")),
-        supplier.filter(sk % 3 == 0).select(
-            *t(sup_s, "ex:label", F.concat(F.lit("DE "), F.col("s_name")), "de")
-        ),
-        supplier.select(
-            *t(sup_s, "ex:country", F.concat(F.lit("urn:nation/"), F.col("s_nationkey").cast("string")))
-        ),
-        supplier.filter(sk % 2 == 0).select(
-            *t(sup_s, "wdt:P571",
-               F.concat((F.lit(1800) + sk % 150).cast("string"), F.lit("-01-01T00:00:00Z")))
-        ),
-        supplier.filter(sk % 10 == 0).select(
-            *t(sup_s, "wdt:P571",
-               F.concat((F.lit(1810) + sk % 150).cast("string"), F.lit("-06-15T00:00:00Z")))
-        ),
-        supplier.filter(sk % 4 == 0).select(
-            *t(sup_s, "wdt:P576",
-               F.concat((F.lit(1900) + sk % 120).cast("string"), F.lit("-12-31T00:00:00Z")))
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
+        tb(cust_s, "wdt:P31",
+           F.concat(F.lit("urn:class/"), (F.lit(1) + ck % 1999).cast("string"))),
+        tb(cust_s, "wdt:P2452",
+           F.concat(F.lit("P."), F.element_at(rank_arr, (ck % 29 + 1).cast("int"))),
+           cond=ck % 3 != 0),
+        tb(cust_s, "wdt:P2452", F.lit("X.UNK"), cond=ck % 4 == 0),
+        tb(cust_s, "wdt:P625",
+           F.concat(F.lit("Point("), ((ck % 360) - 180 + 0.5).cast("double").cast("string"),
+                    F.lit(" "), ((ck % 180) - 90 + 0.25).cast("double").cast("string"),
+                    F.lit(")")),
+           cond=ck % 6 != 0),
+    ])
+    part_t = part.filter(F.col("p_partkey") >= 2).select(
+        F.concat(F.lit("urn:class/"), F.col("p_partkey").cast("string")).alias("s"),
+        F.lit("wdt:P279").alias("p"),
+        F.concat(
+            F.lit("urn:class/"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")
+        ).alias("o"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    # organization-index shape over suppliers
+    supplier_t = explode_templates(supplier, [
+        tb(sup_s, "rdf:type", F.lit("ex:Organization")),
+        tb(sup_s, "wdt:P31", F.concat(F.lit("ex:orgtype"), (sk % 9).cast("string"))),
+        tb(sup_s, "ex:label", F.col("s_name"), "en"),
+        tb(sup_s, "ex:label", F.concat(F.lit("DE "), F.col("s_name")), "de",
+           cond=sk % 3 == 0),
+        tb(sup_s, "ex:country",
+           F.concat(F.lit("urn:nation/"), F.col("s_nationkey").cast("string"))),
+        tb(sup_s, "wdt:P571",
+           F.concat((F.lit(1800) + sk % 150).cast("string"), F.lit("-01-01T00:00:00Z")),
+           cond=sk % 2 == 0),
+        tb(sup_s, "wdt:P571",
+           F.concat((F.lit(1810) + sk % 150).cast("string"), F.lit("-06-15T00:00:00Z")),
+           cond=sk % 10 == 0),
+        tb(sup_s, "wdt:P576",
+           F.concat((F.lit(1900) + sk % 120).cast("string"), F.lit("-12-31T00:00:00Z")),
+           cond=sk % 4 == 0),
+    ])
+    out = nation_t
+    for p in (region_t, customer_t, part_t, supplier_t):
         out = out.unionByName(p)
     return out
