@@ -120,6 +120,34 @@ def q_wikidata_uri_rebuild(spark, sf_dir):
     )
 
 
+PARTITIONED_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'de'
+"""
+
+
+@register("partitioned_write_prune", oracle=PARTITIONED_SQL, covers=["K3"])
+def q_partitioned_write_prune(spark, sf_dir):
+    """Hive-style partitioned parquet layout + partition-pruned read-back:
+    documents written partitionBy(lang), then read with a lang predicate
+    that prunes to ONE directory (PartitionFilters in the plan, asserted
+    by the explain audit) — the table-layout primitive that turns a
+    100 TB scan into a per-partition read. Write once per session+sf;
+    reruns reuse the layout."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_part_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "de")
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
 SWAGGER_SQL = """
 WITH types AS (SELECT DISTINCT event_type FROM events),
 routes AS (
