@@ -259,6 +259,31 @@ def rhp_lsh_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, eps: float = 1e-12
+) -> DataFrame:
+    """-> (id, scale, q array<int>): symmetric per-vector int8
+    quantization — scale = max|x| / 127, q_i = round(x_i / scale),
+    so x_i ≈ q_i * scale. The embedding-compression step of a
+    training-data pipeline (4x smaller than float32 on the wire and in
+    shuffle files); pure Column expressions, no Python in the path.
+
+    Deterministic: the scale is an exact elementwise max, the rounding
+    is the engine's half-up — both mirrored in the DuckDB oracle.
+    Zero vectors quantize to all-zero q with scale 0.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        v,
+        lambda x: F.when(mx > eps, F.round(x.cast("double") / (mx / 127.0)))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    ).alias("q")
+    return df.select(F.col(id_col).alias("id"), scale, q)
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str,

@@ -142,6 +142,37 @@ SELECT id, neighbor, cos FROM ranked WHERE rn <= 5
 """
 
 
+QUANTIZE_SQL = """
+WITH s AS (
+    SELECT vec_id AS id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+           embedding AS v
+    FROM embeddings
+)
+SELECT id, round(mx / 127.0, 6) AS scale,
+       CAST(p.pos AS INT) AS pos,
+       CAST(CASE WHEN mx > 1e-12
+                 THEN round(CAST(v[p.pos] AS DOUBLE) / (mx / 127.0))
+                 ELSE 0 END AS INT) AS q
+FROM s, generate_series(1, 64) p(pos)
+"""
+
+
+@register("embedding_quantize_int8", oracle=QUANTIZE_SQL, covers=[])
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    q = round(x/scale)) — the embedding-compression step of a training
+    pipeline, as pure Column expressions; cells exploded to rows for the
+    value-hash compare."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = S.quantize_int8(emb, "vec_id", "embedding")
+    return qz.select(
+        "id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("q").alias("pos0", "q"),
+    ).select("id", "scale", (F.col("pos0") + 1).cast("int").alias("pos"), "q")
+
+
 # DuckDB twin of one Lloyd's iteration, parameterized by the incoming
 # centroid CTE name: assignment (argmax rounded cosine, cid tie-break),
 # exact DECIMAL elementwise sums divided once in double, L2-normalize,

@@ -144,6 +144,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-CURATE": ("End-to-end corpus curation (dedup keep + quality gate)", "plans/q_curation.py (q_corpus_curation)"),
     "X-DECONTAM": ("Benchmark decontamination (broadcast n-gram overlap)", f"{PKG}/operators/dedup.py (ngram_contamination)"),
     "X-REPETITION": ("Intra-doc repetition signal (Gopher-style filter)", f"{PKG}/operators/dedup.py (repetition_stats)"),
+    "X-QUANTIZE": ("Int8 embedding quantization (symmetric per-vector)", f"{PKG}/operators/similarity.py (quantize_int8)"),
 }
 
 EXT_QUERIES = {
@@ -180,6 +181,7 @@ EXT_QUERIES = {
     "X-CURATE": ["corpus_curation"],
     "X-DECONTAM": ["decontaminate_ngrams"],
     "X-REPETITION": ["doc_repetition"],
+    "X-QUANTIZE": ["embedding_quantize_int8"],
 }
 
 
