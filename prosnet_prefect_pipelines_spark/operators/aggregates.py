@@ -31,6 +31,41 @@ def group_concat_distinct(col: str | Column, separator: str = " ") -> Column:
     return F.array_join(F.sort_array(F.collect_set(col)), separator)
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: pre-aggregate on (keys, salt),
+    then combine per key — the manual form of AQE's skew mitigation for
+    the case AQE can't fix: a LOW-CARDINALITY groupBy where single hot
+    keys would pin whole partitions on one task. Phase 1 spreads each hot
+    key over ``salt_buckets`` tasks; phase 2 combines the (at most)
+    ``salt_buckets`` partials per key — its shuffle is
+    |keys| x salt_buckets rows regardless of input size.
+
+    ``aggs``: {out_col: (fn, in_col)} with fn in {sum, count, min, max}
+    — the algebraic aggregates that decompose into partials (avg = sum +
+    count at the call site). ``salt_on``: expression the salt is hashed
+    from (default: every column); any choice yields the same final
+    result because the phase-2 combine is salt-invariant.
+    """
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    combine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt_src = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    if salt_src is None:
+        salt_src = F.xxhash64(*[F.col(c) for c in df.columns])
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(
+        *[fns[fn](c).alias(out) for out, (fn, c) in aggs.items()]
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[combine[fn](out).alias(out) for out, (fn, _) in aggs.items()]
+    )
+
+
 def count_distinct_paginator(df: DataFrame, col: str) -> DataFrame:
     """The reference's derived COUNT(DISTINCT ?item) sizing query (A1).
 

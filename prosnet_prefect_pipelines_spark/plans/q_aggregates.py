@@ -66,3 +66,36 @@ def q_count_distinct(spark, sf_dir):
         F.countDistinct("o_custkey").alias("n_custs"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+SALTED_AGG_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("salted_aggregate_skew", oracle=SALTED_AGG_SQL, covers=["A2"])
+def q_salted_aggregate_skew(spark, sf_dir):
+    """Two-phase salted aggregation over a LOW-CARDINALITY key (3
+    returnflag values across the whole fact table — the hot-key shape
+    AQE can't split because every row of a key hashes to one reducer):
+    phase 1 pre-aggregates on (key, salt) across 16 buckets, phase 2
+    combines |keys| x 16 partial rows. Decimal sums keep the result
+    bit-identical to the unsalted oracle under any partitioning."""
+    from prosnet_prefect_pipelines_spark.operators.aggregates import salted_aggregate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", F.lit(1)),
+            "sum_qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
+        },
+        salt_buckets=16,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag", "n", F.col("sum_qty").cast("double").alias("sum_qty")
+    )

@@ -196,6 +196,46 @@ SELECT user_id, event_id, event_type, ts_us FROM (
 """
 
 
+@register("stream_foreach_batch_upsert", oracle=STATEFUL_UPSERT_SQL, covers=["T2", "K2", "K1"])
+def q_stream_foreach_batch_upsert(spark, sf_dir):
+    """The production streaming sink shape: every micro-batch flows
+    through foreachBatch into the K2 foreachPartition upsert client
+    (get-or-create collection + batched idempotent import), read back
+    with last-write-wins per user — the full readStream -> foreachBatch
+    -> upsert -> replay loop that replaces the reference's daily cron,
+    hash-matched against the batch dedup oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from prosnet_prefect_pipelines_spark.sinks import (
+        LocalJsonUpsertClient,
+        upsert_foreach_partition,
+    )
+    from prosnet_prefect_pipelines_spark.streaming.incremental import upsert_dedup
+
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_feb_upsert")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = _events_stream(spark, sf_dir)
+
+    def handle(batch_df, batch_id):
+        upsert_foreach_partition(
+            batch_df.select("user_id", "event_id", "event_type", "ts_us"),
+            lambda: LocalJsonUpsertClient(out_dir),
+            batch_size=500,
+        )
+
+    q = ev.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    q.stop()
+    docs = spark.read.schema(
+        "user_id long, event_id long, event_type string, ts_us long"
+    ).json(out_dir)
+    return upsert_dedup(docs, ["user_id"], "ts_us", "event_id").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+
+
 @register("stream_stateful_upsert", oracle=STATEFUL_UPSERT_SQL, covers=["T2", "K2"])
 def q_stream_stateful_upsert(spark, sf_dir):
     """Last-write-wins upsert state per user via applyInPandasWithState

@@ -145,6 +145,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-DECONTAM": ("Benchmark decontamination (broadcast n-gram overlap)", f"{PKG}/operators/dedup.py (ngram_contamination)"),
     "X-REPETITION": ("Intra-doc repetition signal (Gopher-style filter)", f"{PKG}/operators/dedup.py (repetition_stats)"),
     "X-QUANTIZE": ("Int8 embedding quantization (symmetric per-vector)", f"{PKG}/operators/similarity.py (quantize_int8)"),
+    "X-SALTED-AGG": ("Two-phase salted aggregation (hot-key skew guard)", f"{PKG}/operators/aggregates.py (salted_aggregate)"),
+    "X-FOREACH-BATCH": ("Streaming foreachBatch -> upsert sink loop", "plans/q_stream.py (q_stream_foreach_batch_upsert)"),
 }
 
 EXT_QUERIES = {
@@ -182,6 +184,8 @@ EXT_QUERIES = {
     "X-DECONTAM": ["decontaminate_ngrams"],
     "X-REPETITION": ["doc_repetition"],
     "X-QUANTIZE": ["embedding_quantize_int8"],
+    "X-SALTED-AGG": ["salted_aggregate_skew"],
+    "X-FOREACH-BATCH": ["stream_foreach_batch_upsert"],
 }
 
 
