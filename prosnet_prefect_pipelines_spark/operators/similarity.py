@@ -259,6 +259,39 @@ def rhp_lsh_topk(
     )
 
 
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    method: str = "auto",
+    **kwargs,
+) -> DataFrame:
+    """THE default ANN entry point — routes to a scale-safe strategy.
+
+    - 'auto' / 'lsh': random-hyperplane LSH with auto-scaled bucket
+      count, multiple hash tables, and an optional bucket cap — linear
+      candidate generation at any corpus size.
+    - 'ivf': inverted-file with multi-probe — cell-partitioned search.
+    - 'exact': brute-force all-pairs. TEST/ORACLE TIER ONLY — refuses to
+      run without ``allow_quadratic=True`` so nobody cartesian-joins a
+      100 TB corpus by accident.
+    """
+    if method in ("auto", "lsh"):
+        return rhp_lsh_topk(df, id_col, vec_col, dim, k, **kwargs)
+    if method == "ivf":
+        return ivf_topk(df, id_col, vec_col, k, **kwargs)
+    if method == "exact":
+        if not kwargs.pop("allow_quadratic", False):
+            raise ValueError(
+                "method='exact' is O(n^2) — the verification tier, not a "
+                "scale path; pass allow_quadratic=True to run it anyway"
+            )
+        return cosine_topk(df, id_col, vec_col, k)
+    raise ValueError(f"unknown ANN method {method!r}")
+
+
 def quantize_int8(
     df: DataFrame, id_col: str, vec_col: str, eps: float = 1e-12
 ) -> DataFrame:

@@ -75,3 +75,25 @@ def test_salted_aggregate_matches_plain_groupby(spark):
             ).collect()
         }
         assert salted == plain
+
+
+def test_ann_topk_routes_and_guards_quadratic(spark):
+    import pytest
+
+    from prosnet_prefect_pipelines_spark.operators.similarity import ann_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(40)],
+        "id long, v array<double>",
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        ann_topk(df, "id", "v", dim=3, method="exact")
+    exact = ann_topk(
+        df, "id", "v", dim=3, k=100, method="exact", allow_quadratic=True
+    )
+    auto = ann_topk(df, "id", "v", dim=3, k=3, method="auto", planes=4).collect()
+    assert auto  # buckets produced candidates
+    # recall may be < 1, but precision is exact: every returned pair's
+    # cosine equals the brute-force value for that pair
+    all_cos = {(r.id, r.neighbor): r.cos for r in exact.collect()}
+    assert all(all_cos[(r.id, r.neighbor)] == r.cos for r in auto)
