@@ -70,19 +70,32 @@ def cosine_topk(
     )
 
 
-def rhp_signature(vec: Column, dim: int, planes: int = 8, offset: int = 0) -> Column:
-    """Random-hyperplane sign signature as a bit string.
+def rhp_coef(h: int, d: int) -> int:
+    """Deterministic hyperplane coefficient, identical in any engine:
+    coef(h, d) = (((h+1) * (d+7) * 2654435761) % 2039) - 1019.
 
-    coef(h, d) = ((h*31 + d*17) % 7) - 3 — fixed pseudo-random integers in
-    [-3, 3], identical across engines/runs. ``offset`` shifts the global
-    plane index so multiple hash tables draw disjoint hyperplane sets.
+    The multiplicative index mix matters: a LINEAR form like
+    (h*31 + d*17) % 7 makes every plane a cyclic shift of one base
+    pattern modulo a tiny modulus — only 7 effective hyperplanes exist,
+    buckets plateau, and candidate counts revert to quadratic growth
+    past ~20k vectors (measured in scripts/stress_ann.py). Knuth's
+    multiplier over a 2039 prime gives planes that stay effectively
+    independent out to the ~50 plane indexes auto_planes can request.
     """
+    return ((h + 1) * (d + 7) * 2654435761) % 2039 - 1019
+
+
+def rhp_signature(vec: Column, dim: int, planes: int = 8, offset: int = 0) -> Column:
+    """Random-hyperplane sign signature as a bit string; coefficients
+    from ``rhp_coef`` (fixed, engine-portable). ``offset`` shifts the
+    global plane index so multiple hash tables draw disjoint
+    hyperplane sets."""
     bits = []
     for h in range(offset, offset + planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(((h * 31 + d * 17) % 7) - 3) for d in range(dim)]),
+                F.array(*[F.lit(rhp_coef(h, d)) for d in range(dim)]),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),

@@ -316,7 +316,8 @@ proj AS (
            list_reduce(
                list_transform(generate_series(1, 64),
                               i -> CAST(e.embedding[i] AS DOUBLE)
-                                   * (((p.h * 31 + (i - 1) * 17) % 7) - 3)),
+                                   * (((p.h + 1) * ((i - 1) + 7) * 2654435761)
+                                      % 2039 - 1019)),
                (x, y) -> x + y) AS pr
     FROM embeddings e, planes p
 ),
