@@ -365,16 +365,23 @@ def kmeans_centroids(
             .filter(F.col("_rn") == 1)
         )
         # per-cell elementwise mean via posexplode -> (cid, pos) agg.
-        # Sum in DECIMAL (exact, order-independent — partial-aggregation
-        # order must not perturb the centroid) and divide once in double:
-        # the one rounding step is deterministic in any engine.
+        # Components are scaled to exact integers (round(x*1e9), well
+        # under 2^53) so the sum is order-independent AND every engine
+        # computes the identical value — a DECIMAL sum is also exact,
+        # but engines disagree by 1 ulp when casting wide decimals back
+        # to double, which flips rounded cosines near .5e-6 boundaries
+        # (seen at sf0.001). Integer->double is exact; the two IEEE
+        # divisions that follow are correctly rounded everywhere.
         sums = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    F.sum(
+                        F.round(F.col("x").cast("double") * F.lit(1e9)).cast("long")
+                    ).cast("double")
                     / F.count("*")
+                    / F.lit(1e9)
                 ).alias("m")
             )
         )

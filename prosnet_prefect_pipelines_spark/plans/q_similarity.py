@@ -176,7 +176,7 @@ def q_embedding_quantize_int8(spark, sf_dir):
 
 # DuckDB twin of one Lloyd's iteration, parameterized by the incoming
 # centroid CTE name: assignment (argmax rounded cosine, cid tie-break),
-# exact DECIMAL elementwise sums divided once in double, L2-normalize,
+# exact integer-scaled elementwise sums divided in double, L2-normalize,
 # cast to float32 like the operator.
 def _lloyd_iter(src: str, n: int) -> str:
     return f"""
@@ -192,7 +192,9 @@ a{n} AS (
 ),
 m{n} AS (
     SELECT a.cid, p.pos,
-           CAST(SUM(CAST(x.v[p.pos] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           CAST(SUM(CAST(round(CAST(x.v[p.pos] AS DOUBLE) * 1000000000.0)
+                         AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000000.0 AS m
     FROM a{n} a JOIN v x ON a.id = x.id, generate_series(1, 64) p(pos)
     GROUP BY a.cid, p.pos
 ),
@@ -233,8 +235,9 @@ def q_ann_kmeans_cells(spark, sf_dir):
     IVF trainer, then every vector assigned to its trained cell. Each
     iteration is one broadcast-centroid assignment pass plus a
     (cell, dim)-keyed aggregation whose shuffle size is cells x dims —
-    independent of corpus size; means are exact decimal sums divided
-    once, so partial-aggregation order can't perturb the centroids."""
+    independent of corpus size; means sum integer-scaled components
+    exactly, so partial-aggregation order can't perturb the centroids
+    and both engines compute bit-identical values."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
 
