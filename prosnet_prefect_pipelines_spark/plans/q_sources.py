@@ -352,6 +352,30 @@ def q_rest_paginated_scan(spark, sf_dir):
     return df.filter(F.col("o_orderdate") >= "1997-01-01")
 
 
+FEDERATED_SQL = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE strftime(o.o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("federated_rest_join", oracle=FEDERATED_SQL, covers=["S6", "J1", "A2"])
+def q_federated_rest_join(spark, sf_dir):
+    """Federation: one plan joining a paginated REST endpoint (orders via
+    the Python Data Source, incremental-date filter offered to pushdown)
+    against a parquet dimension (customer) — the lakehouse-joins-API
+    shape the reference runs as separate fetch-then-load steps, here a
+    single declarative query Catalyst plans end-to-end."""
+    rest_orders = q_rest_paginated_scan(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        rest_orders.join(cust, rest_orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 JSON_ROUNDTRIP_SQL = f"""
 SELECT 'https://sws.geonames.org/' || id || '/' AS id,
        printf('%s (%s) - %s', name, country_code, feature_code) AS label,

@@ -151,3 +151,42 @@ def q_session_window(spark, sf_dir):
     ).select("user_id",
              F.col("session_start"),
              "n_events", "total_value")
+
+
+MATVIEW_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("incremental_matview", oracle=MATVIEW_SQL, covers=["T1", "T2"])
+def q_incremental_matview(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate: the events table
+    arrives as three batches, each refresh combines the batch's PARTIAL
+    aggregate with the stored rollup and atomically swaps it — per
+    refresh, work is |batch| + |distinct keys|, never the full history.
+    After all batches the store equals the from-scratch oracle exactly
+    (decimal sums — refresh order cannot perturb values)."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_matview_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    for p in (base, f"{base}.tmp", f"{base}.old"):
+        shutil.rmtree(p, ignore_errors=True)
+    out = None
+    for b in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == b)
+        out = I.refresh_materialized_agg(
+            spark, base, batch, ["event_type"], sum_cols={"total_value": "value"}
+        )
+    return out.select(
+        "event_type", "n", F.col("total_value").cast("double").alias("total_value")
+    )

@@ -46,6 +46,49 @@ def upsert_dedup(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str)
     )
 
 
+def refresh_materialized_agg(
+    spark,
+    base_path: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain a materialized count/sum aggregate: combine
+    the existing materialization with the batch's PARTIAL aggregate and
+    atomically replace the store — per refresh, work is proportional to
+    |batch| + |distinct keys|, never to history (the reason materialized
+    views exist at 100 TB: reprocessing a year of facts to update a daily
+    rollup is the anti-pattern this replaces).
+
+    ``sum_cols``: {out_col: in_col} summed alongside the row count ``n``.
+    The swap is write-new-then-rename (atomic on a posix fs; object
+    stores swap a manifest instead). Returns the refreshed aggregate.
+    """
+    import os
+    import shutil
+
+    sums = sum_cols or {}
+    partial = batch_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(out) for out, c in sums.items()],
+    )
+    if os.path.exists(base_path):
+        prev = spark.read.parquet(base_path)
+        partial = prev.unionByName(partial).groupBy(*key_cols).agg(
+            F.sum("n").alias("n"),
+            *[F.sum(out).alias(out) for out in sums],
+        )
+    tmp = f"{base_path}.tmp"
+    partial.write.mode("overwrite").parquet(tmp)
+    old = f"{base_path}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(base_path):
+        os.rename(base_path, old)
+    os.rename(tmp, base_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(base_path)
+
+
 class WatermarkStore:
     """Durable high-watermark for scheduled incremental runs.
 

@@ -147,6 +147,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-QUANTIZE": ("Int8 embedding quantization (symmetric per-vector)", f"{PKG}/operators/similarity.py (quantize_int8)"),
     "X-SALTED-AGG": ("Two-phase salted aggregation (hot-key skew guard)", f"{PKG}/operators/aggregates.py (salted_aggregate)"),
     "X-FOREACH-BATCH": ("Streaming foreachBatch -> upsert sink loop", "plans/q_stream.py (q_stream_foreach_batch_upsert)"),
+    "X-MATVIEW": ("Incrementally-maintained materialized aggregate", f"{PKG}/streaming/incremental.py (refresh_materialized_agg)"),
+    "X-FEDERATE": ("REST-source x parquet federation in one plan", "plans/q_sources.py (q_federated_rest_join)"),
 }
 
 EXT_QUERIES = {
@@ -186,6 +188,8 @@ EXT_QUERIES = {
     "X-QUANTIZE": ["embedding_quantize_int8"],
     "X-SALTED-AGG": ["salted_aggregate_skew"],
     "X-FOREACH-BATCH": ["stream_foreach_batch_upsert"],
+    "X-MATVIEW": ["incremental_matview"],
+    "X-FEDERATE": ["federated_rest_join"],
 }
 
 
