@@ -82,6 +82,26 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """C4-style cleaning as one composed Column expression: lowercase,
+    strip control characters, collapse runs of whitespace, trim. Pure
+    JVM-side string ops — the narrow first pass of a text pipeline (runs
+    inside the scan's project, costs no shuffle)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[\x00-\x1f\x7f]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def remove_stopwords(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Drop exact stopword tokens (default: the en marker set), rejoining
+    with single spaces — array filter against a literal array, no UDF."""
+    stops = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    arr = F.array(*[F.lit(s) for s in stops])
+    kept = F.filter(tokens(text), lambda t: ~F.array_contains(arr, t))
+    return F.array_join(kept, " ")
+
+
 def fingerprint(text: Column, mod: int = FP_MOD) -> Column:
     """Order-sensitive polynomial rolling hash over characters:
     acc = (acc*31 + ascii(ch)) mod m — a deterministic document

@@ -255,3 +255,36 @@ def q_multimodal_frame_sample(spark, sf_dir):
         F.expr("octet_length(frame)").cast("long").alias("frame_len"),
         F.md5(F.col("frame")).alias("frame_md5"),
     )
+
+
+NORMALIZE_SQL = """
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower('  MiXeD ' || text || chr(9) || 'End  '),
+                              '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+    FROM documents
+)
+SELECT doc_id, clean,
+       array_to_string(list_filter(string_split(clean, ' '),
+                                   t -> t NOT IN ('the', 'a', 'of', 'and', 'is')),
+                       ' ') AS no_stop
+FROM norm
+"""
+
+
+@register("text_normalize", oracle=NORMALIZE_SQL, covers=["P7"])
+def q_text_normalize(spark, sf_dir):
+    """C4-style text normalization + stopword removal as pure Column
+    expressions (lowercase, control-char strip, whitespace collapse,
+    trim; then exact-token stopword filter). Mixed-case/tab/padding
+    noise is injected in-query so the cleaning has work to do."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    noisy = F.concat(F.lit("  MiXeD "), F.col("text"), F.lit("\t"), F.lit("End  "))
+    clean = T.normalize_text(noisy)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        T.remove_stopwords(clean).alias("no_stop"),
+    )

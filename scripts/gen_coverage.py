@@ -149,6 +149,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-FOREACH-BATCH": ("Streaming foreachBatch -> upsert sink loop", "plans/q_stream.py (q_stream_foreach_batch_upsert)"),
     "X-MATVIEW": ("Incrementally-maintained materialized aggregate", f"{PKG}/streaming/incremental.py (refresh_materialized_agg)"),
     "X-FEDERATE": ("REST-source x parquet federation in one plan", "plans/q_sources.py (q_federated_rest_join)"),
+    "X-TEXT-NORM": ("Text normalization + stopword removal (C4-style)", f"{PKG}/operators/textstats.py (normalize_text, remove_stopwords)"),
 }
 
 EXT_QUERIES = {
@@ -190,6 +191,7 @@ EXT_QUERIES = {
     "X-FOREACH-BATCH": ["stream_foreach_batch_upsert"],
     "X-MATVIEW": ["incremental_matview"],
     "X-FEDERATE": ["federated_rest_join"],
+    "X-TEXT-NORM": ["text_normalize"],
 }
 
 
