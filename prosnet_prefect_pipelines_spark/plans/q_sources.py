@@ -141,35 +141,39 @@ def q_bucketed_join_colocated(spark, sf_dir):
     from prosnet_prefect_pipelines_spark.sinks import bucketed_materialize
 
     import shutil
+    import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
 
     def bucketed(name, build):
-        # the in-memory catalog forgets tables across sessions while the
-        # warehouse directory persists: reuse registered tables, clear
-        # stale unregistered locations before rebuilding
+        # EXTERNAL tables under /tmp: the driver's session has a static
+        # warehouse dir rooted at ITS cwd, which may not be writable.
+        # The in-memory catalog forgets tables across sessions while the
+        # data directory persists: reuse registered tables, clear stale
+        # unregistered locations before rebuilding.
         if spark.catalog.tableExists(name):
             return spark.table(name)
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-        return build(name)
+        loc = os.path.join(base, name)
+        shutil.rmtree(loc, ignore_errors=True)
+        return build(name, loc)
 
     bo = bucketed(
         f"b_orders_{tag}",
-        lambda n: bucketed_materialize(
+        lambda n, loc: bucketed_materialize(
             spark.read.parquet(f"{sf_dir}/orders.parquet").select(
                 "o_orderkey", "o_custkey"
             ),
-            n, "o_custkey", 16,
+            n, "o_custkey", 16, path=loc,
         ),
     )
     bc = bucketed(
         f"b_cust_{tag}",
-        lambda n: bucketed_materialize(
+        lambda n, loc: bucketed_materialize(
             spark.read.parquet(f"{sf_dir}/customer.parquet").select(
                 "c_custkey", "c_acctbal"
             ),
-            n, "c_custkey", 16,
+            n, "c_custkey", 16, path=loc,
         ),
     )
     return (

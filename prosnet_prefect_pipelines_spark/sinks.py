@@ -107,6 +107,7 @@ def bucketed_materialize(
     bucket_col: str,
     n_buckets: int = 32,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> "DataFrame":
     """Materialize ``df`` as a bucketed (and optionally sorted) table and
     return it re-read — the co-located-join primitive.
@@ -123,5 +124,9 @@ def bucketed_materialize(
     writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        # external table: explicit location, independent of the session's
+        # (static, possibly read-only-cwd) spark.sql.warehouse.dir
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
     return spark.table(table)
