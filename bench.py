@@ -39,6 +39,11 @@ HEADLINE = [
     "ntriples_serialize",     # RDF writer formatting
     "turtle_serialize",       # prefix-compressed Turtle writer
     "dedup_clusters",         # LSH pairs -> components -> keeper
+    "corpus_curation",        # dedup keep + quality gate end-to-end
+    "decontaminate_ngrams",   # broadcast n-gram eval-set overlap
+    "sample_hash_deterministic",  # key-pure Bernoulli sample
+    "pack_sequences",         # sharded token-budget packing
+    "salted_aggregate_skew",  # two-phase hot-key aggregation
 ]
 
 
