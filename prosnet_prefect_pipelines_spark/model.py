@@ -180,22 +180,32 @@ def load_tables(spark, sf_dir: str, names=None):
 def read_events(spark, sf_dir: str):
     """events table with exact integer-nanosecond time column ``ts_ns``.
 
-    The parquet annotates TIMESTAMP(NANOS), which Spark 4 refuses; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the physical int64 arrives
-    unchanged. Keeping event time as epoch-nanos makes window arithmetic
-    exact and engine-independent (DuckDB twin: ``epoch_ns(ts)``); convert
-    with ``timestamp_micros(ts_ns DIV 1000)`` only at the presentation edge.
+    Handles both physical schemas the driver has shipped: TIMESTAMP(NANOS)
+    (arrives as int64 nanos under ``spark.sql.legacy.parquet.nanosAsLong``)
+    and TIMESTAMP(MICROS) (arrives as timestamp/timestamp_ntz). Keeping
+    event time as epoch integers makes window arithmetic exact and
+    engine-independent (DuckDB twin: ``epoch_ns(ts)``); convert with
+    ``timestamp_micros(ts_us)`` only at the presentation edge.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts_us: exact integer division (expr div) — going through double loses
-    # precision at 1.7e18. DuckDB's parquet reader truncates ns->us the
-    # same way (its TIMESTAMP is microseconds), so ts_us is the
-    # cross-engine-exact event time; ts_ns keeps full precision.
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # nanos-as-long path: ts_us via exact integer division (expr div) —
+        # going through double loses precision at 1.7e18. DuckDB's parquet
+        # reader truncates ns->us the same way (its TIMESTAMP is micros).
+        return (
+            df.withColumn("ts_ns", F.col("ts").cast("long"))
+            .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+            .drop("ts")
+        )
+    # micros path: NTZ cast to LTZ under the pinned UTC session timezone is
+    # identity on the wall-clock value, so unix_micros == DuckDB epoch_us.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return (
-        df.withColumn("ts_ns", F.col("ts").cast("long"))
-        .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+        df.withColumn("ts_ns", ts_us * F.lit(1000))
+        .withColumn("ts_us", ts_us)
         .drop("ts")
     )
 

@@ -48,12 +48,22 @@ def _events_stream(spark, sf_dir):
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        ts_us = F.expr("ts div 1000").cast("long")
+        ts_ns = F.col("ts").cast("long")
+    else:
+        # TIMESTAMP(MICROS) schema: NTZ->LTZ is identity under the pinned
+        # UTC session timezone, so unix_micros == DuckDB epoch_us.
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ts_ns = ts_us * F.lit(1000)
     return (
-        stream.withColumn("ts_ns", F.col("ts").cast("long"))
-        .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+        stream.withColumn("ts_ns", ts_ns)
+        .withColumn("ts_us", ts_us)
         # event-time column for watermarking (microsecond precision —
         # matches DuckDB's parquet ns->us truncation)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.timestamp_micros(ts_us))
         .drop("ts")
     )
 

@@ -11,18 +11,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 import shutil
 
 import pytest
@@ -36,9 +24,18 @@ def events_dir(sf_dir, tmp_path_factory):
     return str(d)
 
 
+def _ts_us(schema):
+    """Event-time micros for either physical ts schema the driver has
+    shipped (int64 nanos under nanosAsLong, or TIMESTAMP(MICROS))."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def _stream(spark, events_dir):
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    return raw.withColumn("ts_event", F.timestamp_micros(_ts_us(schema)))
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir, events_dir):
@@ -60,9 +57,9 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_dir):
         for r in spark.sql("SELECT * FROM tumbling_out").collect()
     }
     # batch twin over the same file
+    batch_src = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+        batch_src.withColumn("ts_event", F.timestamp_micros(_ts_us(batch_src.schema)))
         .groupBy(F.window("ts_event", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
