@@ -372,3 +372,64 @@ def simhash_signatures(
             F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """-> (id, cell, kept): SemDeDup — semantic deduplication by
+    k-means clustering + within-cluster cosine pruning (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication").
+
+    Vectors are assigned to their trained spherical-k-means cell
+    (broadcast-centroid pass, no shuffle beyond the tiny training
+    aggregations); within each cell every (a, b) pair with a.id < b.id
+    and round(cos, 6) >= threshold marks b as a semantic duplicate;
+    kept = 1 iff no smaller-id near-duplicate exists in the cell.
+
+    Scale: the pair join is per-cell quadratic, so n_cells must grow
+    with the corpus (n_cells ~ N / target_cell_size keeps cell sizes —
+    and therefore per-cell work — constant; the SemDeDup paper uses
+    k = 25k clusters for LAION-440M). Cells are shuffle keys, so the
+    pair generation parallelizes across cells.
+    """
+    from prosnet_prefect_pipelines_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids,
+    )
+    from pyspark.sql.window import Window
+
+    cents = kmeans_centroids(df, id_col, vec_col, n_cells=n_cells, iterations=iterations)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = vecs.join(F.broadcast(cents)).select(
+        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", F.col("cid").alias("cell"))
+    )
+    a = assign.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cell")
+    b = assign.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cell")
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= F.lit(threshold))
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.join(dups.withColumn("_dup", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Corpus ranking for training-data pipelines (north-star extension):
+tf-idf term weighting, BM25 retrieval scoring, and integer-scaled
+PageRank over an arbitrary edge list.
+
+Scale shape:
+- tf/df are one explode + two keyed aggregations with map-side partial
+  aggregation; the document-frequency table is vocabulary-sized (tiny
+  next to the corpus) so it broadcasts into the scoring join.
+- BM25 per-term contributions are rounded to 6 dp and summed as exact
+  scaled integers, so partial-aggregation order can't perturb scores and
+  DuckDB twins hash-match bit-for-bit (catalog convention).
+- PageRank keeps ranks as scaled BIGINTs (SCALE = 1e12) and uses only
+  integer div/mul/add, so every iteration is bit-identical across
+  engines and across shuffle orders; each iteration materializes via the
+  graph module's checkpoint policy to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from prosnet_prefect_pipelines_spark.operators.graph import _materialize
+from prosnet_prefect_pipelines_spark.operators.textstats import tokens
+
+PR_SCALE = 1_000_000_000_000  # 1e12: rank = rank_scaled / PR_SCALE
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — whitespace tokens exploded and counted per doc.
+
+    One shuffle on (id, term); partial aggregation applies because
+    count is algebraic.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_frequencies(tf_df: DataFrame) -> DataFrame:
+    """(term, df) from a term-frequency table — rows are already distinct
+    per (id, term) so a plain count per term is the document frequency."""
+    return tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _n_docs(df: DataFrame, id_col: str) -> DataFrame:
+    """1-row (n_docs) frame — joined via broadcast so the plan stays lazy
+    (no driver-side collect of a scalar)."""
+    return df.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, df, tfidf) with the sklearn-style smoothed idf:
+    idf = ln((N + 1) / (df + 1)) + 1, rounded to 6 dp before the
+    multiply so both engines round the same double."""
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = doc_frequencies(tf)
+    n = _n_docs(df, id_col)
+    idf = F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1, 6)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, n_hits, score): Okapi BM25 of each document against a fixed
+    query-term set.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contributions are
+    rounded to 6 dp, scaled to integers, and summed exactly so the total
+    is independent of aggregation order. avgdl is an exact single
+    division of two integer aggregates. Only documents containing at
+    least one query term appear (score > 0 set).
+    """
+    tf = term_frequencies(df, id_col, text_col).filter(F.col("term").isin(query_terms))
+    # df of a query term only needs rows for that term — reuse the
+    # filtered tf (one tokenize pass, not two)
+    dfreq = doc_frequencies(tf)
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("sum_dl"),
+    )
+    idf = F.round(
+        F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    # written as the identical expression tree in the DuckDB twin:
+    # tf*(k1+1) / (tf + k1*(1 - b + b*(dl/avgdl)))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    tfc = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    # 6-dp contributions as exact scaled integers (re-round before the
+    # cast — contrib*1e6 can land a hair under the integer in binary)
+    contrib = F.round(idf * tfc, 6)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", F.round(contrib * 1_000_000, 0).cast("long").alias("c6"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.sum("c6") / F.lit(1_000_000.0)).alias("score"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank_scaled, rank) — PageRank over a distinct (src, dst)
+    edge list with exact integer arithmetic.
+
+    rank_scaled lives in units of 1/PR_SCALE. Per iteration:
+        contrib(e)   = r[src] div outdeg[src]
+        r'[n]        = (15 * PR_SCALE) div (100 * N)
+                       + (85 * sum(contrib into n)) div 100
+    (integer div truncates; all quantities non-negative). Dangling-node
+    mass is dropped — identically in the DuckDB twin. Each iteration is
+    one join + one keyed sum; ranks/nodes are broadcast when small and
+    the running rank frame is materialized every round to truncate
+    lineage (localCheckpoint, or reliable checkpoint when configured) —
+    the same policy as operators/graph.py fixpoints.
+    """
+    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    e = _materialize(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = _materialize(nodes)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # integer base terms, computed once
+    base = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.expr(f"{15 * PR_SCALE} div (100 * n)").cast("long").alias("base"),
+            F.expr(f"{PR_SCALE} div n").cast("long").alias("r0"),
+        )
+    )
+    base = _materialize(base)
+    ranks = base.select("node", F.col("r0").alias("r"))
+    edge_out = _materialize(e.join(outdeg, "src"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edge_out, ranks["node"] == edge_out["src"])
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        ranks = _materialize(ranks)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("rank"),
+    )

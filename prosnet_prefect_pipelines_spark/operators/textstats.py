@@ -112,3 +112,43 @@ def fingerprint(text: Column, mod: int = FP_MOD) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
     )
+
+
+# PII detection patterns — kept alternation-free and anchored by explicit
+# quantifiers so Java regex (Spark) and RE2 (DuckDB) match identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (emails, phone numbers, IPv4 hosts)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).cast("long"),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).cast("long"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder. Redaction order
+    (email -> phone -> ip) is part of the contract: emails and phones
+    consume their digits before the looser IPv4 pattern runs, and the
+    DuckDB twin applies the same order."""
+    t = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(t, PII_IPV4, "<IP>")
+
+
+def ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams (space-joined) as an array column — empty when the
+    document has fewer than n tokens. Pure JVM-side transform over the
+    token array; no shuffle, no UDF."""
+    toks = tokens(text)
+    joined = F.transform(
+        F.sequence(F.lit(n), F.size(toks)),
+        lambda i: F.array_join(F.slice(toks, i - n + 1, n), " "),
+    )
+    # CaseWhen evaluates branches lazily per row, so the descending
+    # sequence(n, size) that a short doc would produce is never built
+    return F.when(F.size(toks) >= n, joined).otherwise(F.array().cast("array<string>"))

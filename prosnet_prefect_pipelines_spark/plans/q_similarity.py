@@ -262,3 +262,53 @@ def q_ann_ivf(spark, sf_dir):
     parallelism; the inverted-file scale path next to the LSH one."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=2)
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+SEMDEDUP_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+c0 AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 4
+),
+{_lloyd_iter('c0', 1)},
+{_lloyd_iter('c1', 2)},
+cells AS (
+    SELECT id, cid FROM (
+        SELECT x.id, c.cid,
+               row_number() OVER (
+                   PARTITION BY x.id
+                   ORDER BY round({_cos('x.v', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM v x CROSS JOIN c2 c
+    ) t WHERE rn = 1
+),
+dups AS (
+    SELECT DISTINCT b.id
+    FROM cells a JOIN cells b ON a.cid = b.cid AND a.id < b.id
+    JOIN v va ON va.id = a.id
+    JOIN v vb ON vb.id = b.id
+    WHERE round({_cos('va.v', 'vb.v')}, 6) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT c.id, c.cid AS cell,
+       CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM cells c LEFT JOIN dups d ON d.id = c.id
+"""
+
+
+@register("semdedup_keep", oracle=SEMDEDUP_SQL, covers=["J9", "O6"])
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): spherical-k-means clustering, then
+    within-cluster cosine pruning — a vector is dropped when a
+    smaller-id near-duplicate (cos >= 0.4) shares its cell. The cluster
+    count is the scale lever: n_cells ~ N / target_cell_size keeps the
+    per-cell pair join constant-sized while cells parallelize across
+    the cluster (the paper runs k=25k on LAION-440M)."""
+    from prosnet_prefect_pipelines_spark.operators.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(
+        emb, "vec_id", "embedding", n_cells=4, iterations=2,
+        threshold=SEMDEDUP_THRESHOLD,
+    )

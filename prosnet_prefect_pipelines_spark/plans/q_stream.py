@@ -276,3 +276,34 @@ def q_stream_stateful_upsert(spark, sf_dir):
 
 
 _ = US_HOUR  # shared constant re-exported for tests
+
+
+STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+@register("stream_dedup_keys", oracle=STREAM_DEDUP_SQL, covers=["T2", "O3"])
+def q_stream_dedup_keys(spark, sf_dir):
+    """Streaming deduplication: readStream -> watermark ->
+    dropDuplicates on (user_id, event_type) -> append sink. Only the
+    dedup keys are emitted (which duplicate carried them is
+    batch-order-dependent), so the result is exactly the batch DISTINCT.
+    State here is one entry per distinct key pair, partitioned by key —
+    the unbounded-stream variant swaps in dropDuplicatesWithinWatermark
+    to bound state by event time at the cost of at-least-once keys."""
+    ev = _events_stream(spark, sf_dir)
+    dd = (
+        ev.withWatermark("event_time", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).select("user_id", "event_type")

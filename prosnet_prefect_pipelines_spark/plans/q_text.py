@@ -6,6 +6,7 @@ synthetic text)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.operators import multimodal as M
 from prosnet_prefect_pipelines_spark.operators import textstats as T
@@ -287,4 +288,132 @@ def q_text_normalize(spark, sf_dir):
         "doc_id",
         clean.alias("clean"),
         T.remove_stopwords(clean).alias("no_stop"),
+    )
+
+
+# Synthetic PII injected in-query (the corpus itself is clean), keyed off
+# doc_id so every engine synthesizes the identical byte stream
+PII_TEXT_CTE = """
+pii_docs AS (
+    SELECT doc_id,
+           text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com for details'
+               WHEN 1 THEN ' call 555-867-5309 after hours'
+               WHEN 2 THEN ' host 192.168.1.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                          || ' unreachable'
+               ELSE '' END AS text
+    FROM documents
+)
+"""
+
+PII_SQL = f"""
+WITH {PII_TEXT_CTE},
+det AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS n_phones,
+           len(regexp_extract_all(text,
+               '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS n_ips
+    FROM pii_docs
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+               '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+           '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g') AS clean
+FROM det
+"""
+
+
+def _pii_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suffix = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call 555-867-5309 after hours"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" host 192.168.1."),
+                (F.col("doc_id") % 254 + 1).cast("string"),
+                F.lit(" unreachable"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+
+@register("pii_scrub", oracle=PII_SQL, covers=["P7", "F1"])
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, phone numbers, IPv4 hosts) as
+    pure regexp Column expressions — the privacy-scrub pass of a
+    training-data pipeline. Patterns are alternation-free so Java regex
+    and RE2 agree; redaction order (email -> phone -> ip) is part of the
+    contract. Narrow per-row pass: runs inside the scan project with no
+    shuffle."""
+    docs = _pii_docs(spark, sf_dir)
+    counts = T.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        T.redact_pii(F.col("text")).alias("clean"),
+    )
+
+
+NGRAM_SQL = """
+WITH tk AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+),
+ng AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(toks)),
+                                 i -> toks[i - 1] || ' ' || toks[i])) AS ngram
+    FROM tk WHERE len(toks) >= 2
+),
+agg AS (
+    SELECT ngram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+    FROM ng GROUP BY ngram
+)
+SELECT ngram, n_occ, n_docs FROM (
+    SELECT *, row_number() OVER (ORDER BY n_occ DESC, ngram) AS rn FROM agg
+) t WHERE rn <= 50
+"""
+
+
+@register("ngram_stats", oracle=NGRAM_SQL, covers=["A1", "A2"])
+def q_ngram_stats(spark, sf_dir):
+    """Top-50 corpus bigrams with occurrence and document frequencies.
+    The n-gram expansion is a narrow array transform + explode; both
+    counts partially aggregate map-side; the final top-k sorts only the
+    vocabulary^2-sized aggregate (tiny next to the corpus), not the
+    corpus itself."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(F.explode(T.ngrams(F.col("text"), 2)).alias("ngram"), "doc_id")
+    agg = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("ngram"))
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 50)
+        .select("ngram", "n_occ", "n_docs")
     )
