@@ -74,3 +74,49 @@ def count_distinct_paginator(df: DataFrame, col: str) -> DataFrame:
     exact kept here because the oracle checks exact values.
     """
     return df.agg(F.countDistinct(col).alias("count"))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """-> (group, p, quantile): exact nearest-rank quantiles per group —
+    the value at row_number ceil(p * n) under (value, tiebreak) order.
+
+    Pure integer rank selection (no interpolation arithmetic), so both
+    engines pick the identical source row bit-for-bit. The per-group
+    window sort is the scale bound: with few huge groups this
+    single-partitions each group — at 100 TB use approx_quantiles
+    (t-digest sketch, mergeable map-side) and reserve this exact tier
+    for verification scales, the same exact/approx split as
+    cosine_topk vs the LSH/IVF tiers.
+    """
+    from pyspark.sql.window import Window
+
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(tiebreak_col))
+    ranked = df.select(
+        group_col, value_col, tiebreak_col
+    ).withColumn("_rn", F.row_number().over(w))
+    pdf = df.sparkSession.createDataFrame([(p,) for p in probs], "p double")
+    return (
+        ranked.join(n, group_col)
+        .join(F.broadcast(pdf), F.col("_rn") == F.ceil(F.col("p") * F.col("_n")))
+        .select(group_col, "p", F.col(value_col).alias("quantile"))
+    )
+
+
+def approx_quantiles(
+    df: DataFrame, group_col: str, value_col: str, probs: list[float]
+) -> DataFrame:
+    """-> (group, quantiles array): sketch-based quantiles via
+    percentile_approx — mergeable partial aggregation, no per-group
+    sort; the 100 TB path (sketch internals are engine-specific, so this
+    tier is pytest-verified against the exact tier with a rank-error
+    bound rather than oracle-hashed)."""
+    return df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, probs, 10000).alias("quantiles")
+    )

@@ -99,3 +99,31 @@ def q_salted_aggregate_skew(spark, sf_dir):
     return out.select(
         "l_returnflag", "n", F.col("sum_qty").cast("double").alias("sum_qty")
     )
+
+
+QUANTILES_SQL = """
+WITH n AS (SELECT event_type, COUNT(*) AS _n FROM events GROUP BY event_type),
+r AS (
+    SELECT event_type, value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn
+    FROM events
+),
+p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+SELECT r.event_type, p.p, r.value AS quantile
+FROM r JOIN n USING (event_type)
+JOIN p ON r.rn = CAST(ceil(p.p * n._n) AS BIGINT)
+"""
+
+
+@register("value_quantiles", oracle=QUANTILES_SQL, covers=["A2", "O1"])
+def q_value_quantiles(spark, sf_dir):
+    """Exact nearest-rank quantiles of event value per event type
+    (p25/p50/p75/p90/p99) — integer rank selection, no interpolation,
+    so both engines return the identical source rows. The sketch-based
+    scale path is operators.aggregates.approx_quantiles (pytest-bounded
+    against this exact tier)."""
+    from prosnet_prefect_pipelines_spark.operators.aggregates import exact_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_quantiles(ev, "event_type", "value", "event_id", [0.25, 0.5, 0.75, 0.9, 0.99])

@@ -6,7 +6,6 @@ synthetic text)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.operators import multimodal as M
 from prosnet_prefect_pipelines_spark.operators import textstats as T
@@ -411,9 +410,11 @@ def q_ngram_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.col("n_occ").desc(), F.col("ngram"))
+    # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    # top-k reduction, not a single-partition global sort (ngram is the
+    # tiebreak, so the top-50 cut is total-ordered and deterministic)
     return (
-        agg.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 50)
+        agg.orderBy(F.col("n_occ").desc(), F.col("ngram"))
+        .limit(50)
         .select("ngram", "n_occ", "n_docs")
     )

@@ -96,3 +96,22 @@ def test_semdedup_drops_larger_id_duplicate(spark):
     )
     got = {r.id: r.kept for r in semdedup(df, "vec_id", "embedding", n_cells=1, threshold=0.9).collect()}
     assert got == {1: 1, 2: 1, 3: 0}
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    from prosnet_prefect_pipelines_spark.operators.aggregates import (
+        approx_quantiles,
+        exact_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probs = [0.25, 0.5, 0.75]
+    exact = {
+        (r.event_type, r.p): r.quantile
+        for r in exact_quantiles(ev, "event_type", "value", "event_id", probs).collect()
+    }
+    for r in approx_quantiles(ev, "event_type", "value", probs).collect():
+        for p, got in zip(probs, r.quantiles):
+            want = exact[(r.event_type, p)]
+            # t-digest with accuracy 10k on ~20k rows: tight rank error
+            assert abs(got - want) <= max(0.05 * abs(want), 0.5), (r.event_type, p)
