@@ -44,6 +44,11 @@ HEADLINE = [
     "sample_hash_deterministic",  # key-pure Bernoulli sample
     "pack_sequences",         # sharded token-budget packing
     "salted_aggregate_skew",  # two-phase hot-key aggregation
+    "bm25_rank",              # tokenize + broadcast-df BM25 scoring
+    "pagerank_nations",       # big-join edge mining + 10 integer PR rounds
+    "semdedup_keep",          # k-means + within-cell cosine prune
+    "value_quantiles",        # exact nearest-rank quantiles
+    "pii_scrub",              # regexp PII redaction (narrow pass)
 ]
 
 

@@ -135,6 +135,7 @@ def pagerank(
     iterations: int = 10,
     damping_num: int = 85,
     damping_den: int = 100,
+    materialize_every: int = 3,
 ) -> DataFrame:
     """(node, rank_scaled, rank) — PageRank over a distinct (src, dst)
     edge list with exact integer arithmetic.
@@ -146,9 +147,10 @@ def pagerank(
     (integer div truncates; all quantities non-negative). Dangling-node
     mass is dropped — identically in the DuckDB twin. Each iteration is
     one join + one keyed sum; ranks/nodes are broadcast when small and
-    the running rank frame is materialized every round to truncate
-    lineage (localCheckpoint, or reliable checkpoint when configured) —
-    the same policy as operators/graph.py fixpoints.
+    the running rank frame is materialized every ``materialize_every``
+    rounds (localCheckpoint, or reliable checkpoint when configured) to
+    truncate lineage — the same policy as operators/graph.py fixpoints,
+    relaxed because a PageRank round adds only one join+agg of depth.
     """
     e = edges.select(F.col("src"), F.col("dst")).distinct()
     e = _materialize(e)
@@ -172,7 +174,7 @@ def pagerank(
     base = _materialize(base)
     ranks = base.select("node", F.col("r0").alias("r"))
     edge_out = _materialize(e.join(outdeg, "src"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ranks.join(edge_out, ranks["node"] == edge_out["src"])
             .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
@@ -191,7 +193,11 @@ def pagerank(
                 ).cast("long").alias("r"),
             )
         )
-        ranks = _materialize(ranks)
+        # a plan only deepens by one join+agg per round, so truncating
+        # every few rounds (and always on the last) bounds both lineage
+        # and per-round action overhead
+        if (it + 1) % materialize_every == 0 or it == iterations - 1:
+            ranks = _materialize(ranks)
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),

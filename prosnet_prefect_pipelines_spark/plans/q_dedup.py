@@ -349,3 +349,42 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_cosine_pairs(
         emb, "vec_id", "embedding", dim=64, threshold=0.35, planes=4, mode="lsh"
     )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {MINHASH_PAIR_CTES}
+SELECT n.id, CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM (SELECT id FROM corpus WHERE id % 3 = 0) n
+LEFT JOIN (
+    SELECT b AS id FROM lsh_pairs WHERE b % 3 = 0
+    UNION
+    SELECT a FROM lsh_pairs WHERE a % 3 = 0 AND b % 3 <> 0
+) d ON d.id = n.id
+"""
+
+
+@register("dedup_incremental", oracle=INCREMENTAL_DEDUP_SQL, covers=["J7", "T2"])
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup admission: the corpus is split into an
+    existing store (id % 3 != 0) and a new batch (id % 3 == 0); a new
+    document is admitted iff it has no MinHash-LSH-verified near-dup
+    (jaccard >= 0.5) in the store or earlier (smaller-id, greedy) in
+    its own batch.
+
+    The production shape persists the store's band buckets (the
+    signature store) so each batch only hashes its own documents and
+    joins its buckets against the store — candidate generation stays
+    linear in batch size, and admitted docs append their signatures.
+    Here both sides recompute from the shared memoized pair frame
+    (bounded test shape); the admission rule is identical.
+    """
+    p = lsh_pairs(spark, sf_dir)  # (a, b, jaccard), a < b
+    new = corpus(spark, sf_dir).filter(F.col("id") % 3 == 0).select("id")
+    drop_b = p.filter(F.col("b") % 3 == 0).select(F.col("b").alias("id"))
+    drop_a = p.filter((F.col("a") % 3 == 0) & (F.col("b") % 3 != 0)).select(
+        F.col("a").alias("id")
+    )
+    dropped = drop_b.unionByName(drop_a).distinct().withColumn("_d", F.lit(1))
+    return new.join(dropped, "id", "left").select(
+        "id", F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept")
+    )

@@ -70,6 +70,37 @@ AUDITS = {
     "bucketed_join_colocated": [
         ("SelectedBucketsCount", "both scans read pre-bucketed files"),
     ],
+    "tfidf_terms": [
+        ("BroadcastHashJoin", "vocabulary-sized df table broadcast into scoring"),
+        ("partial_", "tf aggregation is partial+final"),
+    ],
+    "bm25_rank": [
+        ("BroadcastHashJoin", "df + corpus stats broadcast; only tf and the final sum shuffle"),
+        ("partial_", "scaled-integer score sum is partial+final"),
+    ],
+    # NB: the iteration plans sit behind per-round localCheckpoint
+    # barriers (lineage truncation), so the final explain only shows the
+    # last join; per-iteration partial aggregation is asserted by the
+    # structurally-identical contrib sum inside operators/ranking.py
+    "pagerank_nations": [
+        ("BroadcastHashJoin", "nation name lookup broadcast into the final projection"),
+    ],
+    "pii_scrub": [
+        ("ReadSchema", "narrow per-row pass: only doc_id+text read"),
+    ],
+    "ngram_stats": [
+        ("TakeOrderedAndProject", "top-50 is a per-partition top-k reduction, not a global sort"),
+        ("partial_", "n-gram counts partial+final"),
+    ],
+    "value_quantiles": [
+        ("Window", "rank selection windows partition by event_type (keyed, not global)"),
+        ("BroadcastHashJoin", "probs + group counts broadcast into rank match"),
+    ],
+    "semdedup_keep": [
+        # centroid scoring is the same deliberate broadcast product as
+        # ann_kmeans_cells; the within-cell pair join must stay equi
+        ("BroadcastNestedLoopJoin", "tiny centroid table broadcast into assignment"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -91,6 +122,12 @@ FORBIDDEN = {
     # co-located join + co-keyed aggregation: NO shuffle exchange
     # anywhere (a BroadcastExchange of the small side is fine)
     "bucketed_join_colocated": ["Exchange hashpartitioning", "Exchange SinglePartition"],
+    # narrow scan->project pass: no shuffle at all
+    "pii_scrub": ["Exchange"],
+    "tfidf_terms": ["CartesianProduct"],
+    "pagerank_nations": ["CartesianProduct", "Exchange SinglePartition"],
+    "ngram_stats": ["Exchange SinglePartition"],
+    "dedup_incremental": ["CartesianProduct", "Exchange SinglePartition"],
 }
 
 

@@ -150,6 +150,15 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-MATVIEW": ("Incrementally-maintained materialized aggregate", f"{PKG}/streaming/incremental.py (refresh_materialized_agg)"),
     "X-FEDERATE": ("REST-source x parquet federation in one plan", "plans/q_sources.py (q_federated_rest_join)"),
     "X-TEXT-NORM": ("Text normalization + stopword removal (C4-style)", f"{PKG}/operators/textstats.py (normalize_text, remove_stopwords)"),
+    "X-TFIDF": ("tf-idf term weighting (broadcast df table)", f"{PKG}/operators/ranking.py (tfidf)"),
+    "X-BM25": ("Okapi BM25 scoring (scaled-integer sums)", f"{PKG}/operators/ranking.py (bm25)"),
+    "X-PAGERANK": ("PageRank (integer-scaled, bit-exact iterations)", f"{PKG}/operators/ranking.py (pagerank)"),
+    "X-PII": ("PII detection + redaction (regexp, RE2/Java-portable)", f"{PKG}/operators/textstats.py (pii_counts, redact_pii)"),
+    "X-NGRAM-STATS": ("Corpus n-gram statistics (distributed top-k)", f"{PKG}/operators/textstats.py (ngrams)"),
+    "X-SEMDEDUP": ("SemDeDup (k-means cluster + within-cell cosine prune)", f"{PKG}/operators/dedup.py (semdedup)"),
+    "X-STREAM-DEDUP": ("Streaming deduplication (dropDuplicates + watermark)", "plans/q_stream.py (q_stream_dedup_keys)"),
+    "X-DEDUP-INCR": ("Incremental near-dup admission vs signature store", "plans/q_dedup.py (q_dedup_incremental)"),
+    "X-QUANTILES": ("Exact nearest-rank + t-digest quantiles", f"{PKG}/operators/aggregates.py (exact_quantiles, approx_quantiles)"),
 }
 
 EXT_QUERIES = {
@@ -192,6 +201,15 @@ EXT_QUERIES = {
     "X-MATVIEW": ["incremental_matview"],
     "X-FEDERATE": ["federated_rest_join"],
     "X-TEXT-NORM": ["text_normalize"],
+    "X-TFIDF": ["tfidf_terms"],
+    "X-BM25": ["bm25_rank"],
+    "X-PAGERANK": ["pagerank_nations"],
+    "X-PII": ["pii_scrub"],
+    "X-NGRAM-STATS": ["ngram_stats"],
+    "X-SEMDEDUP": ["semdedup_keep"],
+    "X-STREAM-DEDUP": ["stream_dedup_keys"],
+    "X-DEDUP-INCR": ["dedup_incremental"],
+    "X-QUANTILES": ["value_quantiles"],
 }
 
 
