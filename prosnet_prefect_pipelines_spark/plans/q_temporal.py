@@ -84,3 +84,177 @@ def q_range_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+    SELECT e.user_id, MIN(e.ts_us) AS c_ts
+    FROM ev e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts_us >= v.v_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts_us) AS p_ts
+    FROM ev e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts_us >= c.c_ts
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT 1 AS ord, 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'view>click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+) t
+"""
+
+
+@register("funnel_conversion", oracle=FUNNEL_SQL, covers=["A2", "J1"])
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (first view -> first click after it ->
+    first purchase after that): per-stage user counts via keyed min
+    aggregations + equi-joins on user_id — every stage is a partial+final
+    integer MIN, every join is keyed, nothing sorts globally. The
+    event-sequence analytics shape a product pipeline runs daily."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view>click"))
+        .unionByName(stage(p, "view>click>purchase"))
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_type AS state, ts_us AS valid_from,
+       lead(ts_us) OVER w AS valid_to,
+       CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+           AS is_current
+FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+@register("scd2_user_state", oracle=SCD2_SQL, covers=["T2", "O1"])
+def q_scd2_user_state(spark, sf_dir):
+    """Type-2 slowly-changing dimension built from the event log: each
+    event opens a state interval closed by the user's next event
+    (valid_from / valid_to half-open intervals, is_current on the tail).
+    One keyed window (partition user_id, order ts_us + event_id
+    tiebreak) — a single shuffle on the dimension key; the standard
+    warehouse dimension-build re-expressed as a window pass."""
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+US_DAY = 24 * US_HOUR
+US_WEEK = 7 * US_DAY
+
+COHORT_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+signup AS (
+    SELECT user_id, MIN(ts_us) // {US_WEEK} AS cohort_week
+    FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, s.cohort_week,
+           (e.ts_us // {US_WEEK}) - s.cohort_week AS week_offset
+    FROM ev e JOIN signup s ON s.user_id = e.user_id
+    WHERE e.ts_us // {US_WEEK} >= s.cohort_week
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+"""
+
+
+@register("cohort_retention", oracle=COHORT_SQL, covers=["A1", "A2", "J1"])
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by signup week, counted once per
+    (cohort, weeks-since-signup) they were active in. Epoch-week
+    arithmetic is pure integer division; the distinct + count pair is
+    two keyed partial+final aggregations; the signup table joins on the
+    user key (broadcastable when cohorts are computed per tenant)."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(ts_us) div {US_WEEK}").alias("cohort_week"))
+    )
+    activity = (
+        ev.join(signup, "user_id")
+        .withColumn("week_offset", F.expr(f"ts_us div {US_WEEK}") - F.col("cohort_week"))
+        .filter(F.col("week_offset") >= 0)
+        .select("user_id", "cohort_week", "week_offset")
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM events
+GROUP BY event_type, bin
+"""
+
+
+@register("value_histogram", oracle=HISTOGRAM_SQL, covers=["A2"])
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type with an exact
+    scaled-integer mass column — one partial+final aggregation keyed by
+    (type, bin); bin assignment is a narrow floor-division projection
+    that pushes into the scan's project."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("sum_value_e6"),
+        )
+    )

@@ -159,6 +159,10 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-STREAM-DEDUP": ("Streaming deduplication (dropDuplicates + watermark)", "plans/q_stream.py (q_stream_dedup_keys)"),
     "X-DEDUP-INCR": ("Incremental near-dup admission vs signature store", "plans/q_dedup.py (q_dedup_incremental)"),
     "X-QUANTILES": ("Exact nearest-rank + t-digest quantiles", f"{PKG}/operators/aggregates.py (exact_quantiles, approx_quantiles)"),
+    "X-FUNNEL": ("Ordered conversion funnel (keyed min + equi-joins)", "plans/q_temporal.py (q_funnel_conversion)"),
+    "X-SCD2": ("Type-2 SCD dimension build (keyed lead window)", "plans/q_temporal.py (q_scd2_user_state)"),
+    "X-COHORT": ("Cohort retention (epoch-week integer buckets)", "plans/q_temporal.py (q_cohort_retention)"),
+    "X-HISTOGRAM": ("Fixed-width value histogram (exact scaled mass)", "plans/q_temporal.py (q_value_histogram)"),
 }
 
 EXT_QUERIES = {
@@ -210,6 +214,10 @@ EXT_QUERIES = {
     "X-STREAM-DEDUP": ["stream_dedup_keys"],
     "X-DEDUP-INCR": ["dedup_incremental"],
     "X-QUANTILES": ["value_quantiles"],
+    "X-FUNNEL": ["funnel_conversion"],
+    "X-SCD2": ["scd2_user_state"],
+    "X-COHORT": ["cohort_retention"],
+    "X-HISTOGRAM": ["value_histogram"],
 }
 
 

@@ -88,3 +88,25 @@ def test_asof_property_vs_bruteforce(spark):
         cands = [(rts, rid) for rk, rts, rid in right if rk == k and rts <= lts]
         expected = max(cands) if cands else (None, None)
         assert got[lid] == expected, (k, lts, lid, got[lid], expected)
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    from prosnet_prefect_pipelines_spark.plans.q_temporal import q_funnel_conversion
+
+    rows = {r.stage: r.n_users for r in q_funnel_conversion(spark, sf_dir).collect()}
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"] >= 0
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    from prosnet_prefect_pipelines_spark.plans.q_temporal import q_scd2_user_state
+
+    rows = q_scd2_user_state(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in list(by_user.items())[:50]:
+        ivs.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval per user, at the tail
+        assert sum(r.is_current for r in ivs) == 1 and ivs[-1].is_current == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, half-open
