@@ -120,3 +120,49 @@ def approx_quantiles(
     return df.groupBy(group_col).agg(
         F.percentile_approx(value_col, probs, 10000).alias("quantiles")
     )
+
+
+def profile_table(
+    df: DataFrame, num_cols: list[str], str_cols: list[str]
+) -> DataFrame:
+    """-> one row per profiled column: (column, n_rows, n_nulls,
+    n_distinct, min_num, max_num, min_str, max_str) — the data-quality
+    profile a pipeline runs before training (null rates, cardinality,
+    ranges).
+
+    ONE aggregation pass computes every statistic (multiple exact
+    COUNT(DISTINCT)s share a single Expand-based aggregate); the
+    long-format result is then a constant-cost projection of the 1-row
+    wide frame per column. min/max stay typed (double vs string columns)
+    — no cross-engine float-to-string formatting in the contract.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs.append(F.count(F.col(c)).alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"max_{c}"))
+    for c in str_cols:
+        aggs.append(F.min(F.col(c)).alias(f"smin_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"smax_{c}"))
+    wide = df.agg(*aggs)
+    outs = []
+    for c in num_cols + str_cols:
+        is_num = c in num_cols
+        outs.append(
+            wide.select(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (F.col(f"min_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"max_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"smin_{c}") if not is_num else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"smax_{c}") if not is_num else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

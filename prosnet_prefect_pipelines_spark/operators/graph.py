@@ -517,3 +517,67 @@ def _components_driver(spark, e: DataFrame) -> DataFrame:
     # parallelize() slices tiny row lists into 1-2 partitions; leave as-is —
     # downstream joins broadcast a frame this size anyway
     return out
+
+
+def bfs_levels(
+    edges: DataFrame,
+    roots: list[str],
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 64,
+) -> DataFrame:
+    """-> (node, hops): minimum hop count from any root, following edges
+    src -> dst (roots at 0; unreachable nodes absent).
+
+    Same frontier fixpoint as ``descendants`` (each round: join the
+    frontier to the edge list, anti-join everything already levelled,
+    materialize to truncate lineage) with the round index recorded as
+    the level — BFS layering gives min-hops for free, no per-edge
+    weights and no priority queue. Work is O(|reachable| + |frontier
+    edges|) total; rounds = graph depth (the scale bound — depth, not
+    size, drives round count).
+    """
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_cp = _fixpoint_conf_off(spark)
+    try:
+        e = _materialize(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+            eager=True,
+        )
+        if e.count() < 2_000_000:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        seed = spark.createDataFrame([(r,) for r in roots], "node string")
+        levels = [_materialize(seed.withColumn("hops", F.lit(0).cast("long")), eager=True)]
+        frontier = levels[0]
+
+        def all_levelled():
+            out = levels[0].select("node")
+            for fr in levels[1:]:
+                out = out.unionByName(fr.select("node"))
+            return out
+
+        for lvl in range(1, max_iterations + 1):
+            step = (
+                e.join(frontier, e["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            nxt = _materialize(
+                step.join(all_levelled(), on="node", how="left_anti").withColumn(
+                    "hops", F.lit(lvl).cast("long")
+                )
+            )
+            if nxt.count() == 0:
+                break
+            levels.append(nxt)
+            frontier = nxt
+        else:
+            raise RuntimeError(f"bfs_levels: no fixpoint after {max_iterations} iterations")
+        out = levels[0]
+        for fr in levels[1:]:
+            out = out.unionByName(fr)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)

@@ -127,3 +127,36 @@ def q_value_quantiles(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return exact_quantiles(ev, "event_type", "value", "event_id", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def _prof_branch(col, is_num):
+    mn = f"CAST(MIN({col}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(MAX({col}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+    smn = f"CAST(MIN({col}) AS VARCHAR)" if not is_num else "CAST(NULL AS VARCHAR)"
+    smx = f"CAST(MAX({col}) AS VARCHAR)" if not is_num else "CAST(NULL AS VARCHAR)"
+    return f"""
+SELECT '{col}' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num, {smn} AS min_str, {smx} AS max_str
+FROM lineitem"""
+
+
+PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    [_prof_branch(c, True) for c in PROFILE_NUM]
+    + [_prof_branch(c, False) for c in PROFILE_STR]
+)
+
+
+@register("table_profile", oracle=PROFILE_SQL, covers=["A1", "A2"])
+def q_table_profile(spark, sf_dir):
+    """Data-quality profile of the fact table (null counts, exact
+    cardinality, typed min/max per column) in ONE aggregation pass —
+    the validation gate a training pipeline runs before ingest."""
+    from prosnet_prefect_pipelines_spark.operators.aggregates import profile_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_table(li, PROFILE_NUM, PROFILE_STR)

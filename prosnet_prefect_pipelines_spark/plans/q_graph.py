@@ -148,3 +148,38 @@ def q_entity_resolution(spark, sf_dir):
     proxies = R.triple_pattern(triples, "?proxy", "pfp:proxy_for", "?entity")
     resolved = resolve.resolve_same_as(persons, edges, proxies)
     return resolve.provided_entity_triples(resolved)
+
+
+# --- BFS hop levels (shortest unweighted paths from a root) ---------------------
+
+BFS_ROOT = "urn:class/7"
+
+BFS_HOPS_SQL = f"""
+WITH RECURSIVE
+edges AS (
+    SELECT 'urn:class/' || CAST(p_partkey AS VARCHAR) AS child,
+           'urn:class/' || CAST(CAST(FLOOR(p_partkey / 2) AS BIGINT) AS VARCHAR) AS parent
+    FROM part WHERE p_partkey >= 2
+),
+reach(node, hops) AS (
+    SELECT '{BFS_ROOT}', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT e.child, r.hops + 1
+    FROM reach r JOIN edges e ON e.parent = r.node
+    WHERE r.hops < 60
+)
+SELECT node, MIN(hops) AS hops FROM reach GROUP BY node
+"""
+
+
+@register("shortest_hops", oracle=BFS_HOPS_SQL, covers=["J5"])
+def q_shortest_hops(spark, sf_dir):
+    """Minimum hop count from a root class to every descendant — BFS
+    layering over the subclass tree (edges reversed to parent->child).
+    Each frontier round is one keyed join + anti-join, materialized to
+    truncate lineage; round count = graph depth. The unweighted
+    shortest-path primitive next to closure/components/PageRank."""
+    triples = triples_from_tpch(spark, sf_dir)
+    edges = R.triple_pattern(triples, "?src", "wdt:P279", "?dst")
+    down = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return G.bfs_levels(down, [BFS_ROOT])

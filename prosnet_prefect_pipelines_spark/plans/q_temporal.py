@@ -258,3 +258,36 @@ def q_value_histogram(spark, sf_dir):
             F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("sum_value_e6"),
         )
     )
+
+
+TRENDING_SQL = f"""
+WITH counts AS (
+    SELECT epoch_us(ts) // {US_WEEK} AS week, event_type, COUNT(*) AS n
+    FROM events GROUP BY week, event_type
+)
+SELECT week, event_type, n, rn FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY week ORDER BY n DESC, event_type) AS INT) AS rn
+    FROM counts
+) t WHERE rn <= 3
+"""
+
+
+@register("trending_topk", oracle=TRENDING_SQL, covers=["A2", "O6", "O1"])
+def q_trending_topk(spark, sf_dir):
+    """Top-3 event types per epoch week — the trending/leaderboard
+    shape: one partial+final count keyed by (week, type), then a window
+    ranked WITHIN each week (keyed partitions, no global sort);
+    deterministic tiebreak on the type name."""
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.expr(f"ts_us div {US_WEEK}").alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("week").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("week", "event_type", "n", "rn")
+    )

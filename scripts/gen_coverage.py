@@ -163,6 +163,9 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-SCD2": ("Type-2 SCD dimension build (keyed lead window)", "plans/q_temporal.py (q_scd2_user_state)"),
     "X-COHORT": ("Cohort retention (epoch-week integer buckets)", "plans/q_temporal.py (q_cohort_retention)"),
     "X-HISTOGRAM": ("Fixed-width value histogram (exact scaled mass)", "plans/q_temporal.py (q_value_histogram)"),
+    "X-BFS": ("BFS hop levels / unweighted shortest paths", f"{PKG}/operators/graph.py (bfs_levels)"),
+    "X-PROFILE": ("Table profiling (nulls/cardinality/ranges, one pass)", f"{PKG}/operators/aggregates.py (profile_table)"),
+    "X-TRENDING": ("Per-window trending top-k (keyed rank)", "plans/q_temporal.py (q_trending_topk)"),
 }
 
 EXT_QUERIES = {
@@ -218,6 +221,9 @@ EXT_QUERIES = {
     "X-SCD2": ["scd2_user_state"],
     "X-COHORT": ["cohort_retention"],
     "X-HISTOGRAM": ["value_histogram"],
+    "X-BFS": ["shortest_hops"],
+    "X-PROFILE": ["table_profile"],
+    "X-TRENDING": ["trending_topk"],
 }
 
 
