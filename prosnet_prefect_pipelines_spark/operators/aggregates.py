@@ -147,22 +147,22 @@ def profile_table(
         aggs.append(F.min(F.col(c)).alias(f"smin_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"smax_{c}"))
     wide = df.agg(*aggs)
-    outs = []
+    # explode ONE array of per-column structs over the single wide row —
+    # a union of per-column projections would re-plan (and re-scan) the
+    # whole aggregate once per column
+    rows = []
     for c in num_cols + str_cols:
         is_num = c in num_cols
-        outs.append(
-            wide.select(
+        rows.append(
+            F.struct(
                 F.lit(c).alias("column"),
-                F.col("n_rows"),
+                F.col("n_rows").alias("n_rows"),
                 (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_nulls"),
                 F.col(f"nd_{c}").alias("n_distinct"),
                 (F.col(f"min_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
                 (F.col(f"max_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
-                (F.col(f"smin_{c}") if not is_num else F.lit(None).cast("string")).alias("min_str"),
-                (F.col(f"smax_{c}") if not is_num else F.lit(None).cast("string")).alias("max_str"),
+                (F.lit(None).cast("string") if is_num else F.col(f"smin_{c}")).alias("min_str"),
+                (F.lit(None).cast("string") if is_num else F.col(f"smax_{c}")).alias("max_str"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

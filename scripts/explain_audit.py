@@ -101,6 +101,26 @@ AUDITS = {
         # ann_kmeans_cells; the within-cell pair join must stay equi
         ("BroadcastNestedLoopJoin", "tiny centroid table broadcast into assignment"),
     ],
+    "funnel_conversion": [
+        ("partial_", "every stage MIN is partial+final"),
+    ],
+    "scd2_user_state": [
+        ("Window", "one keyed lead() window on user_id"),
+    ],
+    "cohort_retention": [
+        ("partial_", "distinct + count both partially aggregate"),
+    ],
+    "value_histogram": [
+        ("partial_", "histogram counts partial+final"),
+        ("ReadSchema", "only event_type+value (and ts passthrough) read"),
+    ],
+    "table_profile": [
+        ("Expand", "multiple exact COUNT(DISTINCT)s share one Expand aggregate pass"),
+    ],
+    "trending_topk": [
+        ("Window", "rank windows partition by week (keyed, not global)"),
+        ("partial_", "weekly counts partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -128,6 +148,11 @@ FORBIDDEN = {
     "pagerank_nations": ["CartesianProduct", "Exchange SinglePartition"],
     "ngram_stats": ["Exchange SinglePartition"],
     "dedup_incremental": ["CartesianProduct", "Exchange SinglePartition"],
+    "funnel_conversion": ["CartesianProduct", "Exchange SinglePartition"],
+    "scd2_user_state": ["Exchange SinglePartition"],
+    "cohort_retention": ["CartesianProduct", "Exchange SinglePartition"],
+    "value_histogram": ["Exchange SinglePartition"],
+    "trending_topk": ["Exchange SinglePartition"],
 }
 
 
