@@ -160,3 +160,67 @@ def q_table_profile(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return profile_table(li, PROFILE_NUM, PROFILE_STR)
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_pricing", oracle=ROLLUP_SQL, covers=["A2"])
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation (per flag+status, per flag, grand total) in one
+    pass — Spark expands grouping sets map-side and still partially
+    aggregates; NULL grouping placeholders are coalesced to a sentinel
+    so both engines emit identical keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+@register("pivot_event_counts", oracle=PIVOT_SQL, covers=["A2"])
+def q_pivot_event_counts(spark, sf_dir):
+    """Long-to-wide pivot: per-user event-type counts as columns. The
+    pivot values are pinned (no discovery pass), so this is one
+    partial+final aggregation keyed by user — the feature-table shape
+    fed to trainers."""
+    from prosnet_prefect_pipelines_spark.model import read_events
+
+    ev = read_events(spark, sf_dir)
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )

@@ -291,3 +291,66 @@ def q_trending_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("week", "event_type", "n", "rn")
     )
+
+
+RUNNING_SQL = """
+SELECT user_id, event_id, ts_us,
+       CAST(SUM(v6) OVER w AS BIGINT) AS cum_value_e6,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cum_events
+FROM (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 1000000) AS BIGINT) AS v6
+    FROM events
+) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("running_totals", oracle=RUNNING_SQL, covers=["A5", "O1"])
+def q_running_totals(spark, sf_dir):
+    """Per-user running value sum + event count over event time — the
+    cumulative-metrics window shape. Values are summed as scaled
+    BIGINTs (exact, prefix-order-defined by the ts+id sort), one keyed
+    window shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v6 = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum(v6).over(w).cast("long").alias("cum_value_e6"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cum_events"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+FROM events
+"""
+
+
+@register("json_extract_props", oracle=JSON_PROPS_SQL, covers=["F21", "P4"])
+def q_json_extract_props(spark, sf_dir):
+    """Semi-structured payload extraction: a JSON path pulled out of the
+    props string column (typed, with null for absent paths) — pure
+    narrow projection via get_json_object, no UDF, pushes into the
+    scan's project."""
+    from prosnet_prefect_pipelines_spark.model import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("missing"),
+    )

@@ -166,6 +166,10 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-BFS": ("BFS hop levels / unweighted shortest paths", f"{PKG}/operators/graph.py (bfs_levels)"),
     "X-PROFILE": ("Table profiling (nulls/cardinality/ranges, one pass)", f"{PKG}/operators/aggregates.py (profile_table)"),
     "X-TRENDING": ("Per-window trending top-k (keyed rank)", "plans/q_temporal.py (q_trending_topk)"),
+    "X-ROLLUP": ("ROLLUP grouping sets in one pass", "plans/q_aggregates.py (q_rollup_pricing)"),
+    "X-PIVOT": ("Long-to-wide pivot (pinned values, one agg)", "plans/q_aggregates.py (q_pivot_event_counts)"),
+    "X-RUNNING": ("Running cumulative sums (exact scaled ints)", "plans/q_temporal.py (q_running_totals)"),
+    "X-JSON": ("JSON path extraction from payload columns", "plans/q_temporal.py (q_json_extract_props)"),
 }
 
 EXT_QUERIES = {
@@ -224,6 +228,10 @@ EXT_QUERIES = {
     "X-BFS": ["shortest_hops"],
     "X-PROFILE": ["table_profile"],
     "X-TRENDING": ["trending_topk"],
+    "X-ROLLUP": ["rollup_pricing"],
+    "X-PIVOT": ["pivot_event_counts"],
+    "X-RUNNING": ["running_totals"],
+    "X-JSON": ["json_extract_props"],
 }
 
 
