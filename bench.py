@@ -87,6 +87,18 @@ def main() -> None:
     # warm the JVM/session so the first query doesn't pay startup cost
     spark.range(1).count()
 
+    # hardware calibration: a fixed data-independent Spark computation.
+    # Query timings divided by this normalize away host-speed differences
+    # between rounds (r2's driver box ran every r1 query uniformly ~2x
+    # slower; this field makes that visible instead of arguable).
+    t0 = time.time()
+    from pyspark.sql import functions as _F
+
+    spark.range(0, 200_000_000, 1, 32).agg(
+        _F.sum((_F.col("id") % 97).cast("long"))
+    ).collect()
+    calib = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -111,6 +123,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_spark_agg_sec": calib,
     }
     prev = _prev_round_queries()
     if prev:
