@@ -256,13 +256,16 @@ def rhp_lsh_topk(
         sig.alias("x")
         .join(sig.alias("y"), on="bucket")
         .filter(F.col("x.id") != F.col("y.id"))
-        .select(F.col("x.id").alias("id"), F.col("y.id").alias("neighbor"),
-                F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
-        # a pair colliding in several tables must score once (bag semantics)
-        .dropDuplicates(["id", "neighbor"])
+        # score BEFORE deduping collisions: cosine is map-side codegen, so
+        # duplicate pairs re-score cheaply, while deduping first would
+        # shuffle both full vectors per candidate pair (2*dim doubles vs
+        # one scalar). A pair colliding in several tables still lands as
+        # one row — identical cos — after the dropDuplicates below.
         .select(
-            "id", "neighbor", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+            F.col("x.id").alias("id"), F.col("y.id").alias("neighbor"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
         )
+        .dropDuplicates(["id", "neighbor"])
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
     return (
