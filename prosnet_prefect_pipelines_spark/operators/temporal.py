@@ -120,3 +120,38 @@ def range_join(
         .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def context_target_pairs(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    n_context: int = 3,
+) -> DataFrame:
+    """(key, context, target) next-token training pairs from per-key
+    ordered sequences: for every position with >= ``n_context`` history,
+    ``context`` = the previous ``n_context`` tokens space-joined,
+    ``target`` = the token at the position.
+
+    One window pass partitioned by ``key_col`` — sequences windowize
+    independently and in parallel, no global order. ``order_cols`` must
+    totally order rows within a key (pass a tie-break column after a
+    timestamp: equal timestamps would otherwise make lag() content
+    nondeterministic). The lag chain is ``n_context`` expressions over
+    ONE window frame, not n window passes.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    lags = [F.lag(F.col(token_col), i).over(w) for i in range(n_context, 0, -1)]
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.concat_ws(" ", *lags).alias("context"),
+            F.col(token_col).alias("target"),
+            lags[0].alias("_oldest"),
+        )
+        .filter(F.col("_oldest").isNotNull())  # full context available
+        .drop("_oldest")
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
         q_functions,
         q_graph,
         q_index,
+        q_pipeline2,
         q_ranking,
         q_relational,
         q_render,

@@ -170,6 +170,15 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-PIVOT": ("Long-to-wide pivot (pinned values, one agg)", "plans/q_aggregates.py (q_pivot_event_counts)"),
     "X-RUNNING": ("Running cumulative sums (exact scaled ints)", "plans/q_temporal.py (q_running_totals)"),
     "X-JSON": ("JSON path extraction from payload columns", "plans/q_temporal.py (q_json_extract_props)"),
+    "X-URL": ("URL canonicalization + per-domain rollup", f"{PKG}/operators/web.py (canonicalize_url, registered_domain)"),
+    "X-LM-SCORE": ("Unigram-LM quality scoring (exact perplexity proxy)", f"{PKG}/operators/lm.py (corpus_freq_score)"),
+    "X-VOCAB": ("Vocabulary coverage curve (tokenizer sizing)", f"{PKG}/operators/lm.py (vocab_coverage)"),
+    "X-QCLASS": ("Integer-weighted linear quality classifier", f"{PKG}/operators/lm.py (linear_quality_score)"),
+    "X-MIXTURE": ("Domain-mixture sampling under a global budget", "plans/q_pipeline2.py (q_mixture_sample)"),
+    "X-SEQ-PAIRS": ("(context, next-token) sequence pair mining", f"{PKG}/operators/temporal.py (context_target_pairs)"),
+    "X-TRIANGLES": ("Degree-ordered triangle counting", f"{PKG}/operators/graph.py (triangle_count)"),
+    "X-DIFF": ("Keyed snapshot diff (added/removed/changed by fingerprint)", f"{PKG}/operators/audit.py (snapshot_diff)"),
+    "X-AUDIT": ("Order-independent per-group content checksum", f"{PKG}/operators/audit.py (content_checksum)"),
 }
 
 EXT_QUERIES = {
@@ -232,6 +241,15 @@ EXT_QUERIES = {
     "X-PIVOT": ["pivot_event_counts"],
     "X-RUNNING": ["running_totals"],
     "X-JSON": ["json_extract_props"],
+    "X-URL": ["url_canonicalize", "url_domain_stats"],
+    "X-LM-SCORE": ["unigram_lm_score"],
+    "X-VOCAB": ["vocab_coverage"],
+    "X-QCLASS": ["quality_classifier"],
+    "X-MIXTURE": ["mixture_sample"],
+    "X-SEQ-PAIRS": ["sequence_context_pairs"],
+    "X-TRIANGLES": ["triangle_count"],
+    "X-DIFF": ["snapshot_diff"],
+    "X-AUDIT": ["content_checksum"],
 }
 
 
