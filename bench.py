@@ -49,6 +49,10 @@ HEADLINE = [
     "semdedup_keep",          # k-means + within-cell cosine prune
     "value_quantiles",        # exact nearest-rank quantiles
     "pii_scrub",              # regexp PII redaction (narrow pass)
+    "unigram_lm_score",       # token-freq table + token-keyed join + doc agg
+    "url_domain_stats",       # regex canonicalize + domain rollup
+    "triangle_count",         # degree-ordered wedge join
+    "snapshot_diff",          # fingerprint full-outer keyed diff
 ]
 
 

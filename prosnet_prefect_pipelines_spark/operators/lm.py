@@ -99,7 +99,9 @@ def vocab_coverage(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
     window in this module, bounded by a constant. Ties broken by token
     so the output is deterministic.
     """
-    counts = unigram_counts(df, text_col)
+    # total + top both derive from counts: materialize the (vocab-sized)
+    # frequency table once instead of re-running the corpus aggregation
+    counts = unigram_counts(df, text_col).localCheckpoint(eager=False)
     total = counts.agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("_t"))
     top = (
         counts.orderBy(F.col("c").desc(), F.col("token"))

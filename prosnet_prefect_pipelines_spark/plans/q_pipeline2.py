@@ -137,7 +137,7 @@ def q_url_domain_stats(spark, sf_dir):
     per = present.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("canon").alias("n_unique_urls"),
-    )
+    ).localCheckpoint(eager=False)  # tot derives from per: materialize once
     tot = per.agg(F.sum("n_docs").alias("t"))
     return per.join(F.broadcast(tot)).select(
         "domain",
@@ -303,7 +303,7 @@ def q_mixture_sample(spark, sf_dir):
         "source",
         "n",
         (1 + F.substring("source", 4, 10).cast("int") % 4).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=False)  # tot + frac both derive from per
     tot = per.agg(F.sum("w").alias("tw"), F.sum("n").alias("tn"))
     frac = per.join(F.broadcast(tot)).select(
         "source",
@@ -362,8 +362,15 @@ def q_sequence_context_pairs(spark, sf_dir):
 # graph: triangle counting
 
 TRIANGLES_SQL = """
-WITH edges AS (
-    SELECT o_orderkey % 499 AS u, (o_orderkey // 499) % 499 AS v FROM orders
+WITH m AS (
+    SELECT COUNT(*) // 10 + 1 AS m1, COUNT(*) // 10 + 3 AS m2 FROM orders
+),
+edges AS (
+    -- two co-prime-ish moduli: endpoints are quasi-independent residues
+    -- (one shared modulus would make v a function of u — a functional,
+    -- triangle-free graph), and node count scales WITH the data so the
+    -- graph keeps constant average degree at any sf
+    SELECT o_orderkey % m1 AS u, o_orderkey % m2 AS v FROM orders, m
 ),
 e AS (
     SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
@@ -382,10 +389,10 @@ def q_triangle_count(spark, sf_dir):
     orders-derived graph. The oracle is the naive a<b<c triple-join; the
     engine's degree-ordered wedge enumeration must agree exactly."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()  # parquet metadata count — no data scan
+    m1, m2 = n // 10 + 1, n // 10 + 3
     k = F.col("o_orderkey")
-    edges = orders.select(
-        (k % 499).alias("src"), (F.expr("o_orderkey div 499") % 499).alias("dst")
-    )
+    edges = orders.select((k % m1).alias("src"), (k % m2).alias("dst"))
     return triangle_count(edges)
 
 

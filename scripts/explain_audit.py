@@ -121,6 +121,34 @@ AUDITS = {
         ("Window", "rank windows partition by week (keyed, not global)"),
         ("partial_", "weekly counts partial+final"),
     ],
+    "url_canonicalize": [
+        ("ReadSchema", "only doc_id read — the URL corpus is derived in-plan"),
+    ],
+    "url_domain_stats": [
+        ("partial_", "per-domain counts partial+final"),
+        # the 1-row grand total joins keyless: BroadcastExchange + BNLJ is
+        # the scalar-broadcast pattern, NOT a data-sized nested loop
+        ("BroadcastExchange", "grand-total single row broadcast, not a global window"),
+    ],
+    "unigram_lm_score": [
+        ("partial_", "token frequencies + per-doc stats both partial+final"),
+    ],
+    "quality_classifier": [
+        ("ReadSchema", "only doc_id+text read; classifier is one codegen pass"),
+    ],
+    "sequence_context_pairs": [
+        ("Window", "lag chain shares ONE keyed window (user_id), not n passes"),
+    ],
+    "triangle_count": [
+        ("HashJoin", "wedge + closing joins are equi-joins on vertex keys"),
+        ("partial_", "final count partial+final"),
+    ],
+    "snapshot_diff": [
+        ("FullOuter", "one full-outer join on the snapshot key"),
+    ],
+    "content_checksum": [
+        ("partial_", "fingerprint sums partial+final — one shuffle per group set"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -153,6 +181,15 @@ FORBIDDEN = {
     "cohort_retention": ["CartesianProduct", "Exchange SinglePartition"],
     "value_histogram": ["Exchange SinglePartition"],
     "trending_topk": ["Exchange SinglePartition"],
+    # narrow derive->regex pass: no shuffle at all
+    "url_canonicalize": ["Exchange"],
+    "quality_classifier": ["Exchange"],
+    "url_domain_stats": ["Exchange SinglePartition", "CartesianProduct"],
+    "unigram_lm_score": ["Exchange SinglePartition", "CartesianProduct"],
+    "sequence_context_pairs": ["Exchange SinglePartition"],
+    "triangle_count": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "snapshot_diff": ["CartesianProduct", "Exchange SinglePartition"],
+    "content_checksum": ["Exchange SinglePartition"],
 }
 
 
