@@ -101,3 +101,49 @@ def content_checksum(
             *group_cols, "n_rows", F.col("_sum").cast("string").alias("checksum")
         )
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot -> the next snapshot.
+
+    ``changes`` rows carry ``op`` in {'U' (upsert), 'D' (delete)} plus
+    the full payload and ``order_cols`` (e.g. [ts, seq]) ordering
+    changes per key. Semantics: the LATEST change per key wins; 'D'
+    removes the key; keys without changes pass through from ``base``.
+
+    Shape: union + one window (or equivalently one shuffle) keyed by
+    ``key_cols`` — work is |base| + |changes| rows through a single
+    hash exchange, and zero shuffle when base and changelog are both
+    bucketed by the key (the layout a CDC pipeline should maintain).
+    Base rows sort below every change via a rank column, so no
+    timestamp comparison against base is needed — correct even when
+    late-arriving changes carry timestamps older than the snapshot's
+    watermark (last-WRITE-wins per changelog order, the Debezium/Kafka
+    compaction contract).
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or []
+    b = base.withColumn("_rank", F.lit(0)).withColumn(op_col, F.lit("U"))
+    # order cols that exist only on the changelog (seq numbers, change
+    # timestamps): synthesize NULL on base — _rank already sorts every
+    # change above every base row, so base's values never matter
+    synthesized = [o for o in order_cols if o not in base.columns]
+    for o in synthesized:
+        b = b.withColumn(o, F.lit(None).cast(changes.schema[o].dataType))
+    c = changes.withColumn("_rank", F.lit(1))
+    allr = b.unionByName(c.select(*b.columns))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_rank").desc(), *[F.col(o).desc() for o in order_cols]
+    )
+    return (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn", "_rank", op_col, *synthesized)
+    )

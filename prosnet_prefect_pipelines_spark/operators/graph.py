@@ -644,3 +644,86 @@ def triangle_count(
         how="inner",
     )
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-source (multi-root) weighted shortest paths -> (node, dist)
+    for every reachable node; integer non-negative weights.
+
+    Distributed Bellman-Ford with delta-convergence: each round relaxes
+    ONLY the frontier (nodes whose distance improved last round) against
+    the edge set — one equi-join + one min-aggregation per round, both
+    keyed — then merges into the running distance table via min. State
+    is checkpoint-truncated every round, shuffle partitioning is scoped
+    down for small frames (the graph.py fixpoint conventions). Rounds <=
+    the weighted-hop diameter; work per round is proportional to the
+    frontier's out-edges, not the whole graph — on power-law graphs the
+    frontier collapses after a few rounds and later iterations are
+    near-free.
+
+    Negative weights are rejected (Bellman-Ford detects cycles only with
+    |V|-round full relaxation — a different, full-scan contract).
+    """
+    spark = edges.sparkSession
+    if not sources:
+        raise ValueError("sssp_weighted: sources must be non-empty")
+    prev_cp = _fixpoint_conf_off(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        e = _materialize(
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            ),
+            eager=True,
+        )
+        if e.filter(F.col("w") < 0).limit(1).count() > 0:
+            raise ValueError("sssp_weighted: negative weights unsupported")
+        if e.count() < 2_000_000:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        dist = _materialize(
+            spark.createDataFrame(
+                [(s, 0) for s in sources], "node string, dist long"
+            ),
+            eager=True,
+        )
+        frontier = dist
+        for _ in range(max_iterations):
+            cand = (
+                e.join(frontier, e["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+            )
+            improved = _materialize(
+                cand.join(dist, on="node", how="left_outer")
+                .filter(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+                .select("node", F.col("d").alias("dist"))
+            )
+            if improved.count() == 0:
+                break
+            dist = _materialize(
+                dist.join(improved.select(F.col("node"), F.col("dist").alias("_nd")),
+                          on="node", how="full_outer")
+                .select(
+                    "node",
+                    F.least(F.col("dist"), F.col("_nd")).alias("dist"),
+                )
+            )
+            frontier = improved
+        else:
+            raise RuntimeError(
+                f"sssp_weighted: no fixpoint after {max_iterations} iterations"
+            )
+        return dist
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)

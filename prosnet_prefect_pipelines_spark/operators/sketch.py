@@ -1,0 +1,172 @@
+"""Portable distributed sketches (north-star extension): HyperLogLog
+distinct counting and Bloom-filter join pruning, built so their VALUES
+— not just their contracts — are reproducible across engines.
+
+Why portability matters here: sketches usually hide engine-specific
+hashing (Spark's approx_count_distinct, xxhash bloom builders), which
+makes their outputs unverifiable by any second system. Both sketches
+below hash with the 48-bit md5-prefix family the dedup/sampling tiers
+use, and restrict arithmetic to integers + dyadic-rational doubles —
+every register value and every estimate is bit-identical in DuckDB
+(the correctness gate runs exactly that comparison).
+
+Scale shape: HLL registers reduce with map-side-combined MAX (one
+shuffle keyed by (group, register)); the Bloom build aggregates bit
+positions distributed-side and only the m-bit bitset — kilobytes —
+reaches the driver for broadcast, equivalent to a broadcast-join build
+side but orders of magnitude smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators.dedup import portable_id
+
+# --- HyperLogLog ----------------------------------------------------------
+
+HLL_B = 9  # 2^9 = 512 registers
+HLL_M = 1 << HLL_B
+_REM_BITS = 48 - HLL_B  # 39 value bits feeding the rank
+
+
+def hll_register(key: Column) -> tuple[Column, Column]:
+    """(register index, rank) of one key: bucket = top ``HLL_B`` hash
+    bits, rank = leading-zero count of the remaining bits + 1.
+
+    Integer/dyadic arithmetic only: the bucket divide is exact (h < 2^48
+    fits a double mantissa; dividing by a power of two rounds nothing),
+    and the rank uses binary-string length, not log2 — libm-free, so
+    register values are engine-exact integers.
+    """
+    h = portable_id(key.cast("string"))
+    bucket = F.floor(h / F.lit(float(1 << _REM_BITS))).cast("long")
+    rem = h.bitwiseAND(F.lit((1 << _REM_BITS) - 1))
+    bitlen = F.when(rem == 0, F.lit(0)).otherwise(
+        F.length(F.conv(rem.cast("string"), 10, 2))
+    )
+    rank = F.lit(_REM_BITS + 1) - bitlen
+    return bucket, rank
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate -> (group..., hll_estimate,
+    registers_set). Two map-side-combined aggregations: MAX rank per
+    (group, register), then the harmonic mean per group.
+
+    Exactness of the float math: every ``2^-rank`` is a dyadic rational
+    with exponent >= -(48-B+1); the per-group sum of <= 512 such terms
+    fits a double's 53-bit mantissa without rounding, so the sum is
+    order-independent — and alpha*m^2/denom is a chain of single IEEE
+    ops, identical on every conforming engine. (The small-range
+    linear-counting correction needs ln(), which is NOT portable — this
+    sketch reports the raw estimate; callers wanting the correction
+    apply it to ``registers_set`` downstream.) Estimate floor-cast to
+    BIGINT for a stable surface.
+    """
+    bucket, rank = hll_register(F.col(key_col))
+    regs = (
+        df.select(*[F.col(c) for c in group_cols], bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_r").alias("_rank"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    # zero registers contribute 2^0 = 1 each: denom = (m - set) + sum(2^-rank)
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_set"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_rank AS INT))")
+            ).alias("_s"),
+        )
+        .select(
+            *group_cols,
+            (
+                F.lit(alpha * HLL_M * HLL_M)
+                / (F.col("_s") + (F.lit(HLL_M) - F.col("_set")).cast("double"))
+            )
+            .cast("long")
+            .alias("hll_estimate"),
+            F.col("_set").cast("long").alias("registers_set"),
+        )
+    )
+
+
+# --- Bloom-filter join pruning -------------------------------------------
+
+BLOOM_M = 1 << 14  # bits (2 KB bitset)
+BLOOM_K = 4  # probes
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """k bit positions via double hashing: (h1 + j*h2) mod m."""
+    h1 = portable_id(key.cast("string"))
+    h2 = portable_id(F.concat(key.cast("string"), F.lit("#2")))
+    return [F.pmod(h1 + F.lit(j) * h2, F.lit(BLOOM_M)) for j in range(BLOOM_K)]
+
+
+def bloom_build(dim: DataFrame, key_col: str) -> list[int]:
+    """Aggregate the dim side's Bloom bitset -> ``BLOOM_M/64`` signed
+    words.
+
+    The heavy work (hashing every dim key) is distributed; only the
+    DISTINCT bit positions — at most m = 16384 ints — are collected, so
+    the driver sees kilobytes regardless of dim cardinality. For dims
+    small enough to broadcast-join anyway the filter is pointless; its
+    scale case is a dim too big to broadcast, where the 2 KB bitset
+    still rides the task closure and prunes the fact scan before the
+    shuffle.
+    """
+    pos_col = F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("p")
+    rows = dim.select(pos_col).distinct().collect()
+    words = [0] * (BLOOM_M // 64)
+    for r in rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement fold into signed 64-bit (Spark BIGINT is signed);
+    # (w >> bit) & 1 still extracts every bit correctly under arithmetic
+    # shift, including bit 63
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prune(df: DataFrame, key_col: str, words: list[int]) -> DataFrame:
+    """Keep rows whose key the bitset may contain (every present key
+    kept — no false negatives). The bitset rides the plan as ONE array
+    literal column; probes are variable-shift bit tests via named
+    columns, evaluated in the scan stage before any shuffle."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    out = (
+        df.withColumn("_bloom", arr)
+        .withColumn("_h1", portable_id(F.col(key_col).cast("string")))
+        .withColumn(
+            "_h2",
+            portable_id(F.concat(F.col(key_col).cast("string"), F.lit("#2"))),
+        )
+    )
+    cond: Column = F.lit(True)
+    for j in range(BLOOM_K):
+        p = f"pmod(_h1 + {j} * _h2, {BLOOM_M})"
+        cond = cond & F.expr(
+            f"(shiftright(element_at(_bloom, CAST({p} div 64 AS INT) + 1), "
+            f"CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+    return out.filter(cond).drop("_bloom", "_h1", "_h2")
+
+
+def bloom_semi_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Exact semi-join accelerated by a Bloom pre-filter: the bitset
+    prunes fact rows BEFORE the join shuffle; false positives are then
+    removed by the real semi-join, so results are exact — the sketch
+    only moves work, never changes answers (which is why the DuckDB
+    oracle is a plain semi-join)."""
+    words = bloom_build(dim, dim_key)
+    pruned = bloom_prune(fact, fact_key, words)
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_semi",
+    )

@@ -54,6 +54,7 @@ def _load_all() -> None:
         q_graph,
         q_index,
         q_pipeline2,
+        q_pipeline3,
         q_ranking,
         q_relational,
         q_render,

@@ -149,6 +149,20 @@ AUDITS = {
     "content_checksum": [
         ("partial_", "fingerprint sums partial+final — one shuffle per group set"),
     ],
+    "cdc_apply": [
+        ("Window", "one keyed window merges base + changelog (last-write-wins)"),
+    ],
+    "zorder_layout": [
+        ("partial_", "per-file min/max stats partial+final"),
+        ("ReadSchema", "only value+user_id read"),
+    ],
+    "hll_distinct": [
+        ("partial_", "register MAX + harmonic sum both partial+final"),
+    ],
+    "bloom_semi_join": [
+        ("LeftSemi", "trailing exact semi-join removes bloom false positives"),
+        ("PushedFilters", "p_size dim predicate reaches the part scan"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -190,6 +204,10 @@ FORBIDDEN = {
     "triangle_count": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "snapshot_diff": ["CartesianProduct", "Exchange SinglePartition"],
     "content_checksum": ["Exchange SinglePartition"],
+    "cdc_apply": ["Exchange SinglePartition", "CartesianProduct"],
+    "zorder_layout": ["Exchange SinglePartition"],
+    "hll_distinct": ["Exchange SinglePartition", "CartesianProduct"],
+    "bloom_semi_join": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 

@@ -179,6 +179,11 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-TRIANGLES": ("Degree-ordered triangle counting", f"{PKG}/operators/graph.py (triangle_count)"),
     "X-DIFF": ("Keyed snapshot diff (added/removed/changed by fingerprint)", f"{PKG}/operators/audit.py (snapshot_diff)"),
     "X-AUDIT": ("Order-independent per-group content checksum", f"{PKG}/operators/audit.py (content_checksum)"),
+    "X-CDC-APPLY": ("CDC changelog apply (last-write-wins U/D merge)", f"{PKG}/operators/audit.py (cdc_apply)"),
+    "X-ZORDER": ("Z-order clustering keys + per-file min/max stats", f"{PKG}/operators/layout.py (zorder_key, zorder_layout_stats)"),
+    "X-HLL": ("Portable HyperLogLog distinct (engine-exact registers)", f"{PKG}/operators/sketch.py (hll_distinct)"),
+    "X-BLOOM": ("Bloom-filter join pruning (exact via trailing semi-join)", f"{PKG}/operators/sketch.py (bloom_semi_join)"),
+    "X-SSSP": ("Weighted shortest paths (delta-converging Bellman-Ford)", f"{PKG}/operators/graph.py (sssp_weighted)"),
 }
 
 EXT_QUERIES = {
@@ -250,6 +255,11 @@ EXT_QUERIES = {
     "X-TRIANGLES": ["triangle_count"],
     "X-DIFF": ["snapshot_diff"],
     "X-AUDIT": ["content_checksum"],
+    "X-CDC-APPLY": ["cdc_apply"],
+    "X-ZORDER": ["zorder_layout"],
+    "X-HLL": ["hll_distinct"],
+    "X-BLOOM": ["bloom_semi_join"],
+    "X-SSSP": ["sssp_weighted"],
 }
 
 
