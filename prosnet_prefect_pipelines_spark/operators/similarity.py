@@ -413,3 +413,54 @@ def kmeans_centroids(
             .localCheckpoint(eager=False)
         )
     return cents
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 4,
+    n_cells: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """Product quantization (spherical) -> (id, sub, code, scos): split
+    each vector into ``n_sub`` subspaces, train a per-subspace codebook
+    with the deterministic k-means trainer, assign each subvector to its
+    nearest centroid (rounded cosine, cid tie-break).
+
+    The ANN compression path beyond int8: storage per vector drops to
+    n_sub code bytes (+ shared codebooks), and asymmetric distance
+    computation scans codes instead of floats. Scale shape: per
+    subspace, training shuffles n_cells x sub_dim aggregates (corpus-
+    size independent) and assignment is one broadcast join — the whole
+    encode is n_sub narrow passes over the corpus. Codebooks are
+    engine-exact (integer-scaled means), so codes — and any index built
+    from them — are reproducible off-Spark.
+    """
+    sub_dim = dim // n_sub
+    assert sub_dim * n_sub == dim, "dim must divide evenly into n_sub"
+    outs = []
+    for s in range(n_sub):
+        sliced = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
+        )
+        cents = kmeans_centroids(sliced, "id", "v", n_cells=n_cells, iterations=iterations)
+        w = Window.partitionBy("id").orderBy(F.col("scos").desc(), F.col("cid"))
+        outs.append(
+            sliced.join(F.broadcast(cents))
+            .select(
+                "id",
+                F.lit(s).cast("int").alias("sub"),
+                "cid",
+                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("scos"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "sub", F.col("cid").alias("code"), "scos")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -50,10 +50,34 @@ def hll_register(key: Column) -> tuple[Column, Column]:
     return bucket, rank
 
 
-def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
-    """Per-group HLL distinct estimate -> (group..., hll_estimate,
-    registers_set). Two map-side-combined aggregations: MAX rank per
-    (group, register), then the harmonic mean per group.
+def hll_registers(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Per-group register table -> (group..., _b, _rank): the sketch's
+    MERGEABLE partial state. MAX rank per (group, register), map-side
+    combined — <= 512 rows per group regardless of input size. Sketches
+    of disjoint (or overlapping!) batches merge by unioning register
+    tables and re-MAXing: see :func:`hll_merge_registers`."""
+    bucket, rank = hll_register(F.col(key_col))
+    return (
+        df.select(*[F.col(c) for c in group_cols], bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_r").alias("_rank"))
+    )
+
+
+def hll_merge_registers(*reg_tables: DataFrame) -> DataFrame:
+    """Merge register tables (same group columns) — union + MAX. The
+    lattice property that makes HLL incremental: merging a day's sketch
+    into a year's is 512 rows of work, and re-delivered batches are
+    absorbed idempotently (MAX is idempotent)."""
+    merged = reg_tables[0]
+    for t in reg_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c not in ("_rank",)]
+    return merged.groupBy(*keys).agg(F.max("_rank").alias("_rank"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers -> (group..., hll_estimate, registers_set).
 
     Exactness of the float math: every ``2^-rank`` is a dyadic rational
     with exponent >= -(48-B+1); the per-group sum of <= 512 such terms
@@ -65,12 +89,6 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFram
     apply it to ``registers_set`` downstream.) Estimate floor-cast to
     BIGINT for a stable surface.
     """
-    bucket, rank = hll_register(F.col(key_col))
-    regs = (
-        df.select(*[F.col(c) for c in group_cols], bucket.alias("_b"), rank.alias("_r"))
-        .groupBy(*group_cols, "_b")
-        .agg(F.max("_r").alias("_rank"))
-    )
     alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
     # zero registers contribute 2^0 = 1 each: denom = (m - set) + sum(2^-rank)
     return (
@@ -84,7 +102,7 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFram
         )
         .select(
             *group_cols,
-            (
+            F.floor(
                 F.lit(alpha * HLL_M * HLL_M)
                 / (F.col("_s") + (F.lit(HLL_M) - F.col("_set")).cast("double"))
             )
@@ -93,6 +111,13 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFram
             F.col("_set").cast("long").alias("registers_set"),
         )
     )
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate -> (group..., hll_estimate,
+    registers_set): :func:`hll_registers` + :func:`hll_estimate` —
+    two map-side-combined aggregations end to end."""
+    return hll_estimate(hll_registers(df, group_cols, key_col), group_cols)
 
 
 # --- Bloom-filter join pruning -------------------------------------------

@@ -152,3 +152,43 @@ def ngrams(text: Column, n: int = 2) -> Column:
     # CaseWhen evaluates branches lazily per row, so the descending
     # sequence(n, size) that a short doc would produce is never built
     return F.when(F.size(toks) >= n, joined).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_tokens(
+    df, id_col: str, text_col: str, size: int = 64, stride: int = 48
+):
+    """Split documents into overlapping token windows -> one row per
+    chunk: (id, chunk_id, n_tokens, chunk_text). The context-window
+    preparation step (RAG indexing, LM training examples): window
+    ``chunk_id`` covers tokens [chunk_id*stride, chunk_id*stride+size).
+
+    Deterministic contract: starts = 0, stride, 2*stride, ... while
+    start < n_tokens; the last chunk may be shorter than ``size`` (and,
+    when stride < size, may be fully contained in its predecessor —
+    kept, so chunk counts are a pure function of n_tokens).
+
+    Narrow: tokenize + one posexplode — no shuffle, no UDF; chunk rows
+    inflate the corpus by ~size/stride, the expected overlap cost.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select("id", "_t", F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("_t"), F.col("_start") + 1, size).alias("_chunk"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("_chunk").cast("long").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -163,6 +163,19 @@ AUDITS = {
         ("LeftSemi", "trailing exact semi-join removes bloom false positives"),
         ("PushedFilters", "p_size dim predicate reaches the part scan"),
     ],
+    "doc_chunking": [
+        ("Generate", "chunk windows via ONE posexplode — no shuffle, no UDF"),
+        ("ReadSchema", "only doc_id+text read"),
+    ],
+    "quantile_transform": [
+        ("Window", "rank + count share keyed (event_type) windows, never global"),
+    ],
+    "hll_merge": [
+        ("partial_", "register MAX partial+final on both batch sketches"),
+    ],
+    "pq_codes": [
+        ("BroadcastNestedLoopJoin", "codebooks (n_cells rows) broadcast into assignment"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -208,6 +221,9 @@ FORBIDDEN = {
     "zorder_layout": ["Exchange SinglePartition"],
     "hll_distinct": ["Exchange SinglePartition", "CartesianProduct"],
     "bloom_semi_join": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "doc_chunking": ["Exchange"],
+    "quantile_transform": ["Exchange SinglePartition"],
+    "hll_merge": ["Exchange SinglePartition", "CartesianProduct"],
 }
 
 

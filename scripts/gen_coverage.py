@@ -184,6 +184,10 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-HLL": ("Portable HyperLogLog distinct (engine-exact registers)", f"{PKG}/operators/sketch.py (hll_distinct)"),
     "X-BLOOM": ("Bloom-filter join pruning (exact via trailing semi-join)", f"{PKG}/operators/sketch.py (bloom_semi_join)"),
     "X-SSSP": ("Weighted shortest paths (delta-converging Bellman-Ford)", f"{PKG}/operators/graph.py (sssp_weighted)"),
+    "X-CHUNK": ("Overlapping token-window chunking (RAG/context prep)", f"{PKG}/operators/textstats.py (chunk_tokens)"),
+    "X-QNORM": ("Per-group percentile-rank normalization", "plans/q_pipeline4.py (q_quantile_transform)"),
+    "X-HLL-MERGE": ("Mergeable HLL partials (union+MAX lattice)", f"{PKG}/operators/sketch.py (hll_registers, hll_merge_registers)"),
+    "X-ANN-PQ": ("Product-quantization codes (per-subspace codebooks)", f"{PKG}/operators/similarity.py (pq_encode)"),
 }
 
 EXT_QUERIES = {
@@ -260,6 +264,10 @@ EXT_QUERIES = {
     "X-HLL": ["hll_distinct"],
     "X-BLOOM": ["bloom_semi_join"],
     "X-SSSP": ["sssp_weighted"],
+    "X-CHUNK": ["doc_chunking"],
+    "X-QNORM": ["quantile_transform"],
+    "X-HLL-MERGE": ["hll_merge"],
+    "X-ANN-PQ": ["pq_codes"],
 }
 
 
