@@ -128,6 +128,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_spark_agg_sec": calib,
+        # host-speed-normalized total: wall divided by the fixed
+        # calibration computation, for fair cross-round comparison when
+        # rounds run on differently-loaded boxes
+        "value_per_calib": round(total / calib, 2) if calib else None,
     }
     prev = _prev_round_queries()
     if prev:

@@ -56,6 +56,7 @@ def _load_all() -> None:
         q_pipeline2,
         q_pipeline3,
         q_pipeline4,
+        q_pipeline5,
         q_ranking,
         q_relational,
         q_render,

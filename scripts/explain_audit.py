@@ -176,6 +176,12 @@ AUDITS = {
     "pq_codes": [
         ("BroadcastNestedLoopJoin", "codebooks (n_cells rows) broadcast into assignment"),
     ],
+    "negative_sampling": [
+        ("HashJoin", "negatives resolved by id equi-join, never a cross join"),
+    ],
+    "property_paths": [
+        ("HashJoin", "path steps filter p before joining — equi-joins only"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -221,6 +227,7 @@ FORBIDDEN = {
     "zorder_layout": ["Exchange SinglePartition"],
     "hll_distinct": ["Exchange SinglePartition", "CartesianProduct"],
     "bloom_semi_join": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "negative_sampling": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
     "hll_merge": ["Exchange SinglePartition", "CartesianProduct"],

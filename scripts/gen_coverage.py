@@ -188,6 +188,10 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-QNORM": ("Per-group percentile-rank normalization", "plans/q_pipeline4.py (q_quantile_transform)"),
     "X-HLL-MERGE": ("Mergeable HLL partials (union+MAX lattice)", f"{PKG}/operators/sketch.py (hll_registers, hll_merge_registers)"),
     "X-ANN-PQ": ("Product-quantization codes (per-subspace codebooks)", f"{PKG}/operators/similarity.py (pq_encode)"),
+    "X-STREAM-HLL": ("Streaming windowed HLL (bounded-state cardinality)", "plans/q_pipeline5.py (q_stream_hll_distinct)"),
+    "X-NEG-SAMPLE": ("Deterministic contrastive negative sampling", "plans/q_pipeline5.py (q_negative_sampling)"),
+    "X-DEDUP-BEST": ("Quality-aware dedup keeper (argmax per cluster)", "plans/q_pipeline5.py (q_dedup_keep_best)"),
+    "X-PROP-PATHS": ("SPARQL property-path compositions (seq/alt/inverse)", "plans/q_pipeline5.py (q_property_paths)"),
 }
 
 EXT_QUERIES = {
@@ -268,6 +272,10 @@ EXT_QUERIES = {
     "X-QNORM": ["quantile_transform"],
     "X-HLL-MERGE": ["hll_merge"],
     "X-ANN-PQ": ["pq_codes"],
+    "X-STREAM-HLL": ["stream_hll_distinct"],
+    "X-NEG-SAMPLE": ["negative_sampling"],
+    "X-DEDUP-BEST": ["dedup_keep_best"],
+    "X-PROP-PATHS": ["property_paths"],
 }
 
 
