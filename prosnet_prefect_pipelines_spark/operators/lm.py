@@ -171,3 +171,110 @@ def linear_quality_score(
     for name, col in feats.items():
         score = score + F.lit(w.get(name, 0)).cast("long") * col
     return score
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 50
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding merge table -> [(rank, left, right, pair_count)].
+
+    The standard trainer shape (Sennrich et al. '16): the DISTRIBUTED
+    work is the word-frequency aggregation (one shuffle, map-side
+    combined — at 100 TB the corpus reduces to a dimension-sized vocab);
+    the merge loop then runs over that collected vocab on the driver,
+    like every production BPE trainer, because each merge depends on the
+    previous one (inherently sequential) and the state is vocab-sized,
+    not corpus-sized.
+
+    Deterministic: best pair = max count, ties broken lexically.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in words:
+        if r.w:
+            vocab[tuple(r.w)] = vocab.get(tuple(r.w), 0) + r.c
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = pairs.get((sym[i], sym[i + 1]), 0) + c
+        if not pairs:
+            break
+        # deterministic: highest count, then LEXICALLY SMALLEST pair
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append((rank, best[0], best[1], top))
+        merged: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + c
+        vocab = merged
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge table -> (id, n_tokens, n_pieces, pieces).
+
+    Encoding is per-word sequential (merges apply in rank order), so it
+    runs as an Arrow-batched ``mapInPandas`` — the documented UDF slow
+    path, used exactly where relational operators genuinely cannot
+    express the semantics. The merge list is tiny and rides the task
+    closure.
+    """
+    ranked = [(m[1], m[2]) for m in sorted(merges)]
+
+    def encode_word(w: str) -> list[str]:
+        sym = list(w)
+        for left, right in ranked:
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    id_name, text_name = id_col, text_col
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ntok, npieces, pieces = [], [], [], []
+            for rid, text in zip(pdf[id_name], pdf[text_name]):
+                ws = [w for w in (text or "").strip().split() if w]
+                ps: list[str] = []
+                for w in ws:
+                    ps.extend(encode_word(w))
+                ids.append(rid)
+                ntok.append(len(ws))
+                npieces.append(len(ps))
+                pieces.append(" ".join(ps))
+            yield pd.DataFrame(
+                {"id": ids, "n_tokens": ntok, "n_pieces": npieces, "pieces": pieces}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        part, "id long, n_tokens long, n_pieces long, pieces string"
+    )

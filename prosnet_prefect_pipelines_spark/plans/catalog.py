@@ -57,6 +57,7 @@ def _load_all() -> None:
         q_pipeline3,
         q_pipeline4,
         q_pipeline5,
+        q_pipeline6,
         q_ranking,
         q_relational,
         q_render,

@@ -182,6 +182,15 @@ AUDITS = {
     "property_paths": [
         ("HashJoin", "path steps filter p before joining — equi-joins only"),
     ],
+    "record_linkage": [
+        ("HashJoin", "blocking keys join as equi keys — levenshtein only inside blocks"),
+    ],
+    "compaction_plan": [
+        ("Window", "per-partition layout window, keyed by source"),
+    ],
+    "winsorize_values": [
+        ("BroadcastHashJoin", "quantile bounds broadcast back onto events"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -228,6 +237,8 @@ FORBIDDEN = {
     "hll_distinct": ["Exchange SinglePartition", "CartesianProduct"],
     "bloom_semi_join": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "negative_sampling": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "record_linkage": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "compaction_plan": ["Exchange SinglePartition"],
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
     "hll_merge": ["Exchange SinglePartition", "CartesianProduct"],

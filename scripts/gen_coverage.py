@@ -192,6 +192,10 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-NEG-SAMPLE": ("Deterministic contrastive negative sampling", "plans/q_pipeline5.py (q_negative_sampling)"),
     "X-DEDUP-BEST": ("Quality-aware dedup keeper (argmax per cluster)", "plans/q_pipeline5.py (q_dedup_keep_best)"),
     "X-PROP-PATHS": ("SPARQL property-path compositions (seq/alt/inverse)", "plans/q_pipeline5.py (q_property_paths)"),
+    "X-LINKAGE": ("Blocked record-linkage scoring (integer field weights)", "plans/q_pipeline6.py (q_record_linkage)"),
+    "X-COMPACT": ("Small-file compaction planning (windowed bin-pack)", "plans/q_pipeline6.py (q_compaction_plan)"),
+    "X-WINSOR": ("Winsorization at exact per-group quantiles", "plans/q_pipeline6.py (q_winsorize_values)"),
+    "X-BPE": ("BPE trainer (distributed vocab agg + driver merges) + segmenter", f"{PKG}/operators/lm.py (bpe_train, bpe_segment)"),
 }
 
 EXT_QUERIES = {
@@ -276,6 +280,10 @@ EXT_QUERIES = {
     "X-NEG-SAMPLE": ["negative_sampling"],
     "X-DEDUP-BEST": ["dedup_keep_best"],
     "X-PROP-PATHS": ["property_paths"],
+    "X-LINKAGE": ["record_linkage"],
+    "X-COMPACT": ["compaction_plan"],
+    "X-WINSOR": ["winsorize_values"],
+    "X-BPE": ["bpe_vocab", "bpe_segment"],
 }
 
 

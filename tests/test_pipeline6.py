@@ -1,0 +1,35 @@
+"""Unit tests for batch-6 operators: BPE golden values, linkage,
+compaction/winsorize edge behavior."""
+
+from __future__ import annotations
+
+from prosnet_prefect_pipelines_spark.operators.lm import bpe_segment, bpe_train
+
+
+def test_bpe_golden_merges(spark):
+    # the classic Sennrich corpus shape: 'lo' dominates, then 'low'
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, "text", n_merges=4)
+    assert merges == [
+        (0, "l", "o", 5),
+        (1, "lo", "w", 5),
+        (2, "e", "w", 3),
+        (3, "n", "ew", 3),
+    ]
+    got = {
+        r.id: (r.n_tokens, r.n_pieces, r.pieces)
+        for r in bpe_segment(df, "doc_id", "text", merges).collect()
+    }
+    assert got[1] == (5, 10, "low low low low e r low e s t")
+    assert got[2] == (3, 8, "new new e r new e s t")
+
+
+def test_bpe_empty_and_exhausted(spark):
+    df = spark.createDataFrame([(1, "a a"), (2, "")], "doc_id long, text string")
+    # single-char vocab: no pairs to merge -> trainer stops early
+    assert bpe_train(df, "text", n_merges=5) == []
+    got = {r.id: r.n_pieces for r in bpe_segment(df, "doc_id", "text", []).collect()}
+    assert got == {1: 2, 2: 0}  # whitespace-split: empty doc -> no pieces
