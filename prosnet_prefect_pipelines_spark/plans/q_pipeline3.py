@@ -219,10 +219,14 @@ def q_bloom_semi_join(spark, sf_dir):
 SSSP_SQL = """
 WITH RECURSIVE
 e AS (
-    SELECT CAST(o_orderkey % 211 AS VARCHAR) AS src,
-           CAST(o_orderkey % 199 AS VARCHAR) AS dst,
+    -- dense two-moduli graph: diameter stays small at every sf, so the
+    -- hop/dist recursion caps below are safely above any true shortest
+    -- path (sparse variants have weighted-hop diameters near |V|, which
+    -- both overruns the caps and grinds per-round fixpoints)
+    SELECT CAST(o_orderkey % 101 AS VARCHAR) AS src,
+           CAST(o_orderkey % 97 AS VARCHAR) AS dst,
            o_orderkey % 7 + 1 AS w
-    FROM orders WHERE o_orderkey % 5 = 0
+    FROM orders
 ),
 walk(node, d, hops) AS (
     SELECT '0', CAST(0 AS BIGINT), 0
@@ -244,9 +248,9 @@ def q_sssp_weighted(spark, sf_dir):
     the graph's true diameter) and min-aggregates."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
-    edges = orders.filter(k % 5 == 0).select(
-        (k % 211).cast("string").alias("src"),
-        (k % 199).cast("string").alias("dst"),
+    edges = orders.select(
+        (k % 101).cast("string").alias("src"),
+        (k % 97).cast("string").alias("dst"),
         (k % 7 + 1).alias("w"),
     )
     return sssp_weighted(edges, ["0"], max_iterations=50)
