@@ -72,7 +72,9 @@ def q_quantile_transform(spark, sf_dir):
     ).select(
         "event_id",
         "event_type",
-        F.expr("((_rk - 1) * 1000000) div GREATEST(_n - 1, 1)").alias("pct_micro"),
+        F.expr(
+            "(CAST(_rk - 1 AS BIGINT) * 1000000) div GREATEST(_n - 1, 1)"
+        ).alias("pct_micro"),
     )
 
 
