@@ -38,7 +38,7 @@ pairs AS (
          + CASE WHEN a.seg = b.seg THEN 15 ELSE 0 END
          + CASE WHEN a.nat = b.nat THEN 10 ELSE 0 END AS score
     FROM clean a JOIN dirty b
-      ON a.nat = b.nat AND substr(a.name, 1, 12) = substr(b.name, 1, 12)
+      ON a.nat = b.nat AND substr(a.name, 10, 7) = substr(b.name, 10, 7)
 )
 SELECT clean_id, dirty_id, CAST(score AS BIGINT) AS score,
        clean_id = true_id AS is_true_match
@@ -50,7 +50,9 @@ FROM pairs WHERE score >= 50
 def q_record_linkage(spark, sf_dir):
     """X-LINKAGE: blocked record-linkage scoring — the prosopographical
     core task (same person, two registries) industrialized: block on
-    (nation, name 12-prefix) so candidate pairs stay near-linear, score
+    (nation, 7-digit id-prefix of the name — chosen to DISCRIMINATE:
+    a constant-prefix key degenerates every block to its nation and the
+    join goes quadratic) so candidate pairs stay near-linear, score
     with integer field-agreement weights (exact name / edit-distance<=2
     / segment / nation), threshold into match candidates. Levenshtein
     runs ONLY inside blocks — never all-pairs."""
@@ -74,7 +76,7 @@ def q_record_linkage(spark, sf_dir):
     pairs = a.join(
         b,
         (F.col("a.nat") == F.col("b.nat"))
-        & (F.expr("substr(a.name, 1, 12)") == F.expr("substr(b.name, 1, 12)")),
+        & (F.expr("substr(a.name, 10, 7)") == F.expr("substr(b.name, 10, 7)")),
     )
     score = (
         F.when(F.col("a.name") == F.col("b.name"), 40).otherwise(0)
