@@ -195,3 +195,55 @@ def bloom_semi_join(
         on=fact_key,
         how="left_semi",
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+
+
+def _cms_positions(key: Column) -> list[Column]:
+    """One bucket per hash row, via the same double-hashing family as the
+    Bloom filter (disjoint salt)."""
+    h1 = portable_id(F.concat(key.cast("string"), F.lit("#cms1")))
+    h2 = portable_id(F.concat(key.cast("string"), F.lit("#cms2")))
+    return [F.pmod(h1 + F.lit(d) * h2, F.lit(CMS_W)) for d in range(CMS_D)]
+
+
+def cms_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-Min sketch of key frequencies -> (d, bucket, c).
+
+    The sketch is CMS_D x CMS_W counters (4 KB of state) built with ONE
+    map-side-combined aggregation — the frequency table for a 100 TB
+    key stream reduces to a constant-size table any engine can verify
+    (md5-derived buckets, integer counts). Mergeable: sketches of
+    disjoint batches merge by (d, bucket) SUM.
+    """
+    pos = F.posexplode(F.array(*_cms_positions(F.col(key_col)))).alias(
+        "d", "bucket"
+    )
+    return (
+        df.select(pos)
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Frequency estimates for ``keys`` -> (key..., cms_estimate).
+
+    estimate = MIN over hash rows of the key's bucket counter — never an
+    underestimate (every occurrence incremented the counter), biased
+    high only by collisions. CMS_D lookups resolve as one (d, bucket)
+    equi-join against the 4 KB sketch (broadcast), then a keyed MIN.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(F.array(*_cms_positions(F.col(key_col)))).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), on=["d", "bucket"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_estimate"))
+    )

@@ -58,6 +58,7 @@ def _load_all() -> None:
         q_pipeline4,
         q_pipeline5,
         q_pipeline6,
+        q_pipeline7,
         q_ranking,
         q_relational,
         q_render,

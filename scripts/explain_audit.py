@@ -191,6 +191,16 @@ AUDITS = {
     "winsorize_values": [
         ("BroadcastHashJoin", "quantile bounds broadcast back onto events"),
     ],
+    "cms_heavy_hitters": [
+        ("partial_", "counter aggregation partial+final; sketch broadcast into probes"),
+    ],
+    "mad_outliers": [
+        ("BroadcastHashJoin", "median/MAD bounds broadcast back onto events"),
+    ],
+    "embedding_outliers": [
+        ("BroadcastHashJoin", "label centroids broadcast into scoring"),
+        ("partial_", "centroid sums partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -239,6 +249,8 @@ FORBIDDEN = {
     "negative_sampling": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "record_linkage": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "compaction_plan": ["Exchange SinglePartition"],
+    "mad_outliers": ["CartesianProduct"],
+    "embedding_outliers": ["CartesianProduct", "Exchange SinglePartition"],
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
     "hll_merge": ["Exchange SinglePartition", "CartesianProduct"],

@@ -196,6 +196,9 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-COMPACT": ("Small-file compaction planning (windowed bin-pack)", "plans/q_pipeline6.py (q_compaction_plan)"),
     "X-WINSOR": ("Winsorization at exact per-group quantiles", "plans/q_pipeline6.py (q_winsorize_values)"),
     "X-BPE": ("BPE trainer (distributed vocab agg + driver merges) + segmenter", f"{PKG}/operators/lm.py (bpe_train, bpe_segment)"),
+    "X-CMS": ("Count-Min sketch heavy hitters (portable counters)", f"{PKG}/operators/sketch.py (cms_build, cms_estimate)"),
+    "X-MAD": ("MAD robust outlier detection (exact nearest-rank)", "plans/q_pipeline7.py (q_mad_outliers)"),
+    "X-EMB-OUTLIER": ("Per-label centroid outliers (mislabel candidates)", "plans/q_pipeline7.py (q_embedding_outliers)"),
 }
 
 EXT_QUERIES = {
@@ -284,6 +287,9 @@ EXT_QUERIES = {
     "X-COMPACT": ["compaction_plan"],
     "X-WINSOR": ["winsorize_values"],
     "X-BPE": ["bpe_vocab", "bpe_segment"],
+    "X-CMS": ["cms_heavy_hitters"],
+    "X-MAD": ["mad_outliers"],
+    "X-EMB-OUTLIER": ["embedding_outliers"],
 }
 
 
