@@ -313,3 +313,97 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(F.col("id"), F.col(payload_col)).mapInPandas(batches, DECODE_SCHEMA)
+
+
+# --- audio: WAV (RIFF/PCM) parsing ----------------------------------------
+
+WAV_SCHEMA = (
+    "id long, sample_rate int, n_channels int, bits int, n_samples long, "
+    "rms_milli long, peak int"
+)
+
+
+def synth_wav_bytes(doc_id: int, n_samples: int = 64) -> bytes:
+    """Deterministic 16-bit mono PCM WAV — a REAL RIFF container (44-byte
+    canonical header), synthesized because no audio libs ship in this
+    container. Sample i = ((doc_id*37 + i*101) % 4001) - 2000: a formula
+    any engine can fold over, so the decode oracle derives the expected
+    RMS/peak in closed SQL instead of re-parsing bytes.
+    """
+    import struct
+
+    rate = 8000 + (doc_id % 4) * 4000
+    samples = [((doc_id * 37 + i * 101) % 4001) - 2000 for i in range(n_samples)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Parse RIFF/PCM WAV payloads -> per-clip audio stats: sample rate,
+    channel/bit layout, and integer signal statistics (RMS in
+    milli-units — floor of sqrt of the exact mean square, so the value
+    is engine-exact — and absolute peak).
+
+    Arrow-batched ``mapInPandas`` like the image decoders: the header
+    parse + PCM fold is genuinely imperative byte work, batched columnar
+    so Python never runs per-row. Malformed payloads yield NULL stats
+    rather than failing the batch (quarantine-friendly).
+    """
+    import math
+    import struct
+
+    def one(b: bytes):
+        try:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            fmt = struct.unpack_from("<IHHIIHH", b, 16)
+            _, codec, n_ch, rate, _, _, bits = fmt
+            if codec != 1 or bits != 16:
+                return None
+            n_bytes = struct.unpack_from("<I", b, 40)[0]
+            data = b[44 : 44 + n_bytes]
+            n = len(data) // 2
+            sq = 0
+            peak = 0
+            for i in range(n):
+                (s,) = struct.unpack_from("<h", data, 2 * i)
+                sq += s * s
+                peak = max(peak, abs(s))
+            rms_milli = math.isqrt((sq * 1_000_000) // n) if n else 0
+            return rate, n_ch, bits, n, rms_milli, peak
+        except (struct.error, IndexError):
+            return None
+
+    id_name, payload_name = id_col, payload_col
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_name], pdf[payload_name]):
+                got = one(bytes(payload) if payload is not None else b"")
+                if got is None:
+                    rows.append((rid, None, None, None, None, None, None))
+                else:
+                    rate, n_ch, bits, n, rms, peak = got
+                    rows.append((rid, rate, n_ch, bits, n, rms, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample_rate", "n_channels", "bits",
+                    "n_samples", "rms_milli", "peak",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_name), F.col(payload_col).alias(payload_name)
+    ).mapInPandas(part, WAV_SCHEMA)

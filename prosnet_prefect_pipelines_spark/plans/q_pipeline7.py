@@ -230,3 +230,56 @@ def q_embedding_outliers(spark, sf_dir):
         .filter(F.col("_rn") <= 5)
         .select("id", "label", "ccos")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio: synthesize RIFF/PCM WAVs, decode, verify stats
+
+from prosnet_prefect_pipelines_spark.operators import multimodal as MM  # noqa: E402
+
+AUDIO_SQL = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+sq AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 63),
+                          i -> ((doc_id * 37 + i * 101) % 4001) - 2000) AS s
+    FROM ids
+)
+SELECT doc_id AS id,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(FLOOR(sqrt(CAST(list_sum(list_transform(s, x -> x * x))
+                            * 1000000 // 64 AS DOUBLE))) AS BIGINT) AS rms_milli,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
+FROM sq
+"""
+
+
+@register("audio_pcm_stats", oracle=AUDIO_SQL, covers=["P2"])
+def q_audio_pcm_stats(spark, sf_dir):
+    """X-MM-AUDIO: real RIFF/PCM WAV containers synthesized per doc,
+    parsed back by the Arrow-batched decoder (header fields + integer
+    RMS/peak). The oracle never touches bytes: it derives the expected
+    stats from the same closed-form signal — decode and derivation must
+    agree exactly, which is the decoder's correctness proof."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [
+                        MM.synth_wav_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    wavs = docs.select("doc_id").mapInPandas(synth, "id long, payload binary")
+    return MM.decode_wav(wavs)

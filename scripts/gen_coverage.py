@@ -199,6 +199,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-CMS": ("Count-Min sketch heavy hitters (portable counters)", f"{PKG}/operators/sketch.py (cms_build, cms_estimate)"),
     "X-MAD": ("MAD robust outlier detection (exact nearest-rank)", "plans/q_pipeline7.py (q_mad_outliers)"),
     "X-EMB-OUTLIER": ("Per-label centroid outliers (mislabel candidates)", "plans/q_pipeline7.py (q_embedding_outliers)"),
+    "X-MM-AUDIO": ("RIFF/PCM WAV decode + integer signal stats", f"{PKG}/operators/multimodal.py (decode_wav, synth_wav_bytes)"),
 }
 
 EXT_QUERIES = {
@@ -290,6 +291,7 @@ EXT_QUERIES = {
     "X-CMS": ["cms_heavy_hitters"],
     "X-MAD": ["mad_outliers"],
     "X-EMB-OUTLIER": ["embedding_outliers"],
+    "X-MM-AUDIO": ["audio_pcm_stats"],
 }
 
 

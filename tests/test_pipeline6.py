@@ -33,3 +33,24 @@ def test_bpe_empty_and_exhausted(spark):
     assert bpe_train(df, "text", n_merges=5) == []
     got = {r.id: r.n_pieces for r in bpe_segment(df, "doc_id", "text", []).collect()}
     assert got == {1: 2, 2: 0}  # whitespace-split: empty doc -> no pieces
+
+
+def test_decode_wav_roundtrip_and_malformed(spark):
+    from prosnet_prefect_pipelines_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav_bytes,
+    )
+
+    rows = [(7, synth_wav_bytes(7)), (8, b"not a wav"), (9, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in decode_wav(df).collect()}
+    assert got[7].sample_rate == 8000 + (7 % 4) * 4000
+    assert got[7].n_samples == 64 and got[7].bits == 16
+    samples = [((7 * 37 + i * 101) % 4001) - 2000 for i in range(64)]
+    import math
+
+    assert got[7].peak == max(abs(s) for s in samples)
+    assert got[7].rms_milli == math.isqrt(
+        sum(s * s for s in samples) * 1_000_000 // 64
+    )
+    assert got[8].sample_rate is None and got[9].sample_rate is None
