@@ -762,3 +762,64 @@ def _sssp_driver(spark, e: DataFrame, sources: list) -> DataFrame:
     return spark.createDataFrame(
         [(n, d) for n, d in dist.items()], "node string, dist long"
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 12,
+) -> DataFrame:
+    """Nodes surviving ``rounds`` rounds of k-core peeling (remove nodes
+    with undirected degree < k, repeat) -> (node, degree).
+
+    Bounded-round contract: peeling is idempotent at the fixpoint, so
+    once the core stabilizes further rounds are no-ops — ``rounds``
+    above the true peel depth yields the exact k-core, and the FIXED
+    round count is what lets an ANSI-SQL oracle replay the computation
+    CTE-by-CTE (an unbounded fixpoint has no SQL twin). Real-world peel
+    depths are small (degeneracy ordering collapses fast on power-law
+    graphs); raise ``rounds`` for adversarial chains.
+
+    Per round: one degree aggregation + one semi-join on each endpoint —
+    both keyed shuffles over the SHRINKING survivor edge set, state
+    checkpoint-truncated per round.
+    """
+    spark = edges.sparkSession
+    prev_cp = _fixpoint_conf_off(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        e = _materialize(
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct(),
+            eager=True,
+        )
+        if e.count() < 2_000_000:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for _ in range(rounds):
+            deg = (
+                e.select(F.col("a").alias("n"))
+                .unionByName(e.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("n")
+            e = _materialize(
+                e.join(keep.withColumnRenamed("n", "a"), on="a", how="left_semi")
+                .join(keep.withColumnRenamed("n", "b"), on="b", how="left_semi")
+            )
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return deg.filter(F.col("degree") >= k)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)

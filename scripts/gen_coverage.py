@@ -200,6 +200,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-MAD": ("MAD robust outlier detection (exact nearest-rank)", "plans/q_pipeline7.py (q_mad_outliers)"),
     "X-EMB-OUTLIER": ("Per-label centroid outliers (mislabel candidates)", "plans/q_pipeline7.py (q_embedding_outliers)"),
     "X-MM-AUDIO": ("RIFF/PCM WAV decode + integer signal stats", f"{PKG}/operators/multimodal.py (decode_wav, synth_wav_bytes)"),
+    "X-KCORE": ("Bounded k-core peeling (SQL-replayable rounds)", f"{PKG}/operators/graph.py (kcore_peel)"),
+    "X-PMI": ("PMI collocation mining (integer ratio ranking)", "plans/q_pipeline8.py (q_pmi_collocations)"),
 }
 
 EXT_QUERIES = {
@@ -292,6 +294,8 @@ EXT_QUERIES = {
     "X-MAD": ["mad_outliers"],
     "X-EMB-OUTLIER": ["embedding_outliers"],
     "X-MM-AUDIO": ["audio_pcm_stats"],
+    "X-KCORE": ["kcore_nodes"],
+    "X-PMI": ["pmi_collocations"],
 }
 
 
