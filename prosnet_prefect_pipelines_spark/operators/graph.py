@@ -823,3 +823,51 @@ def kcore_peel(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+
+def triangle_corners(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Every triangle once -> (x, y, z) corner rows, via the same
+    degree-ordered wedge enumeration as :func:`triangle_count` (work
+    bounded by arboricity, not max degree). Explode the corners to get
+    per-node triangle counts / clustering coefficients."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), on="a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), on="b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("o")
+        )
+        .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
+    )
+    wedges = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), on="lo")
+        .filter(F.col("x.hi") < F.col("y.hi"))
+        .select(F.col("lo"), F.col("x.hi").alias("u"), F.col("y.hi").alias("v"))
+    )
+    return wedges.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        on=["u", "v"],
+        how="inner",
+    ).select(F.col("lo").alias("x"), F.col("u").alias("y"), F.col("v").alias("z"))

@@ -148,3 +148,86 @@ def q_pmi_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("pmi_ratio_micro").desc(), "x", "y").limit(30)
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficients
+
+from prosnet_prefect_pipelines_spark.operators.graph import triangle_corners  # noqa: E402
+
+CLUSTERING_SQL = """
+WITH m AS (
+    SELECT COUNT(*) // 10 + 1 AS m1, COUNT(*) // 10 + 3 AS m2 FROM orders
+),
+raw AS (SELECT o_orderkey % m1 AS u, o_orderkey % m2 AS v FROM orders, m),
+e AS MATERIALIZED (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+    FROM raw WHERE u <> v
+),
+tri AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+    SELECT n, COUNT(*) AS t FROM (
+        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) c GROUP BY n
+),
+deg AS (
+    SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+    ) t GROUP BY n
+)
+SELECT d.n AS node, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+       CAST(CAST(2 * COALESCE(p.t, 0) AS HUGEINT) * 1000000
+            // (d.d * (d.d - 1)) AS BIGINT) AS coef_micro
+FROM deg d LEFT JOIN per_node p ON p.n = d.n
+WHERE d.d >= 2
+"""
+
+
+@register("clustering_coefficient", oracle=CLUSTERING_SQL, covers=["J1", "A2"])
+def q_clustering_coefficient(spark, sf_dir):
+    """X-CLUSTER-COEF: local clustering coefficient per node — triangles
+    from the degree-ordered corner enumeration (arboricity-bounded),
+    exploded to per-node counts, over wedge count d*(d-1)/2 in micro
+    units. The community-structure statistic a graph audit reports."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    m1, m2 = n // 10 + 1, n // 10 + 3
+    k = F.col("o_orderkey")
+    edges = orders.select((k % m1).alias("src"), (k % m2).alias("dst"))
+    corners = triangle_corners(edges)
+    per_node = (
+        corners.select(F.col("x").alias("n"))
+        .unionByName(corners.select(F.col("y").alias("n")))
+        .unionByName(corners.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(per_node, on="n", how="left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST(2 * COALESCE(t, 0) AS DECIMAL(38,0)) * 1000000 div (d * (d - 1))"
+            ).alias("coef_micro"),
+        )
+    )

@@ -202,6 +202,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-MM-AUDIO": ("RIFF/PCM WAV decode + integer signal stats", f"{PKG}/operators/multimodal.py (decode_wav, synth_wav_bytes)"),
     "X-KCORE": ("Bounded k-core peeling (SQL-replayable rounds)", f"{PKG}/operators/graph.py (kcore_peel)"),
     "X-PMI": ("PMI collocation mining (integer ratio ranking)", "plans/q_pipeline8.py (q_pmi_collocations)"),
+    "X-CLUSTER-COEF": ("Local clustering coefficients (degree-ordered corners)", f"{PKG}/operators/graph.py (triangle_corners)"),
 }
 
 EXT_QUERIES = {
@@ -296,6 +297,7 @@ EXT_QUERIES = {
     "X-MM-AUDIO": ["audio_pcm_stats"],
     "X-KCORE": ["kcore_nodes"],
     "X-PMI": ["pmi_collocations"],
+    "X-CLUSTER-COEF": ["clustering_coefficient"],
 }
 
 
