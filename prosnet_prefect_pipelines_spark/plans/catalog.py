@@ -60,6 +60,7 @@ def _load_all() -> None:
         q_pipeline6,
         q_pipeline7,
         q_pipeline8,
+        q_pipeline9,
         q_ranking,
         q_relational,
         q_render,

@@ -203,6 +203,9 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-KCORE": ("Bounded k-core peeling (SQL-replayable rounds)", f"{PKG}/operators/graph.py (kcore_peel)"),
     "X-PMI": ("PMI collocation mining (integer ratio ranking)", "plans/q_pipeline8.py (q_pmi_collocations)"),
     "X-CLUSTER-COEF": ("Local clustering coefficients (degree-ordered corners)", f"{PKG}/operators/graph.py (triangle_corners)"),
+    "X-STREAM-SESSION": ("Streaming gap sessionization (F.session_window)", "plans/q_pipeline9.py (q_stream_session_window)"),
+    "X-BACKFILL": ("Missing-partition backfill planning", "plans/q_pipeline9.py (q_backfill_plan)"),
+    "X-CONTRACT": ("Declarative data-contract validation report", "plans/q_pipeline9.py (q_data_contract_check)"),
 }
 
 EXT_QUERIES = {
@@ -298,6 +301,9 @@ EXT_QUERIES = {
     "X-KCORE": ["kcore_nodes"],
     "X-PMI": ["pmi_collocations"],
     "X-CLUSTER-COEF": ["clustering_coefficient"],
+    "X-STREAM-SESSION": ["stream_session_window"],
+    "X-BACKFILL": ["backfill_plan"],
+    "X-CONTRACT": ["data_contract_check"],
 }
 
 
