@@ -206,6 +206,8 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-STREAM-SESSION": ("Streaming gap sessionization (F.session_window)", "plans/q_pipeline9.py (q_stream_session_window)"),
     "X-BACKFILL": ("Missing-partition backfill planning", "plans/q_pipeline9.py (q_backfill_plan)"),
     "X-CONTRACT": ("Declarative data-contract validation report", "plans/q_pipeline9.py (q_data_contract_check)"),
+    "X-KANON": ("k-anonymity audit over quasi-identifier tuples", "plans/q_pipeline10.py (q_k_anonymity_audit)"),
+    "X-QGRAM-JOIN": ("Edit-distance<=1 fuzzy join (deletion neighborhoods)", "plans/q_pipeline10.py (q_fuzzy_join_ed1)"),
 }
 
 EXT_QUERIES = {
@@ -304,6 +306,8 @@ EXT_QUERIES = {
     "X-STREAM-SESSION": ["stream_session_window"],
     "X-BACKFILL": ["backfill_plan"],
     "X-CONTRACT": ["data_contract_check"],
+    "X-KANON": ["k_anonymity_audit"],
+    "X-QGRAM-JOIN": ["fuzzy_join_ed1"],
 }
 
 
