@@ -201,6 +201,29 @@ AUDITS = {
         ("BroadcastHashJoin", "label centroids broadcast into scoring"),
         ("partial_", "centroid sums partial+final"),
     ],
+    "backfill_plan": [
+        ("LeftAnti", "calendar anti-join over the distinct-day reduction"),
+    ],
+    "data_contract_check": [
+        ("partial_", "every rule is a map-side-combined conditional aggregate"),
+    ],
+    "k_anonymity_audit": [
+        ("partial_", "quasi-identifier group counts partial+final"),
+        ("ReadSchema", "only the 3 quasi-identifier columns read"),
+    ],
+    "fuzzy_join_ed1": [
+        ("HashJoin", "deletion-variant candidates join on equi keys"),
+    ],
+    "kcore_nodes": [
+        ("partial_", "per-round degree aggregation partial+final"),
+    ],
+    "pmi_collocations": [
+        ("partial_", "bigram + unigram counts partial+final"),
+        ("TakeOrderedAndProject", "top-30 is a per-partition top-k, not a global sort"),
+    ],
+    "clustering_coefficient": [
+        ("HashJoin", "corner enumeration joins on vertex equi keys"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -250,6 +273,10 @@ FORBIDDEN = {
     "record_linkage": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "compaction_plan": ["Exchange SinglePartition"],
     "mad_outliers": ["CartesianProduct"],
+    "fuzzy_join_ed1": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "k_anonymity_audit": ["Exchange SinglePartition"],
+    "kcore_nodes": ["CartesianProduct"],
+    "clustering_coefficient": ["CartesianProduct"],
     "embedding_outliers": ["CartesianProduct", "Exchange SinglePartition"],
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
