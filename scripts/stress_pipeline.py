@@ -94,5 +94,67 @@ def main() -> None:
     print(f"triangle_count: {n // 10:,} edges -> {tri:,} triangles in {t_tri:.1f}s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("STRESS_B10"):
     main()
+
+
+def stress_batch10() -> None:
+    """Fuzzy join + k-core at synthetic scale (SCALE.md entries)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.operators.graph import kcore_peel
+    from prosnet_prefect_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress_b10")
+    spark.range(1).count()
+
+    n = 1_000_000
+    # edit-distance<=1 join: 1M 9-char keys vs 1M perturbed twins
+    base = spark.range(n, numPartitions=32).select(
+        F.col("id"), F.lpad(F.col("id").cast("string"), 9, "0").alias("key")
+    )
+    dirty = base.select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.expr("substr(key, 1, 4) || substr(key, 6)"),
+        )
+        .when(F.col("id") % 3 == 1, F.expr("substr(key, 1, 6) || 'X' || substr(key, 8)"))
+        .otherwise(F.col("key"))
+        .alias("key"),
+    )
+
+    def variants(df, idc):
+        pos = F.explode(F.sequence(F.lit(0), F.length("key"))).alias("p")
+        return df.select(F.col("id").alias(idc), "key", pos).select(
+            idc,
+            F.col("key").alias(f"{idc}_key"),
+            F.when(F.col("p") == 0, F.col("key"))
+            .otherwise(F.concat(F.expr("substr(key, 1, p - 1)"), F.expr("substr(key, p + 1)")))
+            .alias("variant"),
+        )
+
+    t0 = time.time()
+    cand = (
+        variants(base, "a")
+        .join(variants(dirty, "b"), on="variant")
+        .select("a", "b", "a_key", "b_key")
+        .distinct()
+    )
+    matched = cand.filter(F.levenshtein("a_key", "b_key") <= 1).count()
+    print(f"fuzzy_join_ed1: 2 x {n:,} keys -> {matched:,} matches in {time.time()-t0:.1f}s")
+
+    # k-core on a 2M-edge constant-degree graph
+    m1, m2 = n // 10 + 1, n // 10 + 3
+    edges = spark.range(2 * n, numPartitions=32).select(
+        (F.col("id") % m1).alias("src"), (F.col("id") % m2).alias("dst")
+    )
+    t0 = time.time()
+    core = kcore_peel(edges, k=8, rounds=6).count()
+    print(f"kcore_peel: {2*n:,} edges, k=8 -> {core:,} core nodes in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__" and os.environ.get("STRESS_B10"):
+    stress_batch10()
