@@ -159,3 +159,58 @@ def q_fuzzy_join_ed1(spark, sf_dir):
     return cand.filter(F.levenshtein("ckey", "dkey") <= 1).select(
         "clean_id", "dirty_id", (F.col("clean_id") == F.col("true_id")).alias("is_true_match")
     )
+
+
+# ---------------------------------------------------------------------------
+# concurrency profile (sweep line over session intervals)
+
+SWEEP_SQL = """
+WITH sessions AS (
+    SELECT user_id,
+           epoch_us(ts) AS start_us,
+           epoch_us(ts) + (1 + event_id % 50) * 60000000 AS end_us
+    FROM events WHERE event_type = 'view'
+),
+deltas AS (
+    SELECT start_us AS t, 1 AS d FROM sessions
+    UNION ALL
+    SELECT end_us AS t, -1 AS d FROM sessions
+),
+folded AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY t),
+swept AS (
+    SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS concurrent
+    FROM folded
+)
+SELECT CAST(t // 3600000000 AS BIGINT) AS hour_bucket,
+       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY t // 3600000000
+"""
+
+
+@register("concurrency_profile", oracle=SWEEP_SQL, covers=["A2", "O1"])
+def q_concurrency_profile(spark, sf_dir):
+    """X-SWEEP: peak concurrent sessions per hour via the sweep line —
+    +1/-1 boundary events, fold coincident timestamps, one running sum.
+    The global ordering is the sweep's nature; at 100 TB the same
+    algebra runs per shard/tenant key (partitioned sweep) or over
+    pre-folded per-bucket deltas — boundary cardinality, never raw rows,
+    feeds the one ordered pass. Interval ends derive deterministically
+    from event ids (synthetic session lengths, both engines alike)."""
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.plans.q_streaming import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    sessions = ev.select(
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + (1 + F.col("event_id") % 50) * 60000000).alias("end_us"),
+    )
+    deltas = sessions.select(F.col("start_us").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select(F.col("end_us").alias("t"), F.lit(-1).alias("d"))
+    )
+    folded = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    swept = folded.select("t", F.sum("d").over(w).alias("concurrent"))
+    return swept.groupBy(
+        F.expr("t div 3600000000").alias("hour_bucket")
+    ).agg(F.max("concurrent").cast("long").alias("peak_concurrent"))

@@ -208,6 +208,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-CONTRACT": ("Declarative data-contract validation report", "plans/q_pipeline9.py (q_data_contract_check)"),
     "X-KANON": ("k-anonymity audit over quasi-identifier tuples", "plans/q_pipeline10.py (q_k_anonymity_audit)"),
     "X-QGRAM-JOIN": ("Edit-distance<=1 fuzzy join (deletion neighborhoods)", "plans/q_pipeline10.py (q_fuzzy_join_ed1)"),
+    "X-SWEEP": ("Sweep-line concurrency profile (peak sessions/hour)", "plans/q_pipeline10.py (q_concurrency_profile)"),
 }
 
 EXT_QUERIES = {
@@ -308,6 +309,7 @@ EXT_QUERIES = {
     "X-CONTRACT": ["data_contract_check"],
     "X-KANON": ["k_anonymity_audit"],
     "X-QGRAM-JOIN": ["fuzzy_join_ed1"],
+    "X-SWEEP": ["concurrency_profile"],
 }
 
 
