@@ -53,6 +53,9 @@ HEADLINE = [
     "url_domain_stats",       # regex canonicalize + domain rollup
     "triangle_count",         # degree-ordered wedge join
     "snapshot_diff",          # fingerprint full-outer keyed diff
+    "hll_distinct",           # portable HLL registers + harmonic estimate
+    "cdc_apply",              # changelog merge, one keyed window
+    "record_linkage",         # blocked linkage scoring (levenshtein in blocks)
 ]
 
 
