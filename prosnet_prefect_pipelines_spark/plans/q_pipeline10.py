@@ -214,3 +214,43 @@ def q_concurrency_profile(spark, sf_dir):
     return swept.groupBy(
         F.expr("t div 3600000000").alias("hour_bucket")
     ).agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
+
+
+# ---------------------------------------------------------------------------
+# manifest-snapshot sink roundtrip (atomic commits + time travel)
+
+MANIFEST_SQL = """
+WITH b1 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 0),
+b2 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 1)
+SELECT 1 AS snapshot, CAST(b1.n AS BIGINT) AS n_rows FROM b1
+UNION ALL
+SELECT 2 AS snapshot, CAST(b1.n + b2.n AS BIGINT) AS n_rows FROM b1, b2
+"""
+
+
+@register("manifest_snapshot_roundtrip", oracle=MANIFEST_SQL, covers=["K3", "T2"])
+def q_manifest_snapshot_roundtrip(spark, sf_dir):
+    """X-MANIFEST: atomic snapshot commits (the Iceberg/Delta primitive,
+    minimal): two batches commit under manifest versions 1 and 2; time
+    travel reads each manifest and must see exactly the rows that
+    snapshot published — half-written data is structurally invisible
+    because readers resolve manifests, never directory trees. The
+    oracle derives the expected per-snapshot counts from the batch
+    split."""
+    import hashlib
+    import shutil
+
+    from prosnet_prefect_pipelines_spark.sinks import manifest_commit, read_snapshot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = "/tmp/spark_graft_manifest_" + hashlib.sha256(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(table, ignore_errors=True)
+    manifest_commit(docs.filter(F.col("doc_id") % 3 == 0), table)
+    manifest_commit(docs.filter(F.col("doc_id") % 3 == 1), table)
+    s1 = read_snapshot(spark, table, 1).count()
+    s2 = read_snapshot(spark, table, 2).count()
+    return spark.createDataFrame(
+        [(1, s1), (2, s2)], "snapshot int, n_rows long"
+    )

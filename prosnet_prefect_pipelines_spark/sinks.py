@@ -130,3 +130,60 @@ def bucketed_materialize(
         writer = writer.option("path", path)
     writer.saveAsTable(table)
     return spark.table(table)
+
+
+def manifest_commit(df: DataFrame, table_path: str) -> int:
+    """Atomic snapshot commit (the Iceberg/Delta primitive, minimal):
+    write the batch's parquet files under a unique commit directory,
+    then atomically publish a new manifest listing ALL live commit
+    directories. Readers resolve a manifest — never the directory tree —
+    so concurrent/failed writes are invisible until their single
+    manifest rename lands, and every snapshot stays readable forever
+    (time travel = read an old manifest). Returns the snapshot version.
+
+    On an object store the manifest rename becomes a conditional PUT;
+    everything else is unchanged — data files are immutable once
+    written, which is what makes 100 TB commits cheap: a commit moves
+    one small JSON, never data.
+    """
+    import json
+    import os
+
+    os.makedirs(table_path, exist_ok=True)
+    versions = [
+        int(f.split("-")[1].split(".")[0])
+        for f in os.listdir(table_path)
+        if f.startswith("manifest-") and f.endswith(".json")
+    ]
+    prev = max(versions) if versions else 0
+    prev_dirs: list[str] = []
+    if prev:
+        with open(os.path.join(table_path, f"manifest-{prev}.json")) as fh:
+            prev_dirs = json.load(fh)["commits"]
+    version = prev + 1
+    commit_dir = f"commit-{version}"
+    df.write.mode("overwrite").parquet(os.path.join(table_path, commit_dir))
+    tmp = os.path.join(table_path, f".manifest-{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "commits": prev_dirs + [commit_dir]}, fh)
+    os.replace(tmp, os.path.join(table_path, f"manifest-{version}.json"))
+    return version
+
+
+def read_snapshot(spark, table_path: str, version: int | None = None) -> DataFrame:
+    """Read a manifest snapshot (latest by default) — only files listed
+    by that manifest, regardless of what else sits in the directory
+    (half-written commits, newer snapshots, orphans)."""
+    import json
+    import os
+
+    if version is None:
+        version = max(
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(table_path)
+            if f.startswith("manifest-") and f.endswith(".json")
+        )
+    with open(os.path.join(table_path, f"manifest-{version}.json")) as fh:
+        commits = json.load(fh)["commits"]
+    paths = [os.path.join(table_path, c) for c in commits]
+    return spark.read.parquet(*paths)

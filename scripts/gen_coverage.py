@@ -209,6 +209,7 @@ EXTENSIONS: dict[str, tuple[str, str]] = {
     "X-KANON": ("k-anonymity audit over quasi-identifier tuples", "plans/q_pipeline10.py (q_k_anonymity_audit)"),
     "X-QGRAM-JOIN": ("Edit-distance<=1 fuzzy join (deletion neighborhoods)", "plans/q_pipeline10.py (q_fuzzy_join_ed1)"),
     "X-SWEEP": ("Sweep-line concurrency profile (peak sessions/hour)", "plans/q_pipeline10.py (q_concurrency_profile)"),
+    "X-MANIFEST": ("Atomic manifest snapshots + time travel", f"{PKG}/sinks.py (manifest_commit, read_snapshot)"),
 }
 
 EXT_QUERIES = {
@@ -310,6 +311,7 @@ EXT_QUERIES = {
     "X-KANON": ["k_anonymity_audit"],
     "X-QGRAM-JOIN": ["fuzzy_join_ed1"],
     "X-SWEEP": ["concurrency_profile"],
+    "X-MANIFEST": ["manifest_snapshot_roundtrip"],
 }
 
 

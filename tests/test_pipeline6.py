@@ -54,3 +54,22 @@ def test_decode_wav_roundtrip_and_malformed(spark):
         sum(s * s for s in samples) * 1_000_000 // 64
     )
     assert got[8].sample_rate is None and got[9].sample_rate is None
+
+
+def test_manifest_isolation_and_time_travel(spark, tmp_path):
+    from prosnet_prefect_pipelines_spark.sinks import manifest_commit, read_snapshot
+
+    table = str(tmp_path / "tbl")
+    v1 = manifest_commit(spark.range(10), table)
+    v2 = manifest_commit(spark.range(10, 15), table)
+    assert (v1, v2) == (1, 2)
+    # an orphan directory (failed writer) must be invisible to readers
+    import os
+
+    os.makedirs(os.path.join(table, "commit-99"), exist_ok=True)
+    spark.range(1000).write.mode("overwrite").parquet(
+        os.path.join(table, "commit-99")
+    )
+    assert read_snapshot(spark, table, 1).count() == 10
+    assert read_snapshot(spark, table, 2).count() == 15  # latest == v2
+    assert read_snapshot(spark, table).count() == 15
