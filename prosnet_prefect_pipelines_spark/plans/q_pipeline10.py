@@ -254,3 +254,46 @@ def q_manifest_snapshot_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         [(1, s1), (2, s2)], "snapshot int, n_rows long"
     )
+
+
+# ---------------------------------------------------------------------------
+# targeted deletion (right-to-be-forgotten) with verification
+
+FORGET_SQL = """
+WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+kept AS (
+    SELECT d.* FROM documents d LEFT JOIN dels ON dels.doc_id = d.doc_id
+    WHERE dels.doc_id IS NULL
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM dels) AS BIGINT) AS n_deleted,
+       CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_after,
+       CAST((SELECT COUNT(*) FROM kept k JOIN dels ON dels.doc_id = k.doc_id)
+            AS BIGINT) AS n_residual
+"""
+
+
+@register("forget_keys", oracle=FORGET_SQL, covers=["J7", "A2"])
+def q_forget_keys(spark, sf_dir):
+    """X-FORGET: targeted key deletion (right-to-be-forgotten) with
+    built-in verification: anti-join the deletion list out, then prove
+    zero residuals with a semi-join count — the audit artifact a
+    compliance process files. One shuffle each way (zero when the
+    corpus is bucketed by the key); at 100 TB pair with
+    `manifest_commit` so the delete publishes as one atomic snapshot."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dels = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    kept = docs.join(dels, on="doc_id", how="left_anti")
+    residual = kept.join(dels, on="doc_id", how="left_semi")
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_before"))
+        .join(dels.agg(F.count(F.lit(1)).alias("n_deleted")))
+        .join(kept.agg(F.count(F.lit(1)).alias("n_after")))
+        .join(residual.agg(F.count(F.lit(1)).alias("n_residual")))
+        .select(
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_deleted").cast("long").alias("n_deleted"),
+            F.col("n_after").cast("long").alias("n_after"),
+            F.col("n_residual").cast("long").alias("n_residual"),
+        )
+    )
