@@ -247,3 +247,27 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_estimate"))
     )
+
+
+def cms_join_cardinality(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Join-size estimate from two Count-Min sketches -> one row
+    ``(join_card_estimate: long)``.
+
+    |A join_k B| = sum over keys of cA(k)*cB(k); each CMS row's
+    bucket-wise inner product SUM(cA*cB) never underestimates it
+    (collisions only add), so MIN over the d rows is the tightest of d
+    upper bounds — the AGMS-style estimator the optimizer tier runs
+    BEFORE committing to a join strategy, off two 4 KB summaries and
+    without touching either table again. Mergeable like the sketches
+    themselves.
+    """
+    j = (
+        cms_a.select("d", "bucket", F.col("c").alias("ca"))
+        .join(
+            cms_b.select("d", "bucket", F.col("c").alias("cb")),
+            on=["d", "bucket"],
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return j.agg(F.min("ip").cast("long").alias("join_card_estimate"))

@@ -297,3 +297,61 @@ def q_forget_keys(spark, sf_dir):
             F.col("n_residual").cast("long").alias("n_residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-cardinality estimation (AGMS-style inner product)
+
+from prosnet_prefect_pipelines_spark.operators import sketch as SK  # noqa: E402
+
+_CMS_H1 = (
+    "list_sum(list_transform(generate_series(1, 12), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '#cms1'), i, 1)) - 1 AS BIGINT)"
+    " * CAST(power(16, 12 - i) AS BIGINT)))"
+)
+_CMS_H2 = _CMS_H1.replace("#cms1", "#cms2")
+
+JOIN_CARD_SQL = f"""
+WITH a AS (SELECT l_partkey AS k FROM lineitem),
+b AS (SELECT p_partkey AS k FROM part WHERE p_size < 25)
+, ah AS (SELECT k, {_CMS_H1} AS h1, {_CMS_H2} AS h2 FROM a)
+, bh AS (SELECT k, {_CMS_H1} AS h1, {_CMS_H2} AS h2 FROM b)
+, acms AS (
+    SELECT d, (h1 + d * h2) % {SK.CMS_W} AS bucket, COUNT(*) AS ca
+    FROM ah, generate_series(0, {SK.CMS_D - 1}) t(d) GROUP BY 1, 2
+)
+, bcms AS (
+    SELECT d, (h1 + d * h2) % {SK.CMS_W} AS bucket, COUNT(*) AS cb
+    FROM bh, generate_series(0, {SK.CMS_D - 1}) t(d) GROUP BY 1, 2
+)
+, ip AS (
+    SELECT a.d, SUM(a.ca * b.cb) AS ip
+    FROM acms a JOIN bcms b ON b.d = a.d AND b.bucket = a.bucket
+    GROUP BY a.d
+)
+, est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_card_estimate FROM ip)
+, act AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS join_card_actual
+    FROM a JOIN b ON b.k = a.k
+)
+SELECT est.join_card_estimate, act.join_card_actual FROM est, act
+"""
+
+
+@register("join_cardinality_estimate", oracle=JOIN_CARD_SQL, covers=["A2", "J1"])
+def q_join_cardinality_estimate(spark, sf_dir):
+    """X-JOIN-CARD: AGMS-style join-size estimation off two 4 KB CMS
+    summaries — bucket-wise inner product per hash row, MIN of the d
+    upper bounds — next to the exact join count it predicts. The
+    optimizer-tier primitive: choose broadcast vs shuffle vs
+    pre-aggregation BEFORE paying for the join, from sketches that
+    merge incrementally as data arrives."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = lineitem.select(F.col("l_partkey").alias("k"))
+    b = part.filter(F.col("p_size") < 25).select(F.col("p_partkey").alias("k"))
+    est = SK.cms_join_cardinality(SK.cms_build(a, "k"), SK.cms_build(b, "k"))
+    act = a.join(b, on="k").agg(F.count(F.lit(1)).alias("join_card_actual"))
+    return est.join(act).select(
+        "join_card_estimate", F.col("join_card_actual").cast("long")
+    )
