@@ -224,6 +224,15 @@ AUDITS = {
     "clustering_coefficient": [
         ("HashJoin", "corner enumeration joins on vertex equi keys"),
     ],
+    "forget_keys": [
+        ("LeftAnti", "deletion list removed by anti-join; residual proof is a semi-join"),
+    ],
+    "join_cardinality_estimate": [
+        ("partial_", "CMS counters + inner products partial+final"),
+    ],
+    "concurrency_profile": [
+        ("partial_", "boundary deltas fold keyed by timestamp before the sweep"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -277,6 +286,8 @@ FORBIDDEN = {
     "k_anonymity_audit": ["Exchange SinglePartition"],
     "kcore_nodes": ["CartesianProduct"],
     "clustering_coefficient": ["CartesianProduct"],
+    "forget_keys": ["CartesianProduct"],
+    "join_cardinality_estimate": ["CartesianProduct", "Exchange SinglePartition"],
     "embedding_outliers": ["CartesianProduct", "Exchange SinglePartition"],
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
