@@ -464,3 +464,114 @@ def pq_encode(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 4,
+    n_cells: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """Per-subspace PQ codebooks -> (sub, cid, cv, cv_norm2): the trained
+    codeword table :func:`pq_encode` assigns against, exposed for
+    asymmetric-distance search (``cv_norm2`` pre-computed because ADC
+    needs the reconstruction's norm, Σ_s ||c_s||², at scoring time).
+    """
+    sub_dim = dim // n_sub
+    outs = []
+    for s in range(n_sub):
+        sliced = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
+        )
+        cents = kmeans_centroids(sliced, "id", "v", n_cells=n_cells, iterations=iterations)
+        outs.append(cents.select(F.lit(s).cast("int").alias("sub"), "cid", "cv"))
+    cb = outs[0]
+    for o in outs[1:]:
+        cb = cb.unionByName(o)
+    return cb.withColumn("cv_norm2", dot(F.col("cv"), F.col("cv")))
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 4,
+    n_cells_coarse: int = 4,
+    n_cells_code: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k — the composed quantized-search
+    scale path: coarse cells bound the candidate set (IVF), PQ codes
+    stand in for the vectors (n_sub bytes each), and scoring is ADC:
+    cos(q, x̂) with x̂ = concatenated codewords, so dot(q, x̂) =
+    Σ_s dot(q_s, c_{s,code}) and ||x̂||² = Σ_s ||c_s||² — no candidate
+    vector is ever read again after encoding.
+
+    Expressed relationally ((q, x, sub) rows through keyed joins) so the
+    DuckDB oracle can replay it exactly; a production kernel batches the
+    per-subspace lookup tables per query (mapInPandas) with identical
+    semantics. Simplifications vs a production index, documented:
+    nprobe=1, codebooks trained on raw subvectors (not residuals),
+    spherical geometry throughout.
+    """
+    assign = ivf_assign(df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1)
+    cbs = pq_codebooks(df, id_col, vec_col, dim, n_sub, n_cells_code)
+    codes = pq_encode(df, id_col, vec_col, dim, n_sub, n_cells_code).select(
+        F.col("id").alias("xid"), "sub", "code"
+    )
+    xrep = codes.join(
+        F.broadcast(
+            cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
+        ),
+        on=["sub", "code"],
+    ).join(assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid")
+    sub_dim = dim // n_sub
+    qs = assign.select(
+        F.col("id").alias("qid"),
+        "cell",
+        norm(F.col("v")).alias("qn"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice(F.col("v"), s * sub_dim + 1, sub_dim).alias("qv"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("qslice"),
+    ).select("qid", "cell", "qn", F.col("qslice.sub").alias("sub"), F.col("qslice.qv").alias("qv"))
+    # per-subspace terms scaled to exact integers before the SUM: 4
+    # doubles summed in nondeterministic order can differ in the last
+    # ulp between engines and flip the rounded score — integer sums
+    # cannot (the kmeans trainer's trick, applied to ADC)
+    per_sub = qs.join(xrep, on=["cell", "sub"]).filter(F.col("qid") != F.col("xid")).select(
+        "qid",
+        "xid",
+        "qn",
+        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2_scaled"),
+        F.round(dot(F.col("qv"), F.col("cv")) * 1e9).cast("long").alias("d_scaled"),
+    )
+    scored = per_sub.groupBy("qid", "xid", "qn").agg(
+        F.sum("d_scaled").alias("adc_dot_s"), F.sum("n2_scaled").alias("xnorm2_s")
+    ).select(
+        "qid",
+        "xid",
+        F.round(
+            (F.col("adc_dot_s") / F.lit(1e9))
+            / (F.col("qn") * F.sqrt(F.col("xnorm2_s") / F.lit(1e9))),
+            6,
+        ).alias("adc_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "xid", "adc_cos")
+    )

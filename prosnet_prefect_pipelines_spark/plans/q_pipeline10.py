@@ -355,3 +355,109 @@ def q_join_cardinality_estimate(spark, sf_dir):
     return est.join(act).select(
         "join_card_estimate", F.col("join_card_actual").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance top-k (the composed quantized-search path)
+
+from prosnet_prefect_pipelines_spark.operators.similarity import ivf_pq_topk  # noqa: E402
+from prosnet_prefect_pipelines_spark.plans.q_pipeline4 import (  # noqa: E402
+    _PQ_SUB,
+    _PQ_SUBDIM,
+    _pq_subspace_sql,
+)
+
+_DOT64 = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _ivfpq_cos64(a: str, b: str) -> str:
+    d = _DOT64.format(a=a, b=b)
+    na = _DOT64.format(a=a, b=a)
+    nb = _DOT64.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _adc_sql(s: int) -> str:
+    lo = s * _PQ_SUBDIM
+    dot_q_cw = (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_SUBDIM}), "
+        f"i -> CAST(q.embedding[{lo} + i] AS DOUBLE) * CAST(cb.cv[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    norm2_cw = (
+        "list_reduce(list_transform(cb.cv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return f"""adc{s} AS (
+    SELECT cq.id AS qid, o.id AS xid,
+           CAST(round(({dot_q_cw}) * 1000000000.0) AS BIGINT) AS d_scaled,
+           CAST(round(({norm2_cw}) * 1000000000.0) AS BIGINT) AS n2_scaled
+    FROM embeddings q
+    JOIN cells cq ON cq.id = q.vec_id
+    JOIN cells cx ON cx.cell = cq.cell AND cx.id <> cq.id
+    JOIN out{s} o ON o.id = cx.id
+    JOIN c{s}1 cb ON cb.cid = o.code
+)"""
+
+
+IVFPQ_SQL = (
+    "WITH "
+    + ",".join(_pq_subspace_sql(s) for s in range(_PQ_SUB))
+    + f""",
+coarse AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 4
+),
+cells AS MATERIALIZED (
+    SELECT id, cell FROM (
+        SELECT e.vec_id AS id, c.cid AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_ivfpq_cos64('e.embedding', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse c
+    ) t WHERE rn = 1
+),
+"""
+    + ",".join(_adc_sql(s) for s in range(_PQ_SUB))
+    + f""",
+pairs AS (
+    SELECT qid, xid, SUM(d_scaled) AS ds, SUM(n2_scaled) AS ns
+    FROM ({" UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(_PQ_SUB))}) u
+    GROUP BY qid, xid
+),
+qn AS (
+    SELECT vec_id AS qid, sqrt({_DOT64.format(a='embedding', b='embedding')}) AS qn
+    FROM embeddings
+),
+scored AS (
+    SELECT p.qid, p.xid,
+           round((p.ds / 1000000000.0)
+                 / (qn.qn * sqrt(p.ns / 1000000000.0)), 6) AS adc_cos
+    FROM pairs p JOIN qn ON qn.qid = p.qid
+)
+SELECT qid, xid, adc_cos FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY adc_cos DESC, xid) AS rn
+    FROM scored
+) t WHERE rn <= 3
+"""
+)
+
+
+@register("ann_ivf_pq_topk", oracle=IVFPQ_SQL, covers=["O6", "J1", "O1"])
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """X-ANN-IVFPQ: the composed quantized-search scale path — IVF
+    coarse cells bound candidates, PQ codes replace vectors, ADC scores
+    cos(q, x̂) from per-subspace codeword dots (integer-scaled sums, so
+    both engines agree bit-for-bit). After encoding, no candidate
+    vector is ever read again — the property that makes billion-vector
+    search feasible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_topk(
+        emb, "vec_id", "embedding", dim=64,
+        n_sub=_PQ_SUB, n_cells_coarse=4, n_cells_code=4, k=3,
+    )
