@@ -189,13 +189,15 @@ FROM swept GROUP BY t // 3600000000
 
 @register("concurrency_profile", oracle=SWEEP_SQL, covers=["A2", "O1"])
 def q_concurrency_profile(spark, sf_dir):
-    """X-SWEEP: peak concurrent sessions per hour via the sweep line —
-    +1/-1 boundary events, fold coincident timestamps, one running sum.
-    The global ordering is the sweep's nature; at 100 TB the same
-    algebra runs per shard/tenant key (partitioned sweep) or over
-    pre-folded per-bucket deltas — boundary cardinality, never raw rows,
-    feeds the one ordered pass. Interval ends derive deterministically
-    from event ids (synthetic session lengths, both engines alike)."""
+    """X-SWEEP: peak concurrent sessions per hour — the TWO-PHASE
+    partitioned sweep, not a global ordered pass: (1) fold +1/-1
+    boundary deltas per timestamp (keyed agg), run the prefix sum
+    WITHIN each hour bucket (keyed window — parallel across buckets),
+    (2) carry concurrency across buckets with one cumulative sum over
+    the per-bucket totals — a frame with one row per hour
+    (metadata-scale at any corpus size; a year is 8784 rows), the only
+    place a global order appears. peak(bucket) = carry_in + max inner
+    prefix. Interval ends derive deterministically from event ids."""
     from pyspark.sql.window import Window
 
     from prosnet_prefect_pipelines_spark.plans.q_streaming import read_events
@@ -208,12 +210,31 @@ def q_concurrency_profile(spark, sf_dir):
     deltas = sessions.select(F.col("start_us").alias("t"), F.lit(1).alias("d")).unionByName(
         sessions.select(F.col("end_us").alias("t"), F.lit(-1).alias("d"))
     )
-    folded = deltas.groupBy("t").agg(F.sum("d").alias("d"))
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    swept = folded.select("t", F.sum("d").over(w).alias("concurrent"))
-    return swept.groupBy(
-        F.expr("t div 3600000000").alias("hour_bucket")
-    ).agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
+    folded = deltas.groupBy("t").agg(F.sum("d").alias("d")).withColumn(
+        "hour_bucket", F.expr("t div 3600000000")
+    )
+    w_inner = (
+        Window.partitionBy("hour_bucket").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = folded.select(
+        "hour_bucket", "d", F.sum("d").over(w_inner).alias("inner_run")
+    )
+    per_bucket = inner.groupBy("hour_bucket").agg(
+        F.sum("d").alias("bucket_total"), F.max("inner_run").alias("inner_peak")
+    )
+    w_carry = Window.orderBy("hour_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_bucket.select(
+        "hour_bucket",
+        (
+            F.coalesce(F.sum("bucket_total").over(w_carry), F.lit(0))
+            + F.col("inner_peak")
+        )
+        .cast("long")
+        .alias("peak_concurrent"),
+    )
 
 
 # ---------------------------------------------------------------------------
