@@ -482,3 +482,64 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
         emb, "vec_id", "embedding", dim=64,
         n_sub=_PQ_SUB, n_cells_coarse=4, n_cells_code=4, k=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form regression / correlation from exact sums
+
+OLS_SQL = """
+WITH pts AS (
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 AS x,
+           CAST(round(value * 1000000) AS BIGINT) AS y
+    FROM events
+),
+sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(x * y) AS HUGEINT) AS sxy,
+           CAST(SUM(x * x) AS HUGEINT) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+           AS slope_micro_per_hour,
+       CAST((sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT)
+           AS intercept_micro
+FROM sums
+"""
+
+
+@register("ols_trend", oracle=OLS_SQL, covers=["A2"])
+def q_ols_trend(spark, sf_dir):
+    """X-OLS: per-group least-squares trend from the five classic sums —
+    slope = (nSxy - SxSy)/(nSxx - Sx^2) over (hour index, micro-scaled
+    value), all sums exact integers (DECIMAL accumulators), the division
+    a truncating `div`. One map-side-combined aggregation per group; the
+    closed form is why OLS scales where iterative fitters don't."""
+    from prosnet_prefect_pipelines_spark.plans.q_streaming import read_events
+
+    ev = read_events(spark, sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.expr("ts_us div 3600000000").alias("x"),
+        F.round(F.col("value") * 1000000).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000 AS DECIMAL(38,0)) div (n * sxx - sx * sx)"
+        ).alias("slope_micro_per_hour"),
+        F.expr(
+            "CAST(sy * sxx - sx * sxy AS DECIMAL(38,0)) div (n * sxx - sx * sx)"
+        ).alias("intercept_micro"),
+    )
