@@ -527,12 +527,16 @@ def q_ols_trend(spark, sf_dir):
         F.expr("ts_us div 3600000000").alias("x"),
         F.round(F.col("value") * 1000000).cast("long").alias("y"),
     )
+    # operands cast to DECIMAL BEFORE products — overflow insurance at
+    # 100 TB row counts (see pearson_corr)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     sums = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("sx"),
         F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
     )
     return sums.select(
         "event_type",
@@ -542,4 +546,68 @@ def q_ols_trend(spark, sf_dir):
         F.expr(
             "CAST(sy * sxx - sx * sxy AS DECIMAL(38,0)) div (n * sxx - sx * sx)"
         ).alias("intercept_micro"),
+    )
+
+
+CORR_SQL = """
+WITH pts AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS HUGEINT) AS x,
+           CAST(round(value * 1000000) AS HUGEINT) AS y
+    FROM events
+),
+sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(FLOOR(
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+           * 1000000) AS BIGINT) AS pearson_micro
+FROM sums
+"""
+
+
+@register("pearson_corr", oracle=CORR_SQL, covers=["A2"])
+def q_pearson_corr(spark, sf_dir):
+    """X-CORR: per-group Pearson correlation from the six exact sums —
+    numerator and variances are exact integers (DECIMAL accumulators),
+    the final sqrt/divide chain is deterministic single IEEE ops, and
+    FLOOR-scaling pins the surface. Same one-aggregation scale shape as
+    X-OLS (closed forms beat iterative fitters at 100 TB)."""
+    from prosnet_prefect_pipelines_spark.plans.q_streaming import read_events
+
+    ev = read_events(spark, sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.expr("ts_us div 3600000000").alias("x"),
+        F.round(F.col("value") * 1000000).cast("long").alias("y"),
+    )
+    # operands cast to DECIMAL BEFORE the product: y ~ 1e8 squared
+    # overflows BIGINT long before the sum would
+    yd = F.col("y").cast("decimal(38,0)")
+    xd = F.col("x").cast("decimal(38,0)")
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    return sums.select(
+        "event_type",
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("pearson_micro"),
     )
