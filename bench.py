@@ -56,6 +56,10 @@ HEADLINE = [
     "hll_distinct",           # portable HLL registers + harmonic estimate
     "cdc_apply",              # changelog merge, one keyed window
     "record_linkage",         # blocked linkage scoring (levenshtein in blocks)
+    "skew_join_salted",       # salt-replicated hot-key join
+    "dup_spans_exact",        # cross-doc exact-substring duplication
+    "knn_join_batch",         # broadcast-query KNN with local topk prune
+    "cusum_drift",            # closed-form CUSUM drift windows
 ]
 
 

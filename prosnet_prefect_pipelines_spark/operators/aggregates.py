@@ -166,3 +166,58 @@ def profile_table(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def cusum_scaled(
+    counts: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key CUSUM drift statistics over an ordered integer series, in
+    EXACT integer arithmetic (no float drift across engines/partitions).
+
+    The classic recursion S_t = max(0, S_{t-1} + (x_t - mu)) is
+    sequential, but it has a closed prefix form:
+
+        S_t = C_t - min(0, min_{j<=t} C_j),  C_t = sum_{i<=t} (x_i - mu)
+
+    (reflection at the zero floor), so two running windows — a prefix
+    sum and a running min — compute it with ONE shuffle on the key. To
+    stay integral, values are scaled by the per-key series length D:
+    y_t = x_t * D - T (T = per-key total), which is D * (x_t - mean).
+    Output cusum_pos/cusum_neg are therefore in units of value x D —
+    threshold comparisons scale the cutoff by D, ordering/shape are
+    unaffected, and every engine agrees bit-for-bit.
+
+    Scale: windows partition by the drift key (metric/tenant series);
+    each series is one reducer's work, which is the natural lower bound
+    for an ordered scan. The per-key (D, T) aggregation is map-side
+    combinable.
+    """
+    from pyspark.sql.window import Window
+
+    k, o, v = F.col(key_col), F.col(order_col), F.col(value_col)
+    totals = counts.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_d"), F.sum(v).alias("_t")
+    )
+    y = counts.join(totals, on=key_col).withColumn(
+        "_y", v * F.col("_d") - F.col("_t")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        y.withColumn("_c", F.sum("_y").over(w))
+        .withColumn("_cmin", F.min("_c").over(w))
+        .withColumn("_cmax", F.max("_c").over(w))
+    )
+    return cum.select(
+        k.alias("key"),
+        o.alias("bucket"),
+        v.alias("value"),
+        (F.col("_c") - F.least(F.lit(0), F.col("_cmin"))).alias("cusum_pos"),
+        (F.greatest(F.lit(0), F.col("_cmax")) - F.col("_c")).alias("cusum_neg"),
+    )

@@ -433,3 +433,79 @@ def semdedup(
             F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact containment-similar pairs (a < b) via the shingle inverted
+    index: containment = |A ∩ B| / min(|A|, |B|).
+
+    One-sided Jaccard catches the sub-document duplication Jaccard
+    misses — a short document fully embedded in a long one has high
+    containment but low Jaccard (boilerplate pages, quoted articles,
+    scraped mirrors with added chrome). Same plan shape as
+    ``ngram_jaccard_pairs``: shingle table -> self-join on shingle ->
+    per-pair intersection counts -> size join; pairs exist only for
+    actual shingle collisions, never a cross join. Shuffle keys are the
+    shingles (candidate gen) then the (a, b) pairs (scoring) — both
+    linear in corpus token count at fixed duplication rate.
+    """
+    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), on="shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_shingles", "na"), on="a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_shingles", "nb"), on="b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "n_common", "containment")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """-> (id, n_spans, n_dup_spans, dup_span_frac): per document, the
+    fraction of its word k-gram occurrences that also occur in at least
+    one OTHER document — the cross-document exact-substring duplication
+    signal (the k-gram granularity of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" suffix-array pass).
+
+    Plan: one explode to (id, span) with multiplicity, a (id, span)
+    pre-aggregation (map-side combinable), then a span-keyed aggregation
+    counting distinct holder documents, and a final per-document rollup.
+    All shuffles key on span/document — work is linear in corpus token
+    count; at 100 TB the span strings would be replaced by xxhash64
+    fingerprints to shrink the shuffle payload (identical grouping
+    semantics, collision odds ~2^-64).
+    """
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    per = spans.groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))
+    holders = per.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per.join(holders, on="s")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )

@@ -575,3 +575,51 @@ def ivf_pq_topk(
         .filter(F.col("_rn") <= k)
         .select("qid", "xid", "adc_cos")
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """-> (query_id, neighbor, cos): exact cosine top-k over the corpus
+    for each query vector — the batch KNN-join a retrieval/eval pipeline
+    runs (embed a query set, fetch nearest corpus items).
+
+    Scale shape (small query batch x 100 TB corpus): the query set is
+    BROADCAST, so the corpus is never shuffled for pair generation — one
+    narrow JVM pass scores corpus partitions in place. Top-k is
+    two-phase: an Arrow-batched ``mapInPandas`` prune keeps k candidates
+    per query per batch LOCALLY (a window partitioned by (query,
+    partition-id) would itself exchange the full score matrix), so the
+    only network shuffle carries <= k * n_batches rows per query instead
+    of |corpus| x |queries|; a final per-query window merges partials.
+    Both phases rank by (cos desc, neighbor) — a batch-local top-k is a
+    superset of the global top-k under any batching, so the result is
+    exact and deterministic. For large query sets, switch to
+    ``ivf_topk``-style cell routing on both sides.
+    """
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor"), F.col(corpus_vec).alias("cv"))
+    scored = c.join(F.broadcast(q)).select(
+        "qid", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+
+    def _prune(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(
+                ["qid", "cos", "neighbor"], ascending=[True, False, True]
+            )
+            yield pdf.groupby("qid", sort=False).head(k)
+
+    partial = scored.mapInPandas(_prune, scored.schema)
+    final = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    return (
+        partial.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor", "cos")
+    )

@@ -62,6 +62,7 @@ def _load_all() -> None:
         q_pipeline8,
         q_pipeline9,
         q_pipeline10,
+        q_pipeline11,
         q_ranking,
         q_relational,
         q_render,
