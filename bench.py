@@ -60,6 +60,9 @@ HEADLINE = [
     "dup_spans_exact",        # cross-doc exact-substring duplication
     "knn_join_batch",         # broadcast-query KNN with local topk prune
     "cusum_drift",            # closed-form CUSUM drift windows
+    "scc_components",         # adaptive Tarjan/coloring SCC
+    "interval_overlap",       # bucket-grid interval-interval join
+    "feature_hashing",        # signed hashing trick vectors
 ]
 
 

@@ -221,3 +221,30 @@ def cusum_scaled(
         (F.col("_c") - F.least(F.lit(0), F.col("_cmin"))).alias("cusum_pos"),
         (F.greatest(F.lit(0), F.col("_cmax")) - F.col("_c")).alias("cusum_neg"),
     )
+
+
+def islands(df: DataFrame, key_col: str, point_col: str) -> DataFrame:
+    """Gaps-and-islands: collapse per-key DISTINCT integer points into
+    maximal consecutive runs -> (key, island_start, island_end,
+    island_len).
+
+    The classic row_number trick: for points sorted per key,
+    ``point - row_number`` is constant exactly within a consecutive run,
+    so one window pass + one groupBy finds every island. Both shuffles
+    key on the entity (user/device/tenant) — series windowize
+    independently and in parallel; no global order.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(point_col)
+    pts = df.select(key_col, point_col).distinct()
+    grp = pts.withColumn("_grp", F.col(point_col) - F.row_number().over(w))
+    return (
+        grp.groupBy(key_col, "_grp")
+        .agg(
+            F.min(point_col).alias("island_start"),
+            F.max(point_col).alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("_grp")
+    )

@@ -871,3 +871,211 @@ def triangle_corners(
         on=["u", "v"],
         how="inner",
     ).select(F.col("lo").alias("x"), F.col("u").alias("y"), F.col("v").alias("z"))
+
+
+def scc_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    driver_threshold: int = 500_000,
+) -> DataFrame:
+    """DIRECTED strongly connected components -> (node, scc) with each
+    SCC labeled by its maximum member (the coloring root).
+
+    Same adaptive split as ``connected_components``:
+
+    - ``|E| <= driver_threshold``: collect + driver Tarjan (iterative,
+      no recursion-depth limit). Directed cross-reference graphs
+      (citation/redirect/sameAs-directed) are dimension-sized next to
+      100 TB fact data, and Tarjan is linear.
+    - otherwise: Orzan's distributed coloring (the FW-BW variant used
+      by the HipG/Pregel SCC literature): (1) propagate the maximum
+      ancestor id forward to a fixpoint — each node's color is the
+      largest id that can reach it; (2) nodes with ``color == self``
+      are roots, and the SCC of root r is the set of same-colored
+      nodes that can reach r (a backward fixpoint restricted to the
+      color class — all roots processed simultaneously); (3) peel the
+      found SCCs off and repeat on the remainder. Outer rounds are
+      bounded by the SCC-DAG's chain structure, inner fixpoints by the
+      color-class diameter; every round contracts the graph, and every
+      iteration's state is lineage-truncated via ``_materialize``.
+
+    Both paths produce identical labels (equivalence-tested).
+    """
+    spark = edges.sparkSession
+    raw = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if raw.count() <= driver_threshold:
+        return _scc_driver(spark, raw)
+    return _scc_coloring(spark, raw, max_iterations)
+
+
+def _scc_driver(spark, e: DataFrame) -> DataFrame:
+    """Iterative Tarjan over a collected edge list (small-graph path).
+    SCC label = max member, matching the distributed coloring exactly."""
+    adj: dict = {}
+    nodes: set = set()
+    for a, b in e.collect():
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list[list] = []
+    counter = [0]
+
+    for start in nodes:
+        if start in index:
+            continue
+        # explicit DFS stack of (node, neighbor-iterator position)
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            nbrs = adj.get(v, [])
+            advanced = False
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    rows = [(n, max(comp)) for comp in sccs for n in comp]
+    return spark.createDataFrame(rows, "node string, scc string")
+
+
+def _scc_coloring(spark, e: DataFrame, max_iterations: int) -> DataFrame:
+    """Distributed coloring SCC (large-graph path)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_cp = _fixpoint_conf_off(spark)
+    results: list[DataFrame] = []
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        remaining = _materialize(e, eager=True)
+        for _outer in range(max_iterations):
+            nodes = _materialize(
+                remaining.select(F.col("a").alias("n"))
+                .unionByName(remaining.select(F.col("b").alias("n")))
+                .distinct(),
+                eager=True,
+            )
+            if nodes.limit(1).count() == 0:
+                break
+            # (1) forward max-ancestor propagation
+            color = nodes.select("n", F.col("n").alias("c"))
+            for _ in range(max_iterations):
+                pushed = (
+                    remaining.join(
+                        color.withColumnRenamed("n", "a").withColumnRenamed("c", "ca"),
+                        on="a",
+                    )
+                    .groupBy(F.col("b").alias("n"))
+                    .agg(F.max("ca").alias("cin"))
+                )
+                nxt = (
+                    color.join(pushed, on="n", how="left")
+                    .select(
+                        "n",
+                        F.greatest(F.col("c"), F.coalesce(F.col("cin"), F.col("c"))).alias("c"),
+                    )
+                )
+                nxt = _materialize(nxt, eager=True)
+                changed = (
+                    nxt.alias("x")
+                    .join(color.alias("y"), on="n")
+                    .filter(F.col("x.c") != F.col("y.c"))
+                    .limit(1)
+                    .count()
+                )
+                color = nxt
+                if changed == 0:
+                    break
+            # (2) backward reachability to roots within each color class
+            colored_edges = _materialize(
+                remaining.join(
+                    color.withColumnRenamed("n", "a").withColumnRenamed("c", "ca"), on="a"
+                )
+                .join(
+                    color.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"), on="b"
+                )
+                .filter(F.col("ca") == F.col("cb"))
+                .select("a", "b", F.col("ca").alias("c")),
+                eager=True,
+            )
+            member = color.filter(F.col("n") == F.col("c")).select("n", "c")
+            frontier = member
+            for _ in range(max_iterations):
+                step = (
+                    colored_edges.join(
+                        frontier.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"),
+                        on="b",
+                    )
+                    .filter(F.col("c") == F.col("cb"))
+                    .select(F.col("a").alias("n"), "c")
+                    .distinct()
+                )
+                new = _materialize(
+                    step.join(member, on=["n", "c"], how="left_anti"), eager=True
+                )
+                if new.limit(1).count() == 0:
+                    break
+                member = _materialize(member.unionByName(new), eager=True)
+                frontier = new
+            results.append(member.select("n", F.col("c").alias("scc")))
+            # (3) peel off the found SCCs
+            remaining = _materialize(
+                remaining.join(
+                    member.select(F.col("n").alias("a")), on="a", how="left_anti"
+                ).join(member.select(F.col("n").alias("b")), on="b", how="left_anti"),
+                eager=True,
+            )
+        # nodes whose every edge touched a peeled SCC drop out of
+        # `remaining` without ever being assigned — they are singleton
+        # SCCs (their potential cycle partners are gone)
+        all_nodes = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .distinct()
+        )
+        assigned = results[0]
+        for r in results[1:]:
+            assigned = assigned.unionByName(r)
+        singles = all_nodes.join(
+            assigned.select("n"), on="n", how="left_anti"
+        ).select("n", F.col("n").alias("scc"))
+        out = assigned.unionByName(singles)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+    return out.select(F.col("n").alias("node"), "scc")

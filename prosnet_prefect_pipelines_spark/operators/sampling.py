@@ -113,3 +113,30 @@ def pack_greedy(
     return df.withColumn(bin_col, F.floor(cum_before / budget)).withColumn(
         offset_col, cum_before % budget
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: Column | str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via priority
+    sampling (Duffield-Lund-Thorup): priority = weight / u with u the
+    portable md5 uniform of the key; the k highest priorities are the
+    sample. Inclusion probability is ~proportional to weight, membership
+    is a pure function of (key, weight, salt) — reproducible across
+    engines, reruns, and repartitionings, unlike rand()-based sampleBy.
+
+    Priorities use one IEEE division (no ln/pow) so every engine
+    computes bit-identical doubles; ranking ties break on the key.
+
+    Scale: priorities are a narrow map; top-k is an
+    ORDER BY ... LIMIT k, which Spark executes as per-partition
+    TakeOrdered partials + a driver merge of k-row heaps — no global
+    sort shuffle.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pri = (w / portable_fraction(F.col(key_col), salt)).alias("priority")
+    return (
+        df.select("*", F.round(pri, 6).alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -155,3 +155,59 @@ def context_target_pairs(
         .filter(F.col("_oldest").isNotNull())  # full context available
         .drop("_oldest")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join of every overlapping interval pair
+    (``l_lo <= r_hi AND r_lo <= l_hi``) — the interval-interval
+    extension of ``range_join``'s point-in-interval.
+
+    Both sides explode into the integer buckets they span, equi-join on
+    bucket, then a residual overlap filter; ``dropDuplicates`` on the
+    carried key columns is the caller's job only if an interval pair can
+    meet in several buckets — here the pair is kept once via the
+    canonical-bucket trick: a pair is emitted only in the FIRST bucket
+    both intervals share (greatest of the two lo-buckets), so no
+    dedup shuffle is needed. Work scales with actual bucket co-residency
+    (choose ``bucket_width`` near the median interval length), never
+    |L| x |R|.
+    """
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{left_lo}` div {bucket_width}"),
+                F.expr(f"`{left_hi}` div {bucket_width}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{right_lo}` div {bucket_width}"),
+                F.expr(f"`{right_hi}` div {bucket_width}"),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        F.expr(f"`{left_lo}` div {bucket_width}"),
+        F.expr(f"`{right_lo}` div {bucket_width}"),
+    )
+    return (
+        lb.join(rb, on="_bucket")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("_bucket") == first_shared)
+        )
+        .drop("_bucket")
+    )

@@ -192,3 +192,38 @@ def chunk_tokens(
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    salt: str = "fh",
+) -> DataFrame:
+    """Signed hashing trick (Weinberger et al.) -> (id, bucket, val):
+    each token maps to ``portable_hash(token) % n_buckets`` with a
+    +/-1 sign drawn from an independent hash bit, and ``val`` sums the
+    signs per (document, bucket) — a fixed-width, vocabulary-free
+    feature vector for the linear quality tier.
+
+    Sign trick keeps collisions unbiased (E[collision term] = 0). The
+    md5-prefix hash is engine-portable (DuckDB twin mirrors it
+    digit-for-digit); at 100 TB the explode+groupBy keys on (id,
+    bucket) — work linear in corpus tokens, output |docs| x n_buckets
+    at most.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.concat(F.col("tok"), F.lit(salt))), 1, 12), 16, 10).cast(
+        "long"
+    )
+    sign_digit = F.substring(F.md5(F.concat(F.col("tok"), F.lit(salt))), 13, 1)
+    sign = F.when(sign_digit < F.lit("8"), F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("id", F.pmod(h, F.lit(n_buckets)).alias("bucket"), sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").alias("val"))
+    )
