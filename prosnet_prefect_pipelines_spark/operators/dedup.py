@@ -509,3 +509,79 @@ def dup_span_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Exact word-level Jaccard pairs >= ``threshold`` via PREFIX
+    FILTERING (the PPJoin/AllPairs candidate rule) — the scale path for
+    set-similarity joins.
+
+    The plain inverted index indexes EVERY token, so hot tokens ("the")
+    produce quadratic bucket blow-ups. Prefix filtering orders tokens
+    globally by ascending corpus frequency (rarest first) and indexes
+    only each document's first ``|d| - ceil(t*|d|) + 1`` tokens: any
+    pair with Jaccard >= t must share a token inside BOTH prefixes
+    (pigeonhole on the overlap lower bound), so the candidate join
+    touches the rare end of the vocabulary and hot tokens are almost
+    never indexed. Verification then counts the full intersection for
+    candidates only. Result is EXACT — identical to the full-index join
+    (property: equivalence-tested against ``ngram_jaccard_pairs``-style
+    brute force).
+
+    Shuffles: token-frequency agg, per-doc rank window (keyed by doc),
+    prefix self-join (keyed by rare tokens), verification joins (keyed
+    by candidate pair) — all linear in corpus tokens + true candidates.
+    """
+    from pyspark.sql.window import Window
+
+    elems = (
+        word_shingles(F.col(text_col), shingle_k)
+        if shingle_k is not None
+        else tokens(F.col(text_col))
+    )
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(elems).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy("f", "tok")
+    ranked = (
+        toks.join(freq, on="tok")
+        .join(sizes, on="id")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), on="tok")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.withColumnRenamed("id", "a").withColumnRenamed("tok", "t"), on="a")
+        .join(toks.withColumnRenamed("id", "b").withColumnRenamed("tok", "t"), on=["b", "t"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), on="a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), on="b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -64,6 +64,7 @@ def _load_all() -> None:
         q_pipeline10,
         q_pipeline11,
         q_pipeline12,
+        q_pipeline13,
         q_ranking,
         q_relational,
         q_render,
