@@ -1079,3 +1079,113 @@ def _scc_coloring(spark, e: DataFrame, max_iterations: int) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
     return out.select(F.col("n").alias("node"), "scc")
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    time_col: str = "t",
+    start_time: int = 0,
+    max_iterations: int = 50,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability -> (node, arrival):
+    the minimum time each node can be reached from the sources along
+    paths whose edge timestamps never decrease (you cannot take an edge
+    that fired before you arrived) — the contact-tracing / information-
+    diffusion primitive on interaction logs.
+
+    Label-correcting relaxation like ``sssp_weighted``: earlier arrival
+    at u never hurts (it permits a superset of outgoing edges, since the
+    constraint t_edge >= arrival(u) is monotone), so min-merge converges
+    to the exact earliest arrival. Each round joins ONLY the improved
+    frontier against the edge set (keyed equi-join + min aggregation)
+    and truncates lineage; rounds are bounded by the temporal diameter.
+    """
+    spark = edges.sparkSession
+    if not sources:
+        raise ValueError("temporal_reachability: sources must be non-empty")
+    raw = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(time_col).cast("long").alias("t"),
+    )
+    # adaptive like the other graph fixpoints: interaction graphs are
+    # usually dimension-sized — below the broadcast threshold, collect
+    # once and run heap Dijkstra on (node, arrival) states
+    if raw.count() <= driver_threshold:
+        return _temporal_driver(spark, raw, sources, start_time)
+    prev_cp = _fixpoint_conf_off(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        e = _materialize(raw, eager=True)
+        if e.count() < 10 * driver_threshold:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        arr = spark.createDataFrame(
+            [(s, int(start_time)) for s in sources], ["node", "arrival"]
+        )
+        frontier = arr
+        for _ in range(max_iterations):
+            relaxed = (
+                e.join(
+                    frontier.withColumnRenamed("node", "src"), on="src"
+                )
+                .filter(F.col("t") >= F.col("arrival"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("t").alias("cand"))
+            )
+            improved = (
+                relaxed.join(arr, on="node", how="left")
+                .filter(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
+                .select("node", F.col("cand").alias("arrival"))
+            )
+            improved = _materialize(improved, eager=True)
+            if improved.limit(1).count() == 0:
+                break
+            arr = _materialize(
+                arr.join(improved.select("node"), on="node", how="left_anti")
+                .unionByName(improved),
+                eager=True,
+            )
+            frontier = improved
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+    return arr
+
+
+def _temporal_driver(spark, raw: DataFrame, sources: list, start_time: int) -> DataFrame:
+    """Earliest-arrival Dijkstra over collected timestamped edges.
+
+    Arrivals only grow along a path, so the min-heap pop order is
+    monotone and each node settles at its first pop — exact, like
+    weighted Dijkstra with the relaxation rule arr(v) = min t of an
+    out-edge with t >= arr(u)."""
+    import heapq
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for a, b, t in raw.collect():
+        out[a].append((t, b))
+    for lst in out.values():
+        lst.sort()
+    arr: dict = {}
+    heap = [(int(start_time), s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        t, v = heapq.heappop(heap)
+        if v in arr:
+            continue
+        arr[v] = t
+        import bisect
+
+        lst = out.get(v, ())
+        # edges usable from v: timestamps >= t (list pre-sorted)
+        i = bisect.bisect_left(lst, (t, ))
+        for et, w in lst[i:]:
+            if w not in arr:
+                heapq.heappush(heap, (et, w))
+    rows = list(arr.items())
+    return spark.createDataFrame(rows, ["node", "arrival"])
