@@ -223,9 +223,9 @@ def q_basket_pairs(spark, sf_dir):
         .groupBy(F.col("x.item").alias("i1"), F.col("y.item").alias("i2"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    wr = Window.orderBy(F.col("n_orders").desc(), "i1", "i2")
-    return (
-        pairs.withColumn("_rn", F.row_number().over(wr))
-        .filter(F.col("_rn") <= 20)
-        .select("i1", "i2", "n_orders")
+    # orderBy+limit = TakeOrdered (per-partition k-row heaps merged on
+    # the driver) — a global row_number window would SinglePartition the
+    # whole pair frame
+    return pairs.orderBy(F.col("n_orders").desc(), "i1", "i2").limit(20).select(
+        "i1", "i2", "n_orders"
     )

@@ -233,6 +233,97 @@ AUDITS = {
     "concurrency_profile": [
         ("partial_", "boundary deltas fold keyed by timestamp before the sweep"),
     ],
+    "skew_join_salted": [
+        ("HashJoin", "salted join stays an equi-join on (key, bucket)"),
+        ("partial_", "post-join aggregation partial+final"),
+    ],
+    "cube_pricing": [
+        ("Expand", "all 4 CUBE grouping sets share ONE Expand pass"),
+        ("partial_", "expanded aggregation still partial+final"),
+    ],
+    "dup_spans_exact": [
+        ("partial_", "span multiplicities + holder counts partial+final"),
+    ],
+    "containment_dedup": [
+        ("HashJoin", "inverted-index candidate join is equi on the shingle"),
+    ],
+    "cusum_drift": [
+        ("Window", "prefix sum + running min are keyed (event_type) windows"),
+    ],
+    "schema_evolution_union": [
+        ("Union", "generations union by name, null-padded"),
+    ],
+    "knn_join_batch": [
+        # query batch broadcast into a deliberate product: corpus scored
+        # in place, never shuffled for pair generation
+        ("BroadcastNestedLoopJoin", "query batch broadcast — corpus never shuffled"),
+        ("MapInPandas", "Arrow-batched LOCAL top-k prune before the only wide exchange"),
+    ],
+    "weighted_sample_topk": [
+        ("TakeOrderedAndProject", "top-k heaps per partition, not a global sort"),
+    ],
+    "activity_streaks": [
+        ("Window", "row_number windows keyed on user_id"),
+        ("partial_", "island rollup partial+final"),
+    ],
+    "interval_overlap": [
+        ("HashJoin", "bucket-grid join is equi on the bucket"),
+    ],
+    "feature_hashing": [
+        ("partial_", "signed bucket sums partial+final"),
+        ("ReadSchema", "only doc_id+text read"),
+    ],
+    "jaccard_prefix_filter": [
+        ("HashJoin", "prefix-candidate + verification joins all equi-keyed"),
+    ],
+    "golden_record": [
+        ("Window", "survivorship picks are keyed (cluster) windows"),
+        ("partial_", "base aggregates partial+final"),
+    ],
+    "domain_top_quality": [
+        ("Window", "cumulative + total windows keyed by source"),
+    ],
+    "basket_pairs": [
+        ("TakeOrderedAndProject", "top-20 is per-partition heaps, not a global window"),
+        ("partial_", "pair counts partial+final"),
+    ],
+    "rolling_window_avg": [
+        ("Window", "RANGE frame keyed by event_type"),
+    ],
+    "attribution_last_touch": [
+        ("Window", "per-purchase top-1 keyed window"),
+        ("HashJoin", "lookback join is equi on user_id with residual range filter"),
+    ],
+    "l_diversity_audit": [
+        ("partial_", "distinct-sensitive counts partial+final"),
+    ],
+    "neighbor_sampling": [
+        ("Window", "fanout cap is a keyed (src) window"),
+    ],
+    "deterministic_walks": [
+        ("Window", "per-step argmin is a keyed (seed) window"),
+    ],
+    "link_prediction_split": [
+        ("LeftAnti", "negatives proven non-edges by ONE anti-join"),
+    ],
+    "neighbor_feature_agg": [
+        ("partial_", "decimal feature sums partial+final"),
+    ],
+    "ab_test_chi2": [
+        ("BroadcastHashJoin", "contingency margins broadcast onto cells"),
+        ("partial_", "observed counts partial+final"),
+    ],
+    "basket_triples": [
+        ("TakeOrderedAndProject", "top-20 is per-partition heaps"),
+        ("HashJoin", "candidate growth joins on the basket id"),
+    ],
+    "geo_grid_join": [
+        ("HashJoin", "3x3 cell replication joins as an equi-join on the cell"),
+    ],
+    "seasonal_residuals": [
+        ("BroadcastHashJoin", "weekday baselines broadcast onto the series"),
+        ("partial_", "daily + baseline aggregations partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -292,6 +383,40 @@ FORBIDDEN = {
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
     "hll_merge": ["Exchange SinglePartition", "CartesianProduct"],
+    "skew_join_salted": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                         "Exchange SinglePartition"],
+    "cube_pricing": ["Exchange SinglePartition"],
+    "dup_spans_exact": ["CartesianProduct", "Exchange SinglePartition"],
+    "containment_dedup": ["CartesianProduct", "Exchange SinglePartition"],
+    "cusum_drift": ["Exchange SinglePartition", "CartesianProduct"],
+    # two filtered scans unioned by name: fully narrow, no shuffle at all
+    "schema_evolution_union": ["Exchange"],
+    "knn_join_batch": ["CartesianProduct", "Exchange SinglePartition"],
+    "weighted_sample_topk": ["Exchange SinglePartition", "Window"],
+    "activity_streaks": ["Exchange SinglePartition", "CartesianProduct"],
+    "interval_overlap": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                         "Exchange SinglePartition"],
+    "feature_hashing": ["Exchange SinglePartition", "CartesianProduct"],
+    "jaccard_prefix_filter": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                              "Exchange SinglePartition"],
+    "golden_record": ["Exchange SinglePartition", "CartesianProduct"],
+    "domain_top_quality": ["Exchange SinglePartition"],
+    "basket_pairs": ["Exchange SinglePartition", "CartesianProduct"],
+    "rolling_window_avg": ["Exchange SinglePartition"],
+    "attribution_last_touch": ["CartesianProduct", "Exchange SinglePartition",
+                               "BroadcastNestedLoopJoin"],
+    "l_diversity_audit": ["Exchange SinglePartition"],
+    "neighbor_sampling": ["Exchange SinglePartition", "CartesianProduct"],
+    "deterministic_walks": ["CartesianProduct", "Exchange SinglePartition"],
+    "link_prediction_split": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                              "Exchange SinglePartition"],
+    "neighbor_feature_agg": ["CartesianProduct", "Exchange SinglePartition"],
+    "ab_test_chi2": ["Exchange SinglePartition"],
+    "basket_triples": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "Exchange SinglePartition"],
+    "geo_grid_join": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                      "Exchange SinglePartition"],
+    "seasonal_residuals": ["Exchange SinglePartition", "CartesianProduct"],
 }
 
 
