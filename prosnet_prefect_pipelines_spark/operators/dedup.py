@@ -489,10 +489,14 @@ def dup_span_stats(
     fingerprints to shrink the shuffle payload (identical grouping
     semantics, collision odds ~2^-64).
     """
+    # group on the 64-bit span fingerprint, not the span text: the
+    # output never carries span strings, so shuffling 8-byte keys
+    # instead of ~k-word strings shrinks the exchange payload
+    # (collision odds ~2^-64 per pair — the xxhash64 convention)
     spans = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-    )
+        F.explode(word_shingles(F.col(text_col), k)).alias("_raw"),
+    ).select("id", F.xxhash64("_raw").alias("s"))
     per = spans.groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))
     holders = per.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
