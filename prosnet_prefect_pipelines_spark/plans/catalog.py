@@ -70,6 +70,7 @@ def _load_all() -> None:
         q_pipeline16,
         q_pipeline17,
         q_pipeline18,
+        q_pipeline19,
         q_ranking,
         q_relational,
         q_render,
