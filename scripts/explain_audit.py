@@ -324,6 +324,29 @@ AUDITS = {
         ("BroadcastHashJoin", "weekday baselines broadcast onto the series"),
         ("partial_", "daily + baseline aggregations partial+final"),
     ],
+    "embedding_row_stats": [
+        ("ReadSchema", "narrow higher-order-function pass; only 2 columns read"),
+    ],
+    "latest_event_max_by": [
+        ("partial_", "max_by argmax is partial-aggregable (no window sort)"),
+    ],
+    "variant_json_extract": [
+        ("ReadSchema", "only event_id+props read"),
+    ],
+    "gini_concentration": [
+        ("Window", "rank window keyed by source"),
+        ("partial_", "gini sums partial+final"),
+    ],
+    "transition_matrix": [
+        ("Window", "lead() window keyed by user_id"),
+        ("BroadcastHashJoin", "out-degree normalization broadcast"),
+    ],
+    "hll_intersection": [
+        ("partial_", "register MAX partial+final; everything after is sketch-sized"),
+    ],
+    "benford_audit": [
+        ("partial_", "digit counts partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -417,6 +440,12 @@ FORBIDDEN = {
     "geo_grid_join": ["CartesianProduct", "BroadcastNestedLoopJoin",
                       "Exchange SinglePartition"],
     "seasonal_residuals": ["Exchange SinglePartition", "CartesianProduct"],
+    "embedding_row_stats": ["Exchange"],
+    "latest_event_max_by": ["Window", "Exchange SinglePartition"],
+    "variant_json_extract": ["Exchange"],
+    "gini_concentration": ["Exchange SinglePartition"],
+    "transition_matrix": ["CartesianProduct", "Exchange SinglePartition"],
+    "benford_audit": ["CartesianProduct"],
 }
 
 
