@@ -63,6 +63,8 @@ HEADLINE = [
     "scc_components",         # adaptive Tarjan/coloring SCC
     "interval_overlap",       # bucket-grid interval-interval join
     "feature_hashing",        # signed hashing trick vectors
+    "sql_tpch_q3",            # TPC-H Q3 via pure spark.sql
+    "sql_tpch_q5",            # TPC-H Q5 6-way join via pure spark.sql
 ]
 
 

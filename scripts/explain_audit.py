@@ -347,6 +347,19 @@ AUDITS = {
     "benford_audit": [
         ("partial_", "digit counts partial+final"),
     ],
+    "sql_tpch_q3": [
+        ("PushedFilters", "segment + date predicates reach the scans"),
+        ("BroadcastHashJoin", "filtered customer side broadcast"),
+        ("TakeOrderedAndProject", "top-10 via heaps, not a global sort"),
+    ],
+    "sql_tpch_q5": [
+        ("BroadcastHashJoin", "nation/region dimension chain broadcast"),
+        ("partial_", "revenue sum partial+final"),
+    ],
+    "sql_tpch_q10": [
+        ("PushedFilters", "returnflag + date window pushed to scans"),
+        ("TakeOrderedAndProject", "top-20 via heaps"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -446,6 +459,9 @@ FORBIDDEN = {
     "gini_concentration": ["Exchange SinglePartition"],
     "transition_matrix": ["CartesianProduct", "Exchange SinglePartition"],
     "benford_audit": ["CartesianProduct"],
+    "sql_tpch_q3": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_tpch_q5": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_tpch_q10": ["CartesianProduct", "Exchange SinglePartition"],
 }
 
 
