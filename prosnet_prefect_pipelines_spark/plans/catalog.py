@@ -72,6 +72,7 @@ def _load_all() -> None:
         q_pipeline18,
         q_pipeline19,
         q_pipeline20,
+        q_pipeline21,
         q_ranking,
         q_relational,
         q_render,
