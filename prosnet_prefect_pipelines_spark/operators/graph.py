@@ -1189,3 +1189,120 @@ def _temporal_driver(spark, raw: DataFrame, sources: list, start_time: int) -> D
                 heapq.heappush(heap, (et, w))
     rows = list(arr.items())
     return spark.createDataFrame(rows, ["node", "arrival"])
+
+
+def mst_boruvka(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 30,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Minimum spanning forest (Borůvka) -> the chosen (src, dst, w)
+    edges, assuming DISTINCT edge weights (ties would make the MSF
+    ambiguous; callers break ties by composing a unique key into the
+    weight, e.g. w * |E| + edge_id — the query tier does exactly that).
+
+    Each round: every component picks its minimum outgoing edge
+    (min_by over the component-labeled edge list — one keyed
+    aggregation), the picked edges merge components (union-find via
+    ``connected_components`` over the component graph, which is
+    component-sized, not edge-sized), and edge endpoints are relabeled
+    to their new components. Components at least halve per round, so
+    rounds <= log2(V) — the textbook parallel MST bound. Every round's
+    state is lineage-truncated.
+    """
+    spark = edges.sparkSession
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    ).filter(F.col("a") != F.col("b"))
+    # adaptive like the other graph fixpoints: below the broadcast
+    # threshold, one collect + driver Kruskal (sort + union-find, exact
+    # same forest under distinct weights)
+    if raw.count() <= driver_threshold:
+        return _mst_driver(spark, raw)
+    prev_cp = _fixpoint_conf_off(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        e = _materialize(raw, eager=True)
+        # comp: node -> component label (starts as itself)
+        comp = _materialize(
+            e.select(F.col("a").alias("n")).unionByName(e.select(F.col("b").alias("n")))
+            .distinct().select("n", F.col("n").alias("c")),
+            eager=True,
+        )
+        chosen = None
+        for _ in range(max_rounds):
+            lab = (
+                e.join(comp.withColumnRenamed("n", "a").withColumnRenamed("c", "ca"), on="a")
+                .join(comp.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"), on="b")
+                .filter(F.col("ca") != F.col("cb"))
+            )
+            if lab.limit(1).count() == 0:
+                break
+            # min outgoing edge per component (both directions)
+            cand = lab.select(F.col("ca").alias("c"), "a", "b", "w").unionByName(
+                lab.select(F.col("cb").alias("c"), "a", "b", "w")
+            )
+            picks = (
+                cand.groupBy("c")
+                .agg(
+                    F.min_by(F.struct("a", "b", "w"), "w").alias("e"),
+                )
+                .select("e.a", "e.b", "e.w")
+                .distinct()
+            )
+            picks = _materialize(picks, eager=True)
+            chosen = picks if chosen is None else _materialize(
+                chosen.unionByName(picks).distinct(), eager=True
+            )
+            # merge: component graph edges from the picked edges
+            pc = (
+                picks.join(comp.withColumnRenamed("n", "a").withColumnRenamed("c", "ca"), on="a")
+                .join(comp.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"), on="b")
+                .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+            )
+            merged = connected_components(pc, driver_threshold=500_000)
+            comp = _materialize(
+                comp.join(
+                    merged.withColumnRenamed("node", "c").withColumnRenamed("comp", "c2"),
+                    on="c",
+                    how="left",
+                ).select("n", F.coalesce(F.col("c2"), F.col("c")).alias("c")),
+                eager=True,
+            )
+        if chosen is None:
+            return e.limit(0).select("a", "b", "w")
+        return chosen
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+
+def _mst_driver(spark, raw: DataFrame) -> DataFrame:
+    """Kruskal over a collected edge list (small-graph fast path).
+    Distinct weights make the forest unique, so this matches the
+    distributed Borůvka edge-for-edge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = sorted(raw.collect(), key=lambda r: (r[2], r[0], r[1]))
+    chosen = []
+    for a, b, w in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+            chosen.append((a, b, w))
+    return spark.createDataFrame(chosen, ["a", "b", "w"])

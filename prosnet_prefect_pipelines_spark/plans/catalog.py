@@ -73,6 +73,7 @@ def _load_all() -> None:
         q_pipeline19,
         q_pipeline20,
         q_pipeline21,
+        q_pipeline22,
         q_ranking,
         q_relational,
         q_render,
