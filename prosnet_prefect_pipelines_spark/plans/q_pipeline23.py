@@ -1,0 +1,147 @@
+"""Pipeline batch 23 (north-star extension): join-key skew report,
+sentence-level text statistics, and a grouped Pandas aggregation
+(``applyInPandas`` — the cogroup/UDAF API surface) — each hash-matched
+against a DuckDB twin.
+
+Determinism: skew ratios are integer ppm; sentence stats are integer
+counts; the pandas median replicates the even-count mean-of-middles
+definition DuckDB uses, on integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# --- join-key skew report ----------------------------------------------------------------
+
+KEY_SKEW_SQL = """
+WITH counts AS (
+    SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_suppkey
+),
+stats AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM counts
+),
+ranked AS (
+    SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rn FROM counts
+)
+SELECT key, n,
+       CAST(n * 1000000 // (total // n_keys) AS BIGINT) AS x_mean_ppm,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+FROM ranked CROSS JOIN stats
+WHERE rn <= 10
+"""
+
+
+@register("key_skew_report", oracle=KEY_SKEW_SQL, covers=["A2", "O1"])
+def q_key_skew_report(spark, sf_dir):
+    """Join-key skew report: the 10 hottest keys with their multiple of
+    the mean key size and share of all rows (integer ppm) — the
+    planning query that decides whether a join needs salting or AQE
+    skew hints BEFORE it runs. One keyed count + a broadcast scalar;
+    top-10 via per-partition heaps."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("n").desc(), "key").limit(10)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "n",
+        F.expr("n * 1000000 div (total div n_keys)").alias("x_mean_ppm"),
+        F.expr("n * 1000000 div total").alias("share_ppm"),
+    )
+
+
+# --- sentence-level statistics -----------------------------------------------------------
+
+SENTENCE_SQL = """
+WITH sents AS (
+    SELECT doc_id, trim(s.sent) AS sent
+    FROM documents,
+         LATERAL (SELECT unnest(string_split_regex(text, '[.!?]+')) AS sent) s
+    WHERE trim(s.sent) <> ''
+),
+stats AS (
+    SELECT doc_id, sent,
+           CAST(length(sent) - length(replace(sent, ' ', '')) + 1 AS BIGINT) AS n_words
+    FROM sents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(MAX(n_words) AS BIGINT) AS max_sentence_words
+FROM stats GROUP BY doc_id
+"""
+
+
+@register("sentence_stats", oracle=SENTENCE_SQL, covers=["P2", "A2"])
+def q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation (split on terminal punctuation) +
+    per-document sentence statistics — the NLP preprocessing layer
+    between document- and token-level quality signals. One explode +
+    one doc-keyed aggregation; pure Column expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sents = docs.select(
+        "doc_id", F.explode(F.split("text", r"[.!?]+")).alias("raw")
+    ).select("doc_id", F.trim("raw").alias("sent")).filter(F.col("sent") != "")
+    t = F.col("sent")
+    n_words = (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).cast("long")
+    return (
+        sents.select("doc_id", n_words.alias("n_words"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_words").alias("n_words"),
+            F.max("n_words").alias("max_sentence_words"),
+        )
+    )
+
+
+# --- grouped pandas aggregation ----------------------------------------------------------
+
+PANDAS_MEDIAN_SQL = """
+WITH cents AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(median(v), 6) AS median_cents
+FROM cents GROUP BY event_type
+"""
+
+
+@register("pandas_group_median", oracle=PANDAS_MEDIAN_SQL, covers=["A2"])
+def q_pandas_group_median(spark, sf_dir):
+    """Grouped custom aggregation through ``applyInPandas`` (the
+    Arrow-batched UDAF surface): per event type, the exact median of
+    integer cents — pandas' even-count mean-of-middles matches DuckDB's
+    ``median`` definition. The group key partitions the shuffle; each
+    group is one Arrow batch in, one row out. For medians the pure-SQL
+    nearest-rank path (value_quantiles) is faster — this query pins the
+    API contract (schema, grouping, determinism) custom UDAFs rely on."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    )
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "median_cents": [round(float(pdf["v"].median()), 6)],
+            }
+        )
+
+    return cents.groupBy("event_type").applyInPandas(
+        med, "event_type string, n long, median_cents double"
+    )

@@ -1,0 +1,46 @@
+"""Unit tests for batch-23: skew report math, sentence segmentation,
+applyInPandas median contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_key_skew_shares_sum_below_million(spark):
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline23 import q_key_skew_report
+
+    out = q_key_skew_report(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 10
+    assert sum(r.share_ppm for r in out) <= 1_000_000
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_sentence_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c. d e! f?"), (2, "only one sentence")],
+        "doc_id long, text string",
+    )
+    sents = df.select("doc_id", F.explode(F.split("text", r"[.!?]+")).alias("raw")) \
+        .select("doc_id", F.trim("raw").alias("sent")).filter(F.col("sent") != "")
+    t = F.col("sent")
+    n_words = (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+    got = {r.doc_id: (r.ns, r.nw) for r in
+           sents.select("doc_id", n_words.alias("w")).groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("ns"), F.sum("w").alias("nw")).collect()}
+    assert got == {1: (3, 6), 2: (1, 3)}
+
+
+def test_pandas_median_matches_sql(spark):
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline23 import q_pandas_group_median
+
+    got = {r.event_type: r.median_cents
+           for r in q_pandas_group_median(spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expect = {
+        r.event_type: r.m
+        for r in ev.select("event_type",
+                           F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+        .groupBy("event_type").agg(F.round(F.median("v"), 6).alias("m")).collect()
+    }
+    assert got == expect
