@@ -145,3 +145,37 @@ def q_pandas_group_median(spark, sf_dir):
     return cents.groupBy("event_type").applyInPandas(
         med, "event_type string, n long, median_cents double"
     )
+
+
+# --- recursive CTE (Spark 4 parity) ------------------------------------------------------
+
+# the SAME text runs on Spark 4 (WITH RECURSIVE landed in 4.0) and
+# DuckDB: ancestor chain depth over the quartering part hierarchy;
+# floor(x/4) instead of integer division (spelled differently per
+# engine), exact for these magnitudes
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE lv AS (
+    SELECT p_partkey AS part,
+           CAST(floor(p_partkey / 4) AS BIGINT) AS anc,
+           CAST(1 AS BIGINT) AS depth
+    FROM part WHERE p_partkey > 0
+    UNION ALL
+    SELECT part, CAST(floor(anc / 4) AS BIGINT), depth + 1
+    FROM lv WHERE anc > 0
+)
+SELECT part, CAST(MAX(depth) AS BIGINT) AS depth
+FROM lv GROUP BY part
+"""
+
+
+@register("sql_recursive_cte", oracle=RECURSIVE_CTE_SQL, covers=["J5"])
+def q_sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE through Spark 4's native WITH RECURSIVE — the SAME
+    SQL text executes on both engines (hierarchy depth over the
+    quartering part tree). Spark plans the recursion as an iterative
+    union under the hood; for deep or huge closures the DataFrame-side
+    fixpoints (transitive_closure, bom_rollup) with explicit
+    checkpointing remain the scale path, but SQL-first users now get
+    the standard surface."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    return spark.sql(RECURSIVE_CTE_SQL)
