@@ -65,6 +65,7 @@ HEADLINE = [
     "feature_hashing",        # signed hashing trick vectors
     "sql_tpch_q3",            # TPC-H Q3 via pure spark.sql
     "sql_tpch_q5",            # TPC-H Q5 6-way join via pure spark.sql
+    "llm_corpus_pipeline",    # end-to-end dedup->quality->decontam->pack
 ]
 
 

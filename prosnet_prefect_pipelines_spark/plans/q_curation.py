@@ -252,3 +252,139 @@ def q_corpus_curation(spark, sf_dir):
         )
         .filter(F.col("quality") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# the full LLM corpus pipeline, end to end
+
+LLM_PIPELINE_SQL = f"""
+WITH RECURSIVE {{pair_ctes}}, {{comp_ctes}},
+kept AS (
+    SELECT c.id, c.text
+    FROM corpus c LEFT JOIN comps m ON c.id = m.node_id
+    WHERE coalesce(m.comp_id, c.id) = c.id
+),
+t AS (
+    SELECT id, text,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS n_punct
+    FROM kept
+),
+s AS (
+    SELECT id, text, n_chars, len(toks) AS n_tokens, n_punct,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+               AS n_stop
+    FROM t
+),
+survivors AS (
+    SELECT id, text,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * round(n_stop / n_tokens, 6)
+                 + 0.2 * (1 - round(n_punct / n_chars, 6)), 6) AS quality
+    FROM s
+    WHERE round(0.4 * least(n_tokens / 100.0, 1.0)
+                + 0.4 * round(n_stop / n_tokens, 6)
+                + 0.2 * (1 - round(n_punct / n_chars, 6)), 6) >= 0.5
+),
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+sur_sh AS ({{sur_shingles}}),
+ev_sh AS ({{ev_shingles}}),
+contaminated AS (
+    SELECT train_id FROM (
+        SELECT train_id, eval_id FROM sur_sh JOIN ev_sh USING (shingle)
+        GROUP BY train_id, eval_id HAVING COUNT(*) >= 2
+    ) z GROUP BY train_id
+),
+clean AS (
+    SELECT v.* FROM survivors v
+    WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.train_id = v.id)
+),
+sampled AS (
+    SELECT * FROM clean WHERE {{frac}} < 0.8
+),
+laid AS (
+    SELECT id, id % 8 AS shard, n_tokens, quality,
+           CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY id % 8 ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum
+    FROM sampled
+)
+SELECT id, CAST(shard AS BIGINT) AS shard, n_tokens, quality,
+       cum // 512 AS bin, cum % 512 AS bin_offset
+FROM laid
+"""
+
+
+def _llm_pipeline_sql() -> str:
+    from prosnet_prefect_pipelines_spark.plans.q_curation import _shingle_lateral
+
+    return LLM_PIPELINE_SQL.format(
+        pair_ctes=q_dedup.MINHASH_PAIR_CTES,
+        comp_ctes=q_dedup.COMPONENT_CTES,
+        sur_shingles=_shingle_lateral("survivors", "id", "train_id", True),
+        ev_shingles=_shingle_lateral("ev", "doc_id", "eval_id", True),
+        frac=_frac_sql("id", "llm"),
+    )
+
+
+@register("llm_corpus_pipeline", oracle=None, covers=["J9", "J7", "P7", "O1"])
+def q_llm_corpus_pipeline(spark, sf_dir):
+    """THE end-to-end LLM training-corpus pipeline, one lazy plan:
+    near-dup removal (MinHash-LSH pairs -> connected components -> keep
+    cluster keepers) -> quality gate (>= 0.5) -> benchmark
+    decontamination (drop docs sharing >= 2 word-3-grams with the eval
+    slice; the eval shingle table broadcasts, the corpus is never
+    shuffled for it) -> deterministic 80% hash sample -> sharded
+    512-token sequence packing. Every stage reuses an operator that is
+    itself oracle-checked; the composite is hash-checked against the
+    single composed SQL below (registered post-import to share CTE
+    fragments)."""
+    c = q_dedup.corpus(spark, sf_dir)
+    keepers = q_dedup.q_dedup_clusters(spark, sf_dir).filter(F.col("keep")).select("id")
+    kept = c.join(keepers, "id")
+    survivors = (
+        kept.select(
+            "id",
+            "text",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    contaminated = (
+        D.ngram_contamination(
+            survivors, "id", "text", ev, "doc_id", "text", k=3, min_common=2
+        )
+        .select("train_id")
+        .distinct()
+        .withColumnRenamed("train_id", "id")
+    )
+    clean = survivors.join(contaminated, on="id", how="left_anti")
+    sampled = S.hash_sample(clean, "id", 0.8, salt="llm")
+    packed = S.pack_greedy(
+        sampled.withColumn("shard", F.col("id") % 8),
+        "shard",
+        "id",
+        "n_tokens",
+        budget=512,
+    )
+    return packed.select(
+        "id",
+        F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        "quality",
+        "bin",
+        F.col("bin_offset").alias("bin_offset"),
+    )
+
+
+# register the composed oracle after both CTE sources are importable
+from prosnet_prefect_pipelines_spark.plans import catalog as _catalog  # noqa: E402
+
+_catalog.ORACLES["llm_corpus_pipeline"] = _llm_pipeline_sql()

@@ -44,3 +44,25 @@ def test_pandas_median_matches_sql(spark):
         .groupBy("event_type").agg(F.round(F.median("v"), 6).alias("m")).collect()
     }
     assert got == expect
+
+
+def test_llm_pipeline_stages_monotone(spark):
+    from prosnet_prefect_pipelines_spark.plans.q_curation import q_llm_corpus_pipeline
+
+    out = q_llm_corpus_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert r.quality >= 0.5
+        assert 0 <= r.bin_offset < 512
+        assert r.shard == r.id % 8
+    # packing is per-shard contiguous: offsets within a (shard, bin)
+    # never overlap
+    from collections import defaultdict
+
+    spans = defaultdict(list)
+    for r in out:
+        spans[(r.shard, r.bin)].append((r.bin_offset, r.n_tokens))
+    for lst in spans.values():
+        lst.sort()
+        for (o1, n1), (o2, _) in zip(lst, lst[1:]):
+            assert o1 + n1 <= o2 + 512  # concat-then-chunk may straddle bins
