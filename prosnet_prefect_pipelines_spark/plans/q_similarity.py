@@ -312,3 +312,62 @@ def q_semdedup(spark, sf_dir):
         emb, "vec_id", "embedding", n_cells=4, iterations=2,
         threshold=SEMDEDUP_THRESHOLD,
     )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact_pairs AS (
+    SELECT x.vec_id AS id, y.vec_id AS neighbor,
+           round({_cos('x.embedding', 'y.embedding')}, 6) AS cos
+    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+),
+exact_ranked AS (
+    SELECT id, neighbor,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rn
+    FROM exact_pairs
+),
+exact_topk AS (SELECT id, neighbor FROM exact_ranked WHERE rn <= 5),
+approx_topk AS (SELECT id, neighbor FROM ({RHP_LSH_SQL.strip().rstrip()}) a)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit,
+       CAST(SUM(CASE WHEN a.neighbor IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_ppm
+FROM exact_topk e
+LEFT JOIN approx_topk a ON e.id = a.id AND e.neighbor = a.neighbor
+"""
+
+
+@register("ann_recall_report", oracle=ANN_RECALL_SQL, covers=["O6", "A2"])
+def q_ann_recall_report(spark, sf_dir):
+    """Recall instrumentation for the ANN tier: exact top-5 (brute
+    force — the verification-scale tier) left-joined against the
+    RHP-LSH top-5, recall reported in integer ppm — the quality gauge
+    that decides planes/tables/bucket_cap BEFORE trusting the
+    approximate path at scale. Composes the two already-oracled
+    queries; one keyed join + one count.
+
+    Measured context: THIS corpus is i.i.d. random vectors — the
+    adversarial case for angle LSH (true "nearest" neighbors sit near
+    90°, where hyperplane collision odds bottom out), giving ~19%
+    recall at the pinned (4 planes, 2 tables). Real embedding corpora
+    cluster, and recall climbs steeply with `tables`; this report is
+    the dial for that trade."""
+    exact = S.cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id", "embedding", k=5
+    ).select("id", "neighbor")
+    approx = q_ann_rhp_lsh(spark, sf_dir).select(
+        "id", F.col("neighbor").alias("a_neighbor")
+    )
+    joined = exact.join(
+        approx,
+        (exact["id"] == approx["id"]) & (exact["neighbor"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["id"], "neighbor", "a_neighbor")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        F.expr(
+            "CAST(sum(CASE WHEN a_neighbor IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

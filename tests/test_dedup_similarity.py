@@ -376,3 +376,11 @@ def test_shingle_modes_equivalent(spark):
             for r in D.shingle_table(df, "id", "text", k, mode="expr").collect()
         }
         assert arrow == expr, k
+
+
+def test_ann_recall_report_consistency(spark):
+    from prosnet_prefect_pipelines_spark.plans.q_similarity import q_ann_recall_report
+
+    r = q_ann_recall_report(spark, "/root/testdata/sf0.001").first()
+    assert 0 <= r.n_hit <= r.n_exact
+    assert r.recall_ppm == r.n_hit * 1000000 // r.n_exact

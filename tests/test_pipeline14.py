@@ -78,3 +78,26 @@ def test_l_diversity_flags_homogeneous_groups(spark):
         F.when(F.countDistinct("sensitive") < 5, 1).otherwise(0).alias("under_l"),
     ).collect()}
     assert out == {"g1": (1, 1), "g2": (5, 0)}
+
+
+def test_cusum_property_random_series(spark):
+    """Hypothesis-style sweep: the reflection closed form equals the
+    recursion on random integer series."""
+    import random
+
+    from prosnet_prefect_pipelines_spark.operators.aggregates import cusum_scaled
+
+    rnd = random.Random(21)
+    for trial in range(3):
+        vals = [rnd.randrange(0, 50) for _ in range(rnd.randrange(2, 12))]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)], "k string, t int, v long"
+        )
+        got = {r.bucket: (r.cusum_pos, r.cusum_neg)
+               for r in cusum_scaled(df, "k", "t", "v").collect()}
+        d, t = len(vals), sum(vals)
+        sp = sn = 0
+        for i, v in enumerate(vals):
+            y = v * d - t
+            sp, sn = max(0, sp + y), max(0, sn - y)
+            assert got[i] == (sp, sn)
