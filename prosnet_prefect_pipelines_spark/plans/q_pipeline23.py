@@ -179,3 +179,98 @@ def q_sql_recursive_cte(spark, sf_dir):
     the standard surface."""
     spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
     return spark.sql(RECURSIVE_CTE_SQL)
+
+
+# --- Python DataSource V2 write path -----------------------------------------------------
+
+PYDS_WRITE_SQL = """
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("python_datasource_write", oracle=PYDS_WRITE_SQL, covers=["K3", "S6"])
+def q_python_datasource_write(spark, sf_dir):
+    """Round-trip through a CUSTOM Python DataSource WRITER (the V2
+    write surface — per-task JSONL part files + commit messages,
+    idempotent under speculative retries) and back in via the JSON
+    reader — the write half of the custom-connector story whose read
+    half is the paginated_rest source."""
+    import shutil
+    import tempfile
+    import os
+
+    from prosnet_prefect_pipelines_spark.sources.rest_datasource import (
+        JsonlSinkDataSource,
+    )
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_fmt", "nation_pyds")
+    shutil.rmtree(out, ignore_errors=True)
+    nation.write.format("jsonl_sink").option("path", out).mode("append").save()
+    back = spark.read.schema(nation.schema).json(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name")
+    )
+
+
+# --- corrupt-record audit ----------------------------------------------------------------
+
+JSON_CORRUPT_SQL = """
+SELECT CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corrupt,
+       CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid
+FROM nation
+"""
+
+
+@register("json_corrupt_audit", oracle=JSON_CORRUPT_SQL, covers=["P7", "S6"])
+def q_json_corrupt_audit(spark, sf_dir):
+    """Robust ingestion audit: a JSONL feed with planted malformed rows
+    (every 5th record truncated) read in PERMISSIVE mode — corrupt rows
+    land in the _corrupt_record column instead of failing the job, and
+    the audit counts both classes. The oracle derives the same counts
+    from the corruption rule."""
+    import os
+    import shutil
+    import tempfile
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    line = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.concat(F.lit('{"oops": '), F.col("n_name")),  # unclosed, bad token
+    ).otherwise(F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")))
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_fmt", "nation_corrupt")
+    shutil.rmtree(out, ignore_errors=True)
+    nation.select(line.alias("value")).write.mode("overwrite").text(out)
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # count() over DATA columns: Spark disallows queries that reference
+    # ONLY the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # corrupt rows parse with null data columns, so count(n_name) is the
+    # valid-row count and the difference the corrupt count
+    return back.agg(
+        (F.count(F.lit(1)) - F.count("n_name")).cast("long").alias("n_corrupt"),
+        F.count("n_name").cast("long").alias("n_valid"),
+    )

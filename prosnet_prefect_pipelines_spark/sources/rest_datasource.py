@@ -212,3 +212,55 @@ def demo_fetch_page(offset: int, limit: int, pushed: dict) -> list[dict]:
         if ok:
             out.append(row)
     return out
+
+
+from pyspark.sql.datasource import DataSourceWriter as _DSW
+
+
+class JsonlSinkWriter(_DSW):
+    """Per-task writer for the ``jsonl_sink`` Python DataSource (the
+    V2 WRITE path): each task streams its partition's rows to one
+    JSONL part file named by (task, attempt) — idempotent under
+    speculative retries because commit happens via the returned
+    message, and abandoned attempts are just unreferenced files.
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(dict(zip(self.fields, row)), sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return WriterCommitMessage()
+
+
+class JsonlSinkDataSource(DataSource):
+    """Python DataSource V2 WRITER: append-mode JSONL sink (the write
+    half of the custom-source surface; the read half is
+    ``paginated_rest``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self):
+        raise NotImplementedError("write-only data source")
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options, schema)

@@ -66,3 +66,20 @@ def test_llm_pipeline_stages_monotone(spark):
         lst.sort()
         for (o1, n1), (o2, _) in zip(lst, lst[1:]):
             assert o1 + n1 <= o2 + 512  # concat-then-chunk may straddle bins
+
+
+def test_python_datasource_writer_roundtrip(spark):
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline23 import (
+        q_python_datasource_write,
+    )
+
+    out = {(r.n_regionkey, r.n) for r in
+           q_python_datasource_write(spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) == 5 and sum(n for _, n in out) == 25
+
+
+def test_json_corrupt_audit_counts(spark):
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline23 import q_json_corrupt_audit
+
+    r = q_json_corrupt_audit(spark, "/root/testdata/sf0.001").first()
+    assert r.n_corrupt == 5 and r.n_valid == 20  # every 5th of 25 nations
