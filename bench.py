@@ -66,6 +66,9 @@ HEADLINE = [
     "sql_tpch_q3",            # TPC-H Q3 via pure spark.sql
     "sql_tpch_q5",            # TPC-H Q5 6-way join via pure spark.sql
     "llm_corpus_pipeline",    # end-to-end dedup->quality->decontam->pack
+    "sql_grouping_sets",      # multi-granularity rollup, one Expand + one shuffle
+    "sql_exists_antijoin",    # EXISTS/NOT EXISTS -> semi/anti hash joins
+    "sql_lateral_topn",       # per-key top-n with WindowGroupLimit pushdown
 ]
 
 

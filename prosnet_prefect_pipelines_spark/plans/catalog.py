@@ -75,6 +75,7 @@ def _load_all() -> None:
         q_pipeline21,
         q_pipeline22,
         q_pipeline23,
+        q_pipeline24,
         q_ranking,
         q_relational,
         q_render,

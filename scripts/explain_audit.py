@@ -360,6 +360,26 @@ AUDITS = {
         ("PushedFilters", "returnflag + date window pushed to scans"),
         ("TakeOrderedAndProject", "top-20 via heaps"),
     ],
+    "sql_grouping_sets": [
+        ("Expand", "grouping-key combinations expanded map-side — one scan"),
+        ("partial_", "one shared partial+final aggregation for all granularities"),
+    ],
+    "sql_unpivot": [
+        ("Expand", "wide->long as a narrow map-side expand, not N unioned scans"),
+    ],
+    "sql_set_ops": [
+        ("replicaterows", "INTERSECT/EXCEPT ALL = count-and-replicate, true bag semantics"),
+        ("partial_", "multiplicity counts partial+final on the projected key only"),
+    ],
+    "sql_exists_antijoin": [
+        ("LeftSemi", "EXISTS decorrelated to a semi join"),
+        ("LeftAnti", "NOT EXISTS decorrelated to a null-safe anti join"),
+        ("PushedFilters", "subquery predicates pushed into the orders scans"),
+    ],
+    "sql_lateral_topn": [
+        ("WindowGroupLimit", "rank-limit pushed below the window sort — partial top-2 per key"),
+        ("Window", "top-n per customer = one window pass on o_custkey"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -462,6 +482,12 @@ FORBIDDEN = {
     "sql_tpch_q3": ["CartesianProduct", "Exchange SinglePartition"],
     "sql_tpch_q5": ["CartesianProduct", "Exchange SinglePartition"],
     "sql_tpch_q10": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_grouping_sets": ["Exchange SinglePartition"],
+    # narrow expand: the whole plan must be shuffle-free
+    "sql_unpivot": ["Exchange"],
+    "sql_set_ops": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_exists_antijoin": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "sql_lateral_topn": ["CartesianProduct", "Exchange SinglePartition"],
 }
 
 
