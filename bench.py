@@ -65,6 +65,9 @@ HEADLINE = [
     "feature_hashing",        # signed hashing trick vectors
     "sql_tpch_q3",            # TPC-H Q3 via pure spark.sql
     "sql_tpch_q5",            # TPC-H Q5 6-way join via pure spark.sql
+    "sql_tpch_q1",            # TPC-H Q1 pricing summary, exact integer cents
+    "sql_tpch_q8",            # TPC-H Q8 8-way join market share
+    "sql_tpch_q18",           # TPC-H Q18 HAVING semi-join + top-100
     "llm_corpus_pipeline",    # end-to-end dedup->quality->decontam->pack
     "sql_grouping_sets",      # multi-granularity rollup, one Expand + one shuffle
     "sql_exists_antijoin",    # EXISTS/NOT EXISTS -> semi/anti hash joins

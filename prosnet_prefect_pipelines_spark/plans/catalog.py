@@ -76,6 +76,8 @@ def _load_all() -> None:
         q_pipeline22,
         q_pipeline23,
         q_pipeline24,
+        q_pipeline25,
+        q_pipeline26,
         q_ranking,
         q_relational,
         q_render,

@@ -380,6 +380,64 @@ AUDITS = {
         ("WindowGroupLimit", "rank-limit pushed below the window sort — partial top-2 per key"),
         ("Window", "top-n per customer = one window pass on o_custkey"),
     ],
+    "sql_tpch_q1": [
+        ("PushedFilters", "shipdate cutoff reaches the parquet scan"),
+        ("partial_", "6-group rollup is partial+final — one narrow shuffle"),
+    ],
+    "sql_tpch_q6": [
+        ("PushedFilters", "ship window pushed; band predicates filter before agg"),
+        ("partial_", "single-row revenue sum is partial+final"),
+    ],
+    "sql_tpch_q7": [
+        ("BroadcastHashJoin", "both nation lookups broadcast"),
+        ("PushedFilters", "2-year ship window pushed to the fact scan"),
+        ("partial_", "per (nation,nation,year) revenue partial+final"),
+    ],
+    "sql_tpch_q8": [
+        ("BroadcastHashJoin", "part/nation/region dimension chain broadcast"),
+        ("partial_", "numerator+denominator accumulate in ONE partial+final agg"),
+    ],
+    "sql_tpch_q13": [
+        ("partial_", "both the per-customer count and the histogram partial+final"),
+    ],
+    "sql_tpch_q14": [
+        ("BroadcastHashJoin", "part side broadcast into the month-windowed fact"),
+        ("partial_", "conditional + total sums share one partial+final agg"),
+    ],
+    "sql_tpch_q15": [
+        ("Subquery", "scalar MAX over the revenue CTE evaluated once, broadcast back"),
+        ("partial_", "per-supplier revenue partial+final"),
+    ],
+    "sql_tpch_q17": [
+        ("BroadcastHashJoin", "brand/size-filtered part slice broadcast"),
+        ("partial_", "per-part quantity rollup partial+final"),
+    ],
+    "sql_tpch_q18": [
+        ("TakeOrderedAndProject", "top-100 via heaps, not a global sort"),
+        ("partial_", "HAVING rollup + final group both partial+final"),
+    ],
+    "sql_tpch_q19": [
+        ("BroadcastHashJoin", "equi partkey join kept; OR arms evaluate post-join"),
+        ("PushedFilters", "brand/size disjunction pruned at the part scan"),
+    ],
+    "sql_tpch_q22": [
+        ("Anti", "NOT EXISTS recent-orders = anti join"),
+        ("partial_", "per-nation balance rollup partial+final"),
+    ],
+    "gopher_quality_flags": [
+        ("ReadSchema", "narrow per-row pass: only doc_id+text read"),
+    ],
+    "dup_line_fraction": [
+        ("partial_", "line counts and doc re-agg both partial+final"),
+    ],
+    "top_ngram_char_frac": [
+        ("partial_", "bigram counts partial+final before the doc-keyed window"),
+        ("Window", "per-doc argmax = one row_number window keyed on doc_id"),
+    ],
+    "c4_line_filter": [
+        ("partial_", "per-doc survival stats partial+final"),
+        ("ReadSchema", "only doc_id+text read"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -488,6 +546,19 @@ FORBIDDEN = {
     "sql_set_ops": ["CartesianProduct", "Exchange SinglePartition"],
     "sql_exists_antijoin": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "sql_lateral_topn": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_tpch_q1": ["CartesianProduct"],
+    "sql_tpch_q7": ["CartesianProduct"],
+    "sql_tpch_q8": ["CartesianProduct"],
+    "sql_tpch_q13": ["CartesianProduct"],
+    "sql_tpch_q14": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_tpch_q17": ["CartesianProduct"],
+    "sql_tpch_q18": ["CartesianProduct"],
+    "sql_tpch_q19": ["CartesianProduct"],
+    # narrow per-row pass: must stay shuffle-free
+    "gopher_quality_flags": ["Exchange"],
+    "dup_line_fraction": ["CartesianProduct", "Exchange SinglePartition"],
+    "top_ngram_char_frac": ["CartesianProduct", "Exchange SinglePartition"],
+    "c4_line_filter": ["CartesianProduct", "Exchange SinglePartition"],
 }
 
 
