@@ -78,6 +78,7 @@ def _load_all() -> None:
         q_pipeline24,
         q_pipeline25,
         q_pipeline26,
+        q_pipeline27,
         q_ranking,
         q_relational,
         q_render,
