@@ -79,6 +79,7 @@ def _load_all() -> None:
         q_pipeline25,
         q_pipeline26,
         q_pipeline27,
+        q_pipeline28,
         q_ranking,
         q_relational,
         q_render,
