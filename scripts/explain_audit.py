@@ -438,6 +438,22 @@ AUDITS = {
         ("partial_", "per-doc survival stats partial+final"),
         ("ReadSchema", "only doc_id+text read"),
     ],
+    "line_dedup_crossdoc": [
+        ("partial_", "keeper election min(struct) aggregates map-side"),
+    ],
+    "ccnet_lm_buckets": [
+        ("BroadcastHashJoin", "per-lang tertile thresholds broadcast back"),
+        ("partial_", "token frequency table partial+final"),
+    ],
+    "lpa_communities": [
+        ("partial_", "neighbour-label counts combine map-side each round"),
+    ],
+    "harmonic_2hop": [
+        ("partial_", "degree and distance-2 counts partial+final"),
+    ],
+    "link_scores_common_neighbors": [
+        ("partial_", "wedge aggregation (cn, ra) partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -559,6 +575,15 @@ FORBIDDEN = {
     "dup_line_fraction": ["CartesianProduct", "Exchange SinglePartition"],
     "top_ngram_char_frac": ["CartesianProduct", "Exchange SinglePartition"],
     "c4_line_filter": ["CartesianProduct", "Exchange SinglePartition"],
+    "line_dedup_crossdoc": ["CartesianProduct", "Exchange SinglePartition"],
+    # the only windows run over distinct (lang, score) rows — never a
+    # global document sort
+    "ccnet_lm_buckets": ["CartesianProduct", "Exchange SinglePartition"],
+    "lpa_communities": ["CartesianProduct", "Exchange SinglePartition"],
+    "harmonic_2hop": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                      "Exchange SinglePartition"],
+    "link_scores_common_neighbors": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                                     "Exchange SinglePartition"],
 }
 
 
