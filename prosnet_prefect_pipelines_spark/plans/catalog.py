@@ -82,6 +82,7 @@ def _load_all() -> None:
         q_pipeline28,
         q_pipeline29,
         q_pipeline30,
+        q_pipeline31,
         q_ranking,
         q_relational,
         q_render,
