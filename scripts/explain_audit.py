@@ -454,6 +454,19 @@ AUDITS = {
     "link_scores_common_neighbors": [
         ("partial_", "wedge aggregation (cn, ra) partial+final"),
     ],
+    "sql_parameterized": [
+        ("PushedFilters", "bound parameters fold to literals and reach the scan"),
+        ("partial_", "priority rollup partial+final"),
+    ],
+    "sql_datetime_suite": [
+        ("PushedFilters", "l_linenumber=1 pushed to the lineitem scan"),
+    ],
+    "sql_collation_group": [
+        ("partial_", "collated group-by still partial+final"),
+    ],
+    "group_split_no_leakage": [
+        ("partial_", "fingerprint cluster table aggregates map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -584,6 +597,16 @@ FORBIDDEN = {
                       "Exchange SinglePartition"],
     "link_scores_common_neighbors": ["CartesianProduct", "BroadcastNestedLoopJoin",
                                      "Exchange SinglePartition"],
+    # narrow per-partition Python passes: no shuffle at all
+    "udtf_doc_chunks": ["Exchange"],
+    "arrow_doc_stats": ["Exchange"],
+    "sql_collation_group": ["Exchange SinglePartition", "CartesianProduct"],
+    "sql_parameterized": ["Exchange SinglePartition", "CartesianProduct"],
+    "sql_datetime_suite": ["Exchange SinglePartition", "CartesianProduct"],
+    "group_split_no_leakage": ["Exchange SinglePartition", "CartesianProduct",
+                               "BroadcastNestedLoopJoin"],
+    "split_leakage_audit": ["Exchange SinglePartition", "CartesianProduct",
+                            "BroadcastNestedLoopJoin"],
 }
 
 
