@@ -72,6 +72,11 @@ HEADLINE = [
     "sql_grouping_sets",      # multi-granularity rollup, one Expand + one shuffle
     "sql_exists_antijoin",    # EXISTS/NOT EXISTS -> semi/anti hash joins
     "sql_lateral_topn",       # per-key top-n with WindowGroupLimit pushdown
+    "line_dedup_crossdoc",    # CCNet corpus-global paragraph dedup
+    "ccnet_lm_buckets",       # per-lang perplexity-proxy tertiles
+    "lpa_communities",        # 2-round label propagation
+    "udtf_doc_chunks",        # Python UDTF overlapping RAG chunker
+    "group_split_no_leakage", # cluster-keyed leakage-proof split
 ]
 
 
