@@ -83,6 +83,7 @@ def _load_all() -> None:
         q_pipeline29,
         q_pipeline30,
         q_pipeline31,
+        q_pipeline32,
         q_ranking,
         q_relational,
         q_render,
