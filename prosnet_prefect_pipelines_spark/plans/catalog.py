@@ -84,6 +84,7 @@ def _load_all() -> None:
         q_pipeline30,
         q_pipeline31,
         q_pipeline32,
+        q_pipeline33,
         q_ranking,
         q_relational,
         q_render,
