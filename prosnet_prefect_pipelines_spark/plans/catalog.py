@@ -85,6 +85,7 @@ def _load_all() -> None:
         q_pipeline31,
         q_pipeline32,
         q_pipeline33,
+        q_pipeline34,
         q_ranking,
         q_relational,
         q_render,
