@@ -467,6 +467,15 @@ AUDITS = {
     "group_split_no_leakage": [
         ("partial_", "fingerprint cluster table aggregates map-side"),
     ],
+    "winnowing_fingerprints": [
+        ("partial_", "per-window MIN(key) combines map-side"),
+    ],
+    "dsir_importance_scores": [
+        ("BroadcastHashJoin", "the <=1024-row ratio table broadcasts into scoring"),
+    ],
+    "epoch_expansion": [
+        ("BroadcastHashJoin", "per-source repeat plan broadcasts into the explode"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -607,6 +616,10 @@ FORBIDDEN = {
                                "BroadcastNestedLoopJoin"],
     "split_leakage_audit": ["Exchange SinglePartition", "CartesianProduct",
                             "BroadcastNestedLoopJoin"],
+    "winnowing_fingerprints": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                               "Exchange SinglePartition"],
+    "winnow_overlap_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                             "Exchange SinglePartition"],
 }
 
 
