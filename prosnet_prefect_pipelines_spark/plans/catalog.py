@@ -86,6 +86,7 @@ def _load_all() -> None:
         q_pipeline32,
         q_pipeline33,
         q_pipeline34,
+        q_pipeline35,
         q_ranking,
         q_relational,
         q_render,
