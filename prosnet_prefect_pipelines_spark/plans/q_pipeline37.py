@@ -1,0 +1,184 @@
+"""Pipeline batch 37: governance views and session similarity —
+
+- ``rls_masked_view``: fine-grained access control as a plan rewrite
+  (the Lakeguard/row-level-security shape, SIGMOD 2025 in PAPERS.md):
+  a policy table maps roles to allowed market segments; the secured
+  view semi-joins rows against the caller's policy AND masks the
+  sensitive balance column unless the role carries the privilege.
+  Enforcement is relational — a broadcast semi-join + a CASE mask —
+  so it composes with pushdown and costs one small join, not a UDF
+  wall.
+- ``session_similarity_topk``: top-k most similar user sessions by
+  Jaccard over event-type 3-grams (the interactive-session similarity
+  search theme, EDBT 2020): per-user shingle sets, an inverted-index
+  self-join on shared shingles (candidates only where overlap exists,
+  never all user pairs), exact Jaccard in ppm, row_number top-3 per
+  user.
+
+Scale notes: the policy table is tiny (broadcast); masking is a
+narrow projection. Session similarity moves only shingle postings;
+candidate pairs are bounded by co-occurrence (sum over shingles of
+df(s)^2, the inverted-index bound), and the per-user top-k is a
+keyed window, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+_ROLE = "analyst_eu"
+
+_POLICY = [
+    # (role, segment, see_balance)
+    ("analyst_eu", "BUILDING", False),
+    ("analyst_eu", "AUTOMOBILE", False),
+    ("risk_officer", "BUILDING", True),
+    ("risk_officer", "AUTOMOBILE", True),
+    ("risk_officer", "MACHINERY", True),
+    ("risk_officer", "HOUSEHOLD", True),
+    ("risk_officer", "FURNITURE", True),
+]
+
+_POLICY_SQL = " UNION ALL ".join(
+    f"SELECT '{r}' AS role, '{s}' AS segment, {str(b).upper()} AS see_balance"
+    for r, s, b in _POLICY
+)
+
+RLS_SQL = f"""
+WITH policy AS ({_POLICY_SQL}),
+me AS (SELECT * FROM policy WHERE role = '{_ROLE}')
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CASE WHEN me.see_balance THEN CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+            ELSE NULL END AS acctbal_cents,
+       me.role
+FROM customer c JOIN me ON me.segment = c.c_mktsegment
+"""
+
+
+@register("rls_masked_view", oracle=RLS_SQL, covers=["P6", "J4", "P7"])
+def q_rls_masked_view(spark, sf_dir):
+    """Row- and column-level security as a relational rewrite: rows
+    restricted to the caller's policy segments (broadcast inner join on
+    the policy table), balance masked to NULL unless the policy grants
+    it. The secured view is a plan fragment — Catalyst pushes the
+    segment filter into the scan and the mask is one CASE projection;
+    no per-row callback, no enforcement UDF."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    policy = spark.createDataFrame(
+        _POLICY, "role string, segment string, see_balance boolean"
+    ).filter(F.col("role") == _ROLE)
+    return cust.join(
+        F.broadcast(policy), cust.c_mktsegment == policy.segment
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.when(
+            F.col("see_balance"),
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"),
+        ).alias("acctbal_cents"),
+        "role",
+    )
+
+
+_TOPK = 3
+
+SESSION_SIM_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type, 2) OVER w AS t2,
+           lag(event_type, 1) OVER w AS t1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+shingles AS (
+    SELECT DISTINCT user_id, t2 || '>' || t1 || '>' || event_type AS sh
+    FROM seq WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY user_id),
+inter AS (
+    SELECT a.user_id AS u, b.user_id AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+),
+scored AS (
+    SELECT u, v, c,
+           CAST(CAST(c AS HUGEINT) * 1000000 // (sa.n + sb.n - c) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter JOIN sizes sa ON sa.user_id = u JOIN sizes sb ON sb.user_id = v
+),
+sym AS (
+    SELECT u AS user_id, v AS other, jaccard_ppm FROM scored
+    UNION ALL
+    SELECT v AS user_id, u AS other, jaccard_ppm FROM scored
+),
+ranked AS (
+    SELECT user_id, other, jaccard_ppm,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY jaccard_ppm DESC, other) AS rn
+    FROM sym
+)
+SELECT user_id, other, jaccard_ppm, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
+@register("session_similarity_topk", oracle=SESSION_SIM_SQL, covers=["J1", "A1", "O6"])
+def q_session_similarity_topk(spark, sf_dir):
+    """Top-3 most similar user sessions by exact Jaccard over
+    event-type 3-gram shingle sets. Inverted-index candidate
+    generation: the self-join runs on the SHINGLE key, so user pairs
+    materialize only where sessions actually share a pattern (the
+    EDBT-2020 interactive-session search shape); similarity is exact
+    integer ppm; the final top-k is a per-user window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    ).filter(F.col("t2").isNotNull())
+    shingles = seq.select(
+        "user_id",
+        F.concat_ws(">", "t2", "t1", "event_type").alias("sh"),
+    ).distinct().localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = shingles.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sa = sizes.select(F.col("user_id").alias("u"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("v"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(sa, "u")
+        .join(sb, "v")
+        .select(
+            "u",
+            "v",
+            "c",
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div (na + nb - c) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    sym = scored.select(
+        F.col("u").alias("user_id"), F.col("v").alias("other"), "jaccard_ppm"
+    ).unionAll(
+        scored.select(
+            F.col("v").alias("user_id"), F.col("u").alias("other"), "jaccard_ppm"
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("jaccard_ppm").desc(), "other")
+    return (
+        sym.select(
+            "user_id", "other", "jaccard_ppm", F.row_number().over(wr).alias("rn")
+        )
+        .filter(F.col("rn") <= _TOPK)
+        .select("user_id", "other", "jaccard_ppm", F.col("rn").cast("long").alias("rn"))
+    )
