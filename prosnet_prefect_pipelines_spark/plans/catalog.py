@@ -89,6 +89,7 @@ def _load_all() -> None:
         q_pipeline35,
         q_pipeline36,
         q_pipeline37,
+        q_pipeline38,
         q_ranking,
         q_relational,
         q_render,
