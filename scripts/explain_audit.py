@@ -476,6 +476,27 @@ AUDITS = {
     "epoch_expansion": [
         ("BroadcastHashJoin", "per-source repeat plan broadcasts into the explode"),
     ],
+    "training_order_shuffle": [
+        ("Window", "ordering windows run per (epoch, shard) — never global"),
+    ],
+    "interleaved_multimodal_seq": [
+        ("partial_", "encoded-argmax MIN combines map-side"),
+    ],
+    "zone_map_pruning_report": [
+        ("partial_", "per-file min/max stats partial+final"),
+    ],
+    "rls_masked_view": [
+        ("BroadcastHashJoin", "policy table broadcast; mask is a projection"),
+    ],
+    "session_similarity_topk": [
+        ("partial_", "shingle-intersection counts combine map-side"),
+    ],
+    "scd2_pit_join": [
+        ("Window", "running-last state merge on the user key"),
+    ],
+    "attribution_time_decay": [
+        ("Window", "recency ranks keyed per conversion"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -620,6 +641,18 @@ FORBIDDEN = {
                                "Exchange SinglePartition"],
     "winnow_overlap_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin",
                              "Exchange SinglePartition"],
+    "training_order_shuffle": ["CartesianProduct", "Exchange SinglePartition"],
+    "interleaved_multimodal_seq": ["CartesianProduct", "Exchange SinglePartition",
+                                   "BroadcastNestedLoopJoin"],
+    "zone_map_pruning_report": ["CartesianProduct", "Exchange SinglePartition",
+                                "BroadcastNestedLoopJoin"],
+    "rls_masked_view": ["CartesianProduct", "Exchange SinglePartition",
+                        "SortMergeJoin"],
+    "session_similarity_topk": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "scd2_pit_join": ["CartesianProduct", "Exchange SinglePartition",
+                      "BroadcastNestedLoopJoin"],
+    "attribution_time_decay": ["CartesianProduct", "Exchange SinglePartition",
+                               "BroadcastNestedLoopJoin"],
 }
 
 
