@@ -90,6 +90,7 @@ def _load_all() -> None:
         q_pipeline36,
         q_pipeline37,
         q_pipeline38,
+        q_pipeline39,
         q_ranking,
         q_relational,
         q_render,
