@@ -77,6 +77,11 @@ HEADLINE = [
     "lpa_communities",        # 2-round label propagation
     "udtf_doc_chunks",        # Python UDTF overlapping RAG chunker
     "group_split_no_leakage", # cluster-keyed leakage-proof split
+    "winnowing_fingerprints", # MOSS winnowing (explode + encoded argmin)
+    "dsir_importance_scores", # broadcast hashed-ngram importance ratio
+    "stream_corpus_curation", # stream-static dedup + gate (availableNow)
+    "scd2_pit_join",          # point-in-time dimension merge window
+    "training_order_shuffle", # epoch-varying shard-windowed shuffle
 ]
 
 
