@@ -6,7 +6,10 @@ round-trips completing the storage-format matrix.
 The TPC-H trio (Q3 shipping priority, Q5 local supplier volume, Q10
 returned items) exercises 3-6-way selective joins where Catalyst's
 join reordering, filter pushdown, and broadcast selection do the
-planning — no DataFrame hints. Revenue sums go through DECIMAL.
+planning — no DataFrame hints. Revenue accumulates in exact BIGINT
+cent-percent units and becomes a double only in ONE final division, so
+aggregation order can never flip a bit between engines (the DECIMAL->
+DOUBLE cast it replaced diverged in the last ulp at sf0.1).
 """
 
 from __future__ import annotations
@@ -26,8 +29,9 @@ def _register_views(spark, sf_dir, tables):
 
 TPCH_Q3 = """
 SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS revenue,
        strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
        o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -60,8 +64,9 @@ def q_sql_tpch_q3(spark, sf_dir):
 
 TPCH_Q5 = """
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -89,8 +94,9 @@ def q_sql_tpch_q5(spark, sf_dir):
 
 TPCH_Q10 = """
 SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey

@@ -105,14 +105,28 @@ def q_skyline_2d(spark, sf_dir):
     ).select("s_suppkey", "cost", "neg_quality")
 
 
+# percent_rank/cume_dist emitted as exact integer micro units (rank
+# arithmetic, no float round()): round(x, 6) diverges between engines
+# when the true value sits on a .5 ulp boundary (observed at sf0.1 —
+# Spark HALF_UP on the decimal repr vs DuckDB rounding the binary)
 WINDOW_SUITE_SQL = """
 SELECT c_custkey,
        c_nationkey,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1) ELSE 0 END
+            AS BIGINT) AS pct_rank_micro,
+       CAST(cnt * 1000000 // n AS BIGINT) AS cume_micro,
        CAST(dense_rank() OVER w AS BIGINT) AS drank
-FROM customer
+FROM (
+    SELECT c_custkey, c_acctbal, c_nationkey,
+           rank() OVER w AS rnk,
+           count(*) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey
+                          RANGE UNBOUNDED PRECEDING) AS cnt,
+           count(*) OVER (PARTITION BY c_nationkey) AS n
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+) t
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
@@ -125,13 +139,27 @@ def q_window_rank_suite(spark, sf_dir):
     nation; all four functions share a single sort."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    wn = Window.partitionBy("c_nationkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = cust.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wcum).alias("cnt"),
+        F.count(F.lit(1)).over(wn).alias("n"),
         F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+    return sized.select(
+        "c_custkey",
+        "c_nationkey",
+        "quartile",
+        F.expr(
+            "CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 div (n - 1)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("pct_rank_micro"),
+        F.expr("CAST(cnt * 1000000 div n AS BIGINT)").alias("cume_micro"),
+        "drank",
     )
 
 
