@@ -104,13 +104,18 @@ def main() -> None:
         F.abs(F.xxhash64("id", F.lit(7))).alias("h"),
     )
     w = Window.partitionBy(F.expr(f"h % {SH}")).orderBy(F.expr(f"h div {SH}"), "doc_id")
-    out = pairs.select(
-        "doc_id",
-        F.expr(f"h % {SH}").alias("shard"),
-        F.row_number().over(w).alias("pos"),
-    ).count()
+    # aggregate over pos so the optimizer cannot prune the window
+    out = (
+        pairs.select(
+            "doc_id",
+            F.expr(f"h % {SH}").alias("shard"),
+            F.row_number().over(w).alias("pos"),
+        )
+        .agg(F.sum("pos"))
+        .collect()[0][0]
+    )
     t_shuf = time.time() - t0
-    print(f"training_shuffle: {n:,} rows -> {SH} shard windows in {t_shuf:.1f}s")
+    print(f"training_shuffle: {n:,} rows (pos checksum {out:,}) -> {SH} shard windows in {t_shuf:.1f}s")
 
     # --- PIT join: n facts against n/10 dim intervals ----------------------
     t0 = time.time()
@@ -132,10 +137,12 @@ def main() -> None:
         .orderBy("t", F.col("is_dim").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # aggregate over st so the running-last window actually executes
     joined = (
         merged.withColumn("st", F.last("state", ignorenulls=True).over(wm))
         .filter(F.col("is_dim") == 0)
-        .count()
+        .agg(F.count("st"))
+        .collect()[0][0]
     )
     t_pit = time.time() - t0
     print(
