@@ -91,6 +91,7 @@ def _load_all() -> None:
         q_pipeline37,
         q_pipeline38,
         q_pipeline39,
+        q_pipeline40,
         q_ranking,
         q_relational,
         q_render,
