@@ -92,6 +92,7 @@ def _load_all() -> None:
         q_pipeline38,
         q_pipeline39,
         q_pipeline40,
+        q_pipeline41,
         q_ranking,
         q_relational,
         q_render,
