@@ -497,6 +497,22 @@ AUDITS = {
     "attribution_time_decay": [
         ("Window", "recency ranks keyed per conversion"),
     ],
+    "zipf_curve_report": [
+        ("partial_", "token counts partial+final before the vocab-sized rank"),
+    ],
+    "kanon_generalize": [
+        ("Window", "ladder-level anonymity sets are keyed window counts"),
+    ],
+    "locf_fill": [
+        ("Window", "keyed last(ignorenulls) fill on user_id"),
+    ],
+    "square_count": [
+        ("partial_", "pair-keyed common-neighbour counts combine map-side"),
+    ],
+    "trimmed_mean_exact": [
+        ("Window", "rank windows keyed by event_type, never global"),
+        ("partial_", "kept-cents sum partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -653,6 +669,15 @@ FORBIDDEN = {
                       "BroadcastNestedLoopJoin"],
     "attribution_time_decay": ["CartesianProduct", "Exchange SinglePartition",
                                "BroadcastNestedLoopJoin"],
+    "kanon_generalize": ["CartesianProduct", "Exchange SinglePartition",
+                         "BroadcastNestedLoopJoin"],
+    "locf_fill": ["CartesianProduct", "Exchange SinglePartition",
+                  "BroadcastNestedLoopJoin"],
+    "date_dimension_spine": ["CartesianProduct", "Exchange hashpartitioning"],
+    "stock_balance_clamped": ["CartesianProduct", "Exchange SinglePartition"],
+    "square_count": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "trimmed_mean_exact": ["CartesianProduct", "Exchange SinglePartition",
+                           "BroadcastNestedLoopJoin"],
 }
 
 
