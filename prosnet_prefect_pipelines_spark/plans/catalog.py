@@ -93,6 +93,7 @@ def _load_all() -> None:
         q_pipeline39,
         q_pipeline40,
         q_pipeline41,
+        q_pipeline42,
         q_ranking,
         q_relational,
         q_render,
