@@ -82,6 +82,7 @@ HEADLINE = [
     "stream_corpus_curation", # stream-static dedup + gate (availableNow)
     "scd2_pit_join",          # point-in-time dimension merge window
     "training_order_shuffle", # epoch-varying shard-windowed shuffle
+    "llm_corpus_pipeline_v2", # 2024 flagship: dedup->gate->buckets->split->epochs->shuffle
 ]
 
 
