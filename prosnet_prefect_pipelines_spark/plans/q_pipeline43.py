@@ -125,3 +125,75 @@ def q_domain_blocklist_filter(spark, sf_dir):
         F.col("matched_domain").isNotNull().alias("blocked"),
         "matched_domain",
     )
+
+
+BLOCKLIST_PREFIX_SQL = f"""
+WITH {{_EXPECTED_CTE}},
+bl AS ({{_BL_SQL}}),
+rbl AS (
+    SELECT d, reverse(d) AS rd, substr(reverse(d), 1, 2) AS bucket FROM bl
+),
+rh AS (
+    SELECT doc_id, host, reverse(host) AS rhost,
+           substr(reverse(host), 1, 2) AS bucket
+    FROM expected
+),
+matched AS (
+    SELECT h.doc_id, h.host, MIN(r.d) AS matched_domain
+    FROM rh h LEFT JOIN rbl r
+      ON r.bucket = h.bucket
+     AND (h.rhost = r.rd OR h.rhost LIKE r.rd || '.%')
+    GROUP BY h.doc_id, h.host
+)
+SELECT doc_id, coalesce(host, '') AS host,
+       matched_domain IS NOT NULL AS blocked,
+       matched_domain
+FROM matched
+"""
+BLOCKLIST_PREFIX_SQL = BLOCKLIST_PREFIX_SQL.replace("{_EXPECTED_CTE}", _EXPECTED_CTE).replace(
+    "{_BL_SQL}", _BL_SQL
+)
+
+
+@register("domain_blocklist_prefix_join", oracle=BLOCKLIST_PREFIX_SQL, covers=["P6", "J1", "P7"])
+def q_domain_blocklist_prefix_join(spark, sf_dir):
+    """The SCALE tier of domain blocklisting — byte-identical output to
+    ``domain_blocklist_filter``, different plan: hosts and blocklist
+    domains are string-REVERSED so 'subdomain of d' becomes 'rhost has
+    prefix rd.', and the join becomes an EQUI join on the reversed
+    2-char prefix bucket plus a residual prefix test. With a
+    million-entry blocklist the bucket key spreads it across the
+    cluster and each host only meets its bucket's slice — no
+    per-host scan of the whole list (the batch-43 BNLJ's limit). A
+    regression-style test asserts both tiers agree row-for-row."""
+    urls = _spark_urls(spark, sf_dir)
+    host = F.lower(W.url_host(F.col("url")))
+    rh = urls.select(
+        "doc_id",
+        host.alias("host"),
+        F.reverse(host).alias("rhost"),
+        F.substring(F.reverse(host), 1, 2).alias("bucket"),
+    )
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST], "d string").select(
+        "d",
+        F.reverse("d").alias("rd"),
+        F.substring(F.reverse("d"), 1, 2).alias("bucket"),
+    )
+    rh_a, bl_a = rh.alias("rh"), bl.alias("bl")
+    joined = rh_a.join(
+        F.broadcast(bl_a),
+        (F.col("rh.bucket") == F.col("bl.bucket"))
+        & (
+            (F.col("rh.rhost") == F.col("bl.rd"))
+            | F.col("rh.rhost").startswith(F.concat(F.col("bl.rd"), F.lit(".")))
+        ),
+        "left",
+    )
+    return joined.groupBy("doc_id", "host").agg(
+        F.min("d").alias("matched_domain")
+    ).select(
+        "doc_id",
+        F.coalesce("host", F.lit("")).alias("host"),
+        F.col("matched_domain").isNotNull().alias("blocked"),
+        "matched_domain",
+    )

@@ -40,3 +40,22 @@ def test_blocklist_subdomain_semantics(spark):
             assert not r.blocked and r.matched_domain is None
         if r.host == "":  # the non-URL branch
             assert not r.blocked
+
+
+def test_blocklist_tiers_agree(spark):
+    """The broadcast-NLJ tier and the reversed-prefix equi-join tier
+    must produce identical rows (same semantics, different plan)."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline43 import (
+        q_domain_blocklist_filter,
+        q_domain_blocklist_prefix_join,
+    )
+
+    a = {
+        (r.doc_id, r.host, r.blocked, r.matched_domain)
+        for r in q_domain_blocklist_filter(spark, SF).collect()
+    }
+    b = {
+        (r.doc_id, r.host, r.blocked, r.matched_domain)
+        for r in q_domain_blocklist_prefix_join(spark, SF).collect()
+    }
+    assert a == b
