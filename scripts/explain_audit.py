@@ -513,6 +513,13 @@ AUDITS = {
         ("Window", "rank windows keyed by event_type, never global"),
         ("partial_", "kept-cents sum partial+final"),
     ],
+    "llm_corpus_pipeline_v2": [
+        ("BroadcastHashJoin", "tertile thresholds + epoch plan broadcast"),
+        ("partial_", "line keeper election and token freq combine map-side"),
+    ],
+    "domain_blocklist_prefix_join": [
+        ("BroadcastHashJoin", "reversed-prefix bucket is a real EQUI key"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -678,6 +685,10 @@ FORBIDDEN = {
     "square_count": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "trimmed_mean_exact": ["CartesianProduct", "Exchange SinglePartition",
                            "BroadcastNestedLoopJoin"],
+    "llm_corpus_pipeline_v2": ["CartesianProduct"],
+    # the scale tier must NOT degrade to a nested loop
+    "domain_blocklist_prefix_join": ["BroadcastNestedLoopJoin", "CartesianProduct",
+                                     "Exchange SinglePartition"],
 }
 
 
