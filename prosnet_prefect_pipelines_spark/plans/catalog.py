@@ -95,6 +95,7 @@ def _load_all() -> None:
         q_pipeline41,
         q_pipeline42,
         q_pipeline43,
+        q_pipeline44,
         q_ranking,
         q_relational,
         q_render,
