@@ -83,6 +83,8 @@ HEADLINE = [
     "scd2_pit_join",          # point-in-time dimension merge window
     "training_order_shuffle", # epoch-varying shard-windowed shuffle
     "llm_corpus_pipeline_v2", # 2024 flagship: dedup->gate->buckets->split->epochs->shuffle
+    "sql_tpch_q9",            # profit rollup over derived partsupp (6-way join)
+    "sql_tpch_q21",           # waiting-supplier EXISTS/NOT EXISTS chain
 ]
 
 

@@ -520,6 +520,19 @@ AUDITS = {
     "domain_blocklist_prefix_join": [
         ("BroadcastHashJoin", "reversed-prefix bucket is a real EQUI key"),
     ],
+    "hard_negative_mining": [
+        ("BroadcastHashJoin", "centroid assignment broadcast; pair join equi on cell"),
+    ],
+    "embedding_energy_report": [
+        ("partial_", "per-dim rollup partial+final; energy is one narrow pass"),
+    ],
+    "sql_tpch_q21": [
+        ("LeftSemi", "EXISTS decorrelates to a semi join"),
+        ("LeftAnti", "NOT EXISTS decorrelates to an anti join"),
+    ],
+    "sql_tpch_q2": [
+        ("partial_", "correlated min-cost subquery decorrelates to an aggregate join"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -689,6 +702,12 @@ FORBIDDEN = {
     # the scale tier must NOT degrade to a nested loop
     "domain_blocklist_prefix_join": ["BroadcastNestedLoopJoin", "CartesianProduct",
                                      "Exchange SinglePartition"],
+    "sql_tpch_q4": ["CartesianProduct"],
+    "sql_tpch_q9": ["CartesianProduct"],
+    "sql_tpch_q12": ["CartesianProduct"],
+    "sql_tpch_q16": ["CartesianProduct"],
+    "sql_tpch_q20": ["CartesianProduct"],
+    "sql_tpch_q21": ["CartesianProduct"],
 }
 
 
