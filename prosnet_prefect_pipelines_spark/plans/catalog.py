@@ -99,6 +99,7 @@ def _load_all() -> None:
         q_pipeline45,
         q_pipeline46,
         q_pipeline47,
+        q_pipeline48,
         q_ranking,
         q_relational,
         q_render,
