@@ -533,6 +533,20 @@ AUDITS = {
     "sql_tpch_q2": [
         ("partial_", "correlated min-cost subquery decorrelates to an aggregate join"),
     ],
+    "rfm_segmentation": [
+        ("BroadcastHashJoin", "quintile threshold tables broadcast back"),
+        ("partial_", "per-user RFM aggregates combine map-side"),
+    ],
+    "wap_publish_gate": [
+        ("partial_", "contract rules are conditional aggregates"),
+    ],
+    "bitemporal_asof": [
+        ("partial_", "both as-of elections are map-side MIN aggregations"),
+    ],
+    "point_in_polygon": [
+        ("partial_", "per-point winding min/max combine map-side"),
+        ("BroadcastNestedLoopJoin", "8-edge table broadcast into the fan-out (deliberate)"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -708,6 +722,9 @@ FORBIDDEN = {
     "sql_tpch_q16": ["CartesianProduct"],
     "sql_tpch_q20": ["CartesianProduct"],
     "sql_tpch_q21": ["CartesianProduct"],
+    "rfm_segmentation": ["CartesianProduct"],
+    "bitemporal_asof": ["CartesianProduct", "Exchange SinglePartition"],
+    "diff_in_diff_report": ["SortMergeJoin"],
 }
 
 
