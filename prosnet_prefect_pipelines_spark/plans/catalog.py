@@ -101,6 +101,7 @@ def _load_all() -> None:
         q_pipeline47,
         q_pipeline48,
         q_pipeline49,
+        q_pipeline50,
         q_ranking,
         q_relational,
         q_render,
