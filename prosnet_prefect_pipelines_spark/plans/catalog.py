@@ -102,6 +102,7 @@ def _load_all() -> None:
         q_pipeline48,
         q_pipeline49,
         q_pipeline50,
+        q_pipeline51,
         q_ranking,
         q_relational,
         q_render,
