@@ -103,6 +103,7 @@ def _load_all() -> None:
         q_pipeline49,
         q_pipeline50,
         q_pipeline51,
+        q_pipeline52,
         q_ranking,
         q_relational,
         q_render,
