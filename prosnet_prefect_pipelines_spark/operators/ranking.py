@@ -203,3 +203,128 @@ def pagerank(
         F.col("r").alias("rank_scaled"),
         F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("rank"),
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-retriever rank tables.
+
+    ``rankings`` is ``[(name, df), ...]`` where each df holds one row per
+    retrieved item: (id_col, rank_col) with rank starting at 1. Returns
+    one row per item seen by ANY retriever: (id, <name>_rank ... for each
+    retriever, nullable, rrf_score) where
+
+        rrf_score = sum_over_retrievers round(1e6 / (k + rank)) / 1e6
+
+    computed as an exact scaled-integer sum so fusion is independent of
+    join/aggregation order and DuckDB twins hash-match. Missing items
+    contribute 0 from that retriever (the standard RRF convention).
+
+    Scale shape: rank tables are top-K truncated upstream (candidate
+    lists, not corpora), so every join side is tiny — at cluster scale
+    each input is the per-query candidate set and the fusion joins are
+    broadcastable. No corpus-sized shuffle happens here.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for name, df in rankings:
+        side = df.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("long").alias(f"{name}_rank"),
+        )
+        fused = side if fused is None else fused.join(side, "id", "full_outer")
+    contribs = [
+        F.coalesce(
+            F.round(F.lit(1_000_000.0) / (F.lit(k) + F.col(f"{name}_rank")), 0).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        for name, _ in rankings
+    ]
+    score6 = contribs[0]
+    for c in contribs[1:]:
+        score6 = score6 + c
+    return fused.select(
+        "id",
+        *[F.col(f"{name}_rank") for name, _ in rankings],
+        (score6 / F.lit(1_000_000.0)).alias("rrf_score"),
+    )
+
+
+def ndcg_mrr(
+    ranked: DataFrame,
+    query_col: str = "q",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query nDCG@k and MRR from a graded run table.
+
+    ``ranked`` holds one row per (query, item): (query_col, rank_col
+    starting at 1, rel_col graded integer relevance >= 0). Returns one
+    row per query: (q, n_rel, dcg, idcg, ndcg, mrr) where
+
+        dcg  = sum_{rank<=k} round((2^rel - 1) / log2(rank + 1), 6)
+        idcg = the same sum over the ideal ordering (rel desc, rank asc)
+        ndcg = round(dcg / idcg, 6)          (0 when idcg = 0)
+        mrr  = round(1 / first rank with rel > 0, 6)   (0 when no hit)
+
+    Gains are 6-dp rounded and summed as scaled integers (catalog
+    convention) so both engines agree bit-for-bit. The ideal ordering is
+    a per-query window (partitioned sort over that query's run rows
+    only — candidate-list sized, never corpus-sized).
+    """
+    from pyspark.sql.window import Window
+
+    q = F.col(query_col)
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    term6 = F.round(
+        F.round(gain / F.log2(F.col(rank_col).cast("double") + F.lit(1.0)), 6)
+        * 1_000_000,
+        0,
+    ).cast("long")
+    ideal_w = Window.partitionBy(q).orderBy(F.col(rel_col).desc(), F.col(rank_col))
+    with_ideal = ranked.select(
+        q.alias("q"),
+        F.col(rank_col).alias("_rank"),
+        F.col(rel_col).alias("_rel"),
+        term6.alias("_t6"),
+        F.row_number().over(ideal_w).alias("_irank"),
+    )
+    ideal_term6 = F.round(
+        F.round(
+            (F.pow(F.lit(2.0), F.col("_rel").cast("double")) - F.lit(1.0))
+            / F.log2(F.col("_irank").cast("double") + F.lit(1.0)),
+            6,
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    agg = with_ideal.groupBy("q").agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).cast("long").alias("n_rel"),
+        F.sum(F.when(F.col("_rank") <= k, F.col("_t6")).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("_dcg6"),
+        F.sum(
+            F.when(F.col("_irank") <= k, ideal_term6).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("_idcg6"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first_hit"),
+    )
+    return agg.select(
+        "q",
+        "n_rel",
+        (F.col("_dcg6") / F.lit(1_000_000.0)).alias("dcg"),
+        (F.col("_idcg6") / F.lit(1_000_000.0)).alias("idcg"),
+        F.when(F.col("_idcg6") > 0, F.round(F.col("_dcg6") / F.col("_idcg6"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("_first_hit"), 6), F.lit(0.0)
+        ).alias("mrr"),
+    )

@@ -227,3 +227,51 @@ def feature_hashing(
         .groupBy("id", "bucket")
         .agg(F.sum("s").alias("val"))
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 120,
+) -> DataFrame:
+    """Per-document Shannon character entropy over a bounded prefix —
+    the classic low-entropy gate (boilerplate / repeated-char spam) of
+    corpus quality filtering.
+
+    Returns (id, n_used, entropy, low_entropy) where entropy is
+    sum(-p_c * ln(p_c)) over character frequencies of the first
+    ``prefix_len`` characters, each term 6-dp rounded and summed as an
+    exact scaled integer (catalog convention: aggregation order can't
+    perturb the value, and the BIGINT cast normalizes -0.0 from the
+    single-character case). low_entropy flags entropy < 2.5 nats.
+
+    Scale shape: the explode is bounded to ``prefix_len`` rows per doc
+    (not the full text) and immediately feeds one keyed count with
+    map-side partial aggregation — a narrow pass plus two aggregations,
+    no joins.
+    """
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("s"),
+    ).filter(F.col("s").isNotNull() & (F.length("s") > 0))
+    chars = pre.select(
+        "id",
+        "s",
+        F.length("s").alias("n_used"),
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+    ).select("id", "n_used", F.expr("substr(s, i, 1)").alias("ch"))
+    cnt = chars.groupBy("id", "n_used", "ch").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.col("n_used").cast("double")
+    t6 = F.round(F.round(-p * F.log(p), 6) * 1_000_000, 0).cast("long")
+    return (
+        cnt.select("id", "n_used", t6.alias("t6"))
+        .groupBy("id", "n_used")
+        .agg(F.sum("t6").cast("long").alias("e6"))
+        .select(
+            "id",
+            F.col("n_used").cast("long").alias("n_used"),
+            (F.col("e6") / F.lit(1_000_000.0)).alias("entropy"),
+            ((F.col("e6") / F.lit(1_000_000.0)) < 2.5).alias("low_entropy"),
+        )
+    )

@@ -106,6 +106,7 @@ def _load_all() -> None:
         q_pipeline52,
         q_pipeline53,
         q_pipeline54,
+        q_pipeline55,
         q_ranking,
         q_relational,
         q_render,
