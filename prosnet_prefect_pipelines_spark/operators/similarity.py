@@ -623,3 +623,51 @@ def knn_join(
         .filter(F.col("_rn") <= k)
         .select(F.col("qid").alias("query_id"), "neighbor", "cos")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1e9,
+) -> DataFrame:
+    """(label, cv array<double>) — exact per-label mean vectors.
+
+    Per-dimension components are summed as scaled BIGINTs (round(x*1e9))
+    so the mean is independent of aggregation order and DuckDB twins
+    hash-match; the centroid array is rebuilt in dimension order via an
+    array_sort over (pos, m) structs.
+
+    Scale shape: the component aggregation shuffles labels x dim rows
+    (corpus-size independent — a few hundred rows however big the input
+    is), and the resulting centroid table is tiny by construction, meant
+    to be broadcast into whatever scoring join follows.
+    """
+    comp = (
+        df.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.round(F.col("x").cast("double") * F.lit(scale)).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(scale)
+            ).alias("m")
+        )
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select("label", F.expr("transform(_pm, s -> s.m)").alias("cv"))
+    )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as an ordered fold (both engines fold
+    dimension 1..n in order, so the double is bit-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

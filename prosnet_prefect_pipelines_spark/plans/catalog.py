@@ -107,6 +107,7 @@ def _load_all() -> None:
         q_pipeline53,
         q_pipeline54,
         q_pipeline55,
+        q_pipeline56,
         q_ranking,
         q_relational,
         q_render,
