@@ -328,3 +328,71 @@ def ndcg_mrr(
             F.round(F.lit(1.0) / F.col("_first_hit"), 6), F.lit(0.0)
         ).alias("mrr"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    materialize_every: int = 3,
+) -> DataFrame:
+    """(node, rank_scaled, rank) — personalized PageRank: teleport mass
+    goes only to the seed set instead of uniformly to all nodes.
+
+    Same exact-integer discipline as ``pagerank``: r0 = PR_SCALE div |S|
+    on seeds (0 elsewhere), per-round base = (15*PR_SCALE) div (100*|S|)
+    on seeds (0 elsewhere), contributions r div outdeg damped 85/100 in
+    integer arithmetic — every iteration bit-identical to a DuckDB twin
+    unrolled with the same CTE shape as the global PageRank oracle.
+
+    Scale shape: identical to ``pagerank`` (one join + keyed sum per
+    round over the aggregated graph, lineage truncated every
+    ``materialize_every`` rounds); the seed set is a literal predicate,
+    never a join.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    n_seeds = len(seeds)
+    base_seed = (15 * PR_SCALE) // (100 * n_seeds)
+    r0_seed = PR_SCALE // n_seeds
+    e = edges.select("src", "dst").distinct()
+    e = _materialize(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    is_seed = F.col("node").isin([int(s) for s in seeds])
+    base = _materialize(
+        nodes.select(
+            "node",
+            F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0)).cast("long").alias("base"),
+            F.when(is_seed, F.lit(r0_seed)).otherwise(F.lit(0)).cast("long").alias("r0"),
+        )
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edge_out = _materialize(e.join(outdeg, "src"))
+    ranks = base.select("node", F.col("r0").alias("r"))
+    for it in range(iterations):
+        contrib = (
+            ranks.join(edge_out, ranks["node"] == edge_out["src"])
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = base.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.col("base")
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            ).cast("long").alias("r"),
+        )
+        if (it + 1) % materialize_every == 0 or it == iterations - 1:
+            ranks = _materialize(ranks)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("rank"),
+    )

@@ -108,6 +108,7 @@ def _load_all() -> None:
         q_pipeline54,
         q_pipeline55,
         q_pipeline56,
+        q_pipeline57,
         q_ranking,
         q_relational,
         q_render,
