@@ -110,6 +110,7 @@ def _load_all() -> None:
         q_pipeline56,
         q_pipeline57,
         q_pipeline58,
+        q_pipeline59,
         q_ranking,
         q_relational,
         q_render,
