@@ -28,7 +28,7 @@ from prosnet_prefect_pipelines_spark.plans.catalog import register
 
 # undirected, self-loop-free nation trade graph with region communities
 _GRAPH_CTE = """
-raw AS (
+raw AS MATERIALIZED (
     SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
                     greatest(s.s_nationkey, c.c_nationkey) AS b
     FROM lineitem l
@@ -42,7 +42,7 @@ comm AS (
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 ),
 m AS (SELECT COUNT(*) AS m FROM raw),
-tagged AS (
+tagged AS MATERIALIZED (
     SELECT e.a, e.b, ca.community AS ca, cb.community AS cb
     FROM raw e
     JOIN comm ca ON ca.node = e.a
