@@ -112,6 +112,7 @@ def _load_all() -> None:
         q_pipeline58,
         q_pipeline59,
         q_pipeline60,
+        q_pipeline61,
         q_ranking,
         q_relational,
         q_render,
