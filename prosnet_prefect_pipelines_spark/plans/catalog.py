@@ -113,6 +113,7 @@ def _load_all() -> None:
         q_pipeline59,
         q_pipeline60,
         q_pipeline61,
+        q_pipeline62,
         q_ranking,
         q_relational,
         q_render,
