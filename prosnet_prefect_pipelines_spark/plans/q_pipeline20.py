@@ -133,7 +133,9 @@ FROM nation GROUP BY n_regionkey
 def _roundtrip(spark, sf_dir, fmt: str):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_fmt", f"nation_{fmt}"
+        tempfile.gettempdir(),
+        f"spark_graft_fmt_{spark.sparkContext.applicationId}",
+        f"nation_{fmt}",
     )
     nation.write.mode("overwrite").format(fmt).save(out)
     back = spark.read.format(fmt).load(out)
@@ -157,7 +159,11 @@ def q_csv_roundtrip(spark, sf_dir):
     (header + explicit schema on the way back in; CSV is the interchange
     format the reference's TSV sources live in)."""
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_fmt", "nation_csv")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_fmt_{spark.sparkContext.applicationId}",
+        "nation_csv",
+    )
     nation.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(nation.schema).option("header", True).csv(out)
     return back.groupBy("n_regionkey").agg(
