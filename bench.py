@@ -1,13 +1,18 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE SHORT JSON line (metric/value/unit/sf/calibration/n_queries only —
+round 2's full per-query line exceeded the driver's tail capture and was
+truncated mid-line, losing the bench to scoring). Per-query timings, deltas
+vs the previous round, and a >25%+>0.3s regression gate are written to
+BENCH_DETAIL_r{N}.json (and BENCH_DETAIL.json) on disk instead.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -87,17 +92,41 @@ HEADLINE = [
     "sql_tpch_q21",           # waiting-supplier EXISTS/NOT EXISTS chain
 ]
 
+# Regression gate thresholds (vs previous round's per-query timings).
+REGRESSION_PCT = 0.25
+REGRESSION_ABS_S = 0.3
 
-def _prev_round_queries() -> dict[str, float]:
-    """Per-query timings from the latest driver-recorded BENCH_r{N}.json,
-    so each round's output carries regression deltas against the last."""
-    import glob
-    import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+def _here() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _latest(pattern: str) -> tuple[int, str] | None:
+    """(round_number, path) of the highest-numbered artifact matching pattern."""
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(_here(), pattern)):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    return best
+
+
+def _prev_round_queries() -> tuple[dict[str, float], str]:
+    """Per-query timings from the latest usable prior artifact: prefer our own
+    BENCH_DETAIL_r{N}.json (always complete), else the driver's parsed
+    BENCH_r{N}.json (r2's is null — truncated). Returns ({}, "") if none."""
+    candidates: list[tuple[int, dict]] = []
+    det = _latest("BENCH_DETAIL_r*.json")
+    if det:
+        try:
+            with open(det[1]) as fh:
+                q = json.load(fh).get("queries")
+            if isinstance(q, dict) and q:
+                candidates.append((det[0], q))
+        except (OSError, json.JSONDecodeError):
+            pass
+    for path in glob.glob(os.path.join(_here(), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", path)
         if not m:
             continue
         try:
@@ -105,10 +134,19 @@ def _prev_round_queries() -> dict[str, float]:
                 parsed = json.load(fh).get("parsed") or {}
         except (OSError, json.JSONDecodeError):
             continue
-        queries = parsed.get("queries")
-        if isinstance(queries, dict) and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), queries)
-    return best[1] if best else {}
+        q = parsed.get("queries")
+        if isinstance(q, dict) and q:
+            candidates.append((int(m.group(1)), q))
+    if not candidates:
+        return {}, ""
+    rnd, q = max(candidates, key=lambda c: c[0])
+    return q, f"r{rnd}"
+
+
+def _this_round() -> int:
+    """Round number for the detail artifact: one past the latest driver bench."""
+    drv = _latest("BENCH_r*.json")
+    return (drv[0] + 1) if drv else 1
 
 
 def main() -> None:
@@ -136,11 +174,13 @@ def main() -> None:
     calib = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
         # release checkpointed RDD blocks from iterative operators: dropped
         # Python refs only free JVM-side cache blocks after both GCs run,
@@ -153,24 +193,63 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    prev, prev_round = _prev_round_queries()
+    deltas = {n: round(t - prev[n], 3) for n, t in timings.items() if n in prev}
+    shared_total = round(sum(timings[n] for n in deltas), 3)
+    prev_shared_total = round(sum(prev[n] for n in deltas), 3)
+    regressions = sorted(
+        (
+            {"query": n, "prev_s": prev[n], "now_s": timings[n], "delta_s": d}
+            for n, d in deltas.items()
+            if d > REGRESSION_ABS_S and prev[n] > 0 and d / prev[n] > REGRESSION_PCT
+        ),
+        key=lambda r: -r["delta_s"],
+    )
+
+    rnd = _this_round()
+    detail = {
+        "round": rnd,
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "calib_spark_agg_sec": calib,
+        "value_per_calib": round(total / calib, 2) if calib else None,
+        "n_queries": len(timings),
+        "queries": timings,
+        "rows": rows,
+        "prev_round": prev_round,
+        "deltas_vs_prev": deltas,
+        "shared_total": shared_total,
+        "prev_shared_total": prev_shared_total,
+        "regressions": regressions,
+        "regression_gate": {"pct": REGRESSION_PCT, "abs_s": REGRESSION_ABS_S},
+    }
+    for fname in (f"BENCH_DETAIL_r{rnd}.json", "BENCH_DETAIL.json"):
+        with open(os.path.join(_here(), fname), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    if regressions:
+        print(f"# regressions vs {prev_round}: {json.dumps(regressions)}", file=sys.stderr)
+
+    # FINAL LINE: short and flat — must survive the driver's tail capture.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "n_queries": len(timings),
         "calib_spark_agg_sec": calib,
-        # host-speed-normalized total: wall divided by the fixed
-        # calibration computation, for fair cross-round comparison when
-        # rounds run on differently-loaded boxes
         "value_per_calib": round(total / calib, 2) if calib else None,
+        "shared_vs_prev": (
+            {"prev": prev_round, "now_s": shared_total, "prev_s": prev_shared_total}
+            if deltas
+            else None
+        ),
+        "n_regressions": len(regressions),
+        "detail_file": f"BENCH_DETAIL_r{rnd}.json",
     }
-    prev = _prev_round_queries()
-    if prev:
-        out["deltas"] = {
-            n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
-        }
-        out["prev_total"] = round(sum(prev.values()), 3)
     print(json.dumps(out))
 
 
