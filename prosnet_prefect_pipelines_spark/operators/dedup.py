@@ -303,6 +303,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.9,
     planes: int = 8,
     mode: str = "lsh",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
@@ -312,14 +313,41 @@ def embedding_cosine_pairs(
     exact-cosine verification, so precision is exact and cost is linear
     in corpus size + quadratic per bucket. mode='brute' verifies all
     pairs (exactness baseline; verification scale only).
+
+    ``bucket_cap`` (lsh mode) is the hot-bucket skew guard, same
+    mechanism as ``rhp_lsh_topk``: a bucket larger than the cap is
+    salted into ceil(size/cap) sub-buckets by ``id % n_sub``, so one
+    degenerate bucket (zero vectors, a near-duplicate flood) is bounded
+    at ~cap² join work per sub-bucket instead of running quadratic in
+    the flood size. Pairs split across sub-buckets are missed — the
+    standard LSH recall trade, measured in scripts/stress_ann.py.
+    Requires numeric ids (pre-hash string ids, e.g. xxhash64).
     """
     from prosnet_prefect_pipelines_spark.operators import similarity as S
 
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norms hoisted to one fold per VECTOR (not two per pair); the
+    # division below is bit-identical to S.cosine (same fold + sqrt
+    # expressions, same IEEE op order — only the evaluation site moves)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        S.norm(F.col(vec_col)).alias("nv"),
+    )
     if mode == "lsh":
-        sig = vecs.withColumn(
-            "bucket", S.rhp_signature(F.col("v"), dim, planes)
-        ).localCheckpoint(eager=False)  # self-joined below
+        sig = vecs.withColumn("bucket", S.rhp_signature(F.col("v"), dim, planes))
+        if bucket_cap is not None:
+            sizes = sig.groupBy("bucket").agg(F.count("*").alias("_bc"))
+            n_sub = F.ceil(F.col("_bc") / F.lit(float(bucket_cap))).cast("long")
+            sig = sig.join(sizes, on="bucket").select(
+                "id",
+                "v",
+                "nv",
+                F.concat(
+                    F.col("bucket"),
+                    F.lit(":"),
+                    F.pmod(F.col("id").cast("long"), n_sub).cast("string"),
+                ).alias("bucket"),
+            )
         pairs = (
             sig.alias("x")
             .join(sig.alias("y"), on="bucket")
@@ -336,7 +364,10 @@ def embedding_cosine_pairs(
         pairs.select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
-            F.round(S.cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+            F.round(
+                S.dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
@@ -381,6 +412,7 @@ def semdedup(
     n_cells: int = 4,
     iterations: int = 2,
     threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """-> (id, cell, kept): SemDeDup — semantic deduplication by
     k-means clustering + within-cluster cosine pruning (Abbas et al.
@@ -400,28 +432,55 @@ def semdedup(
     pair generation parallelizes across cells.
     """
     from prosnet_prefect_pipelines_spark.operators.similarity import (
-        cosine,
+        dot,
         kmeans_centroids,
+        norm,
     )
     from pyspark.sql.window import Window
 
-    cents = kmeans_centroids(df, id_col, vec_col, n_cells=n_cells, iterations=iterations)
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norms hoisted: one fold per vector / per centroid instead of re-
+    # folding inside every cosine — bit-identical (same fold + sqrt,
+    # same IEEE op order), 3x less fold work in assignment AND pair scan
+    cents = kmeans_centroids(
+        df, id_col, vec_col, n_cells=n_cells, iterations=iterations
+    ).withColumn("ncv", norm(F.col("cv")))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
     scored = vecs.join(F.broadcast(cents)).select(
-        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+        "id",
+        "v",
+        "nv",
+        "cid",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+        ).alias("ccos"),
     )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
     assign = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("id", "v", F.col("cid").alias("cell"))
+        .select("id", "v", "nv", F.col("cid").alias("cell"))
     )
-    a = assign.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cell")
-    b = assign.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cell")
+    a = assign.select(
+        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("nv").alias("a_n"), "cell",
+    )
+    b = assign.select(
+        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("nv").alias("b_n"), "cell",
+    )
     dups = (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= F.lit(threshold))
+        .filter(
+            F.round(
+                dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 6
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("b_id").alias("id"))
         .distinct()
     )

@@ -23,30 +23,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Ordered-fold dot product: ((0 + a0*b0) + a1*b1) + ... — the sum
+    order every engine (and the DuckDB oracles) reproduces exactly.
 
-
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+    With ``dim`` known, the fold is unrolled into a left-associative
+    add chain — IDENTICAL IEEE operations in identical order (getItem
+    replaces the zip_with element walk), but ~2x faster under
+    interpreted eval because the HOF path allocates an intermediate
+    array per row and dispatches a lambda per element. Pass dim=None
+    for variable-length arrays (falls back to the HOF fold).
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-    )
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * a.getItem(i).cast("double")
+    return F.sqrt(acc)
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """-> (id, neighbor, cos): exact top-k neighbors per vector.
 
@@ -56,11 +77,27 @@ def cosine_topk(
     O(n²d). Use ``rhp_lsh_topk`` (auto-scaled buckets) or ``ivf_topk``
     as the default ANN entry points at scale.
     """
-    left = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"))
+    # norms hoisted to one fold per VECTOR instead of two per PAIR —
+    # bit-identical to cosine() (same fold + sqrt expressions, same IEEE
+    # op order; only the evaluation site moves), 3x less fold work in
+    # the quadratic stage
+    left = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col), dim).alias("na"),
+    )
+    right = df.select(
+        F.col(id_col).alias("neighbor"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col), dim).alias("nb"),
+    )
     pairs = left.join(right, F.col("id") != F.col("neighbor"))
     scored = pairs.select(
-        "id", "neighbor", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        "id",
+        "neighbor",
+        F.round(
+            dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
     return (
@@ -90,6 +127,11 @@ def rhp_signature(vec: Column, dim: int, planes: int = 8, offset: int = 0) -> Co
     from ``rhp_coef`` (fixed, engine-portable). ``offset`` shifts the
     global plane index so multiple hash tables draw disjoint
     hyperplane sets."""
+    # HOF fold, NOT unrolled: signatures appear in several plan branches
+    # (sizes agg + both self-join sides), and an unrolled planes*dim-node
+    # tree duplicated across branches blows up Catalyst planning time —
+    # measured 2x slower end-to-end than the compact fold despite cheaper
+    # per-row eval (the signature pass is N rows, not N² pairs)
     bits = []
     for h in range(offset, offset + planes):
         proj = F.aggregate(
@@ -116,7 +158,8 @@ def auto_planes(n: int, target_bucket: int = 64, floor: int = 4) -> int:
 
 
 def ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 8, rank_limit: int = 1
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 8, rank_limit: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """-> (id, v, cell, cell_rank): each vector's ``rank_limit`` nearest
     centroids (rank 1 = the cell it lives in; ranks 2.. = probe cells).
@@ -128,30 +171,48 @@ def ivf_assign(
     by centroid id. The centroid table is tiny and broadcast, so
     assignment is a single narrow pass over the corpus — no shuffle.
     """
+    # centroid norms computed once broadcast-side, vector norms once per
+    # row — one fold per (vector, centroid) pair instead of three;
+    # bit-identical to cosine() (same fold + sqrt, same IEEE op order)
     cents = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("ncv"),
+        )
         .orderBy("cid")
         .limit(n_cells)
     )
     scored = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
     ).join(F.broadcast(cents)).select(
         "id",
         "v",
+        "nv",
         "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+        ).alias("ccos"),
     )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= rank_limit)
-        .select("id", "v", F.col("cid").alias("cell"), F.col("_rn").alias("cell_rank"))
+        .select(
+            "id",
+            "v",
+            "nv",
+            F.col("cid").alias("cell"),
+            F.col("_rn").alias("cell_rank"),
+        )
     )
 
 
 def ivf_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_cells: int = 8,
-    nprobe: int = 1,
+    nprobe: int = 1, dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k with multi-probe: every
     vector is indexed in its nearest cell; each QUERY additionally probes
@@ -164,7 +225,7 @@ def ivf_topk(
     ~n/C vectors, total work is ~nprobe * n^2/C instead of n^2, and
     cells partition cleanly across executors.
     """
-    assigned = ivf_assign(df, id_col, vec_col, n_cells, rank_limit=nprobe).localCheckpoint(
+    assigned = ivf_assign(df, id_col, vec_col, n_cells, rank_limit=nprobe, dim=dim).localCheckpoint(
         eager=False
     )  # both join sides below; assignment is C folds/row
     db = assigned.filter(F.col("cell_rank") == 1)
@@ -178,7 +239,13 @@ def ivf_topk(
         .select(
             F.col("x.id").alias("id"),
             F.col("y.id").alias("neighbor"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+            # norms precomputed once per vector in ivf_assign — one fold
+            # per candidate pair instead of three (bit-identical to
+            # cosine(): same fold + sqrt, same IEEE op order)
+            F.round(
+                dot(F.col("x.v"), F.col("y.v"), dim) / (F.col("x.nv") * F.col("y.nv")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
@@ -224,7 +291,14 @@ def rhp_lsh_topk(
     """
     if planes is None:
         planes = auto_planes(df.count(), target_bucket)
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norm computed once per vector here (one fold), so the within-bucket
+    # pair scoring below is one dot fold per pair instead of three —
+    # bit-identical to cosine() (same fold + sqrt, same IEEE op order)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
     per_table = [
         F.concat(
             F.lit(f"{t}:"),
@@ -232,9 +306,14 @@ def rhp_lsh_topk(
         )
         for t in range(tables)
     ]
+    # NOT checkpointed: the self-join's two sides canonicalize to the same
+    # subplan, so the bucket Exchange is computed once and reused (AQE
+    # ReuseExchange); a localCheckpoint here would materialize the exploded
+    # corpus (tables x N rows WITH vectors) in the block manager — measured
+    # 1.6x slower cold at sf0.1 and a memory hazard at 100 TB.
     sig = vecs.select(
-        "id", "v", F.explode(F.array(*per_table)).alias("bucket")
-    ).localCheckpoint(eager=False)  # self-joined below; signatures are planes*tables folds/row
+        "id", "v", "nv", F.explode(F.array(*per_table)).alias("bucket")
+    )
 
     if bucket_cap is not None:
         sizes = sig.groupBy("bucket").agg(F.count("*").alias("_bc"))
@@ -244,6 +323,7 @@ def rhp_lsh_topk(
             .select(
                 "id",
                 "v",
+                "nv",
                 F.concat(
                     F.col("bucket"),
                     F.lit(":"),
@@ -256,14 +336,17 @@ def rhp_lsh_topk(
         sig.alias("x")
         .join(sig.alias("y"), on="bucket")
         .filter(F.col("x.id") != F.col("y.id"))
-        # score BEFORE deduping collisions: cosine is map-side codegen, so
+        # score BEFORE deduping collisions: the dot fold is map-side, so
         # duplicate pairs re-score cheaply, while deduping first would
         # shuffle both full vectors per candidate pair (2*dim doubles vs
         # one scalar). A pair colliding in several tables still lands as
         # one row — identical cos — after the dropDuplicates below.
         .select(
             F.col("x.id").alias("id"), F.col("y.id").alias("neighbor"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv")),
+                6,
+            ).alias("cos"),
         )
         .dropDuplicates(["id", "neighbor"])
     )
@@ -339,6 +422,7 @@ def kmeans_centroids(
     vec_col: str,
     n_cells: int = 8,
     iterations: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """-> (cid, cv): spherical k-means centroids via Lloyd's iterations —
     the production IVF trainer the seed-centroid shortcut stands in for.
@@ -446,7 +530,9 @@ def pq_encode(
             F.col(id_col).alias("id"),
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
         )
-        cents = kmeans_centroids(sliced, "id", "v", n_cells=n_cells, iterations=iterations)
+        cents = kmeans_centroids(
+            sliced, "id", "v", n_cells=n_cells, iterations=iterations, dim=sub_dim
+        )
         w = Window.partitionBy("id").orderBy(F.col("scos").desc(), F.col("cid"))
         outs.append(
             sliced.join(F.broadcast(cents))
@@ -519,7 +605,7 @@ def ivf_pq_topk(
     nprobe=1, codebooks trained on raw subvectors (not residuals),
     spherical geometry throughout.
     """
-    assign = ivf_assign(df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1)
+    assign = ivf_assign(df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1, dim=dim)
     cbs = pq_codebooks(df, id_col, vec_col, dim, n_sub, n_cells_code)
     codes = pq_encode(df, id_col, vec_col, dim, n_sub, n_cells_code).select(
         F.col("id").alias("xid"), "sub", "code"
@@ -585,6 +671,7 @@ def knn_join(
     corpus_id: str,
     corpus_vec: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """-> (query_id, neighbor, cos): exact cosine top-k over the corpus
     for each query vector — the batch KNN-join a retrieval/eval pipeline
@@ -606,7 +693,7 @@ def knn_join(
     q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
     c = corpus.select(F.col(corpus_id).alias("neighbor"), F.col(corpus_vec).alias("cv"))
     scored = c.join(F.broadcast(q)).select(
-        "qid", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "qid", "neighbor", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos")
     )
 
     def _prune(batches):

@@ -313,5 +313,5 @@ def q_knn_join_batch(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     corpus_ = emb.filter(F.col("vec_id") % 101 != 0)
     return S.knn_join(
-        queries, corpus_, "vec_id", "embedding", "vec_id", "embedding", k=5
+        queries, corpus_, "vec_id", "embedding", "vec_id", "embedding", k=5, dim=64
     )

@@ -164,7 +164,7 @@ def q_hard_negative_mining(spark, sf_dir):
             "vec_id",
             "embedding",
             "cid",
-            F.round(S.cosine(F.col("embedding"), F.col("cv")), 6).alias("c"),
+            F.round(S.cosine(F.col("embedding"), F.col("cv"), 64), 6).alias("c"),
         )
         .withColumn(
             "rn",
@@ -188,7 +188,7 @@ def q_hard_negative_mining(spark, sf_dir):
         .select(
             "anchor",
             "negative",
-            F.round(S.cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+            F.round(S.cosine(F.col("ea"), F.col("eb"), 64), 6).alias("cos"),
         )
         .filter((F.col("cos") >= 0.1) & (F.col("cos") < 0.8))
     )

@@ -100,7 +100,7 @@ def q_nearest_centroid_confusion(spark, sf_dir):
         "id",
         F.col("label").alias("true_label"),
         "cand",
-        F.round(S.cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+        F.round(S.cosine(F.col("v"), F.col("cv"), 64), 6).alias("ccos"),
     )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cand"))
     pred = (

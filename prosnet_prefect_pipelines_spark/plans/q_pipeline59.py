@@ -106,7 +106,7 @@ def q_mutual_nn_pairs(spark, sf_dir):
     check is a self-join of that table. Brute-force scoring tier is
     the exact baseline (verification scale), like ann_cosine_topk."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    top1 = S.cosine_topk(emb, "vec_id", "embedding", k=1)
+    top1 = S.cosine_topk(emb, "vec_id", "embedding", k=1, dim=64)
     a = top1.select(
         F.col("id").alias("id_a"), F.col("neighbor").alias("id_b"), "cos"
     )

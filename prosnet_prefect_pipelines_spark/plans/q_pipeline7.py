@@ -222,7 +222,7 @@ def q_embedding_outliers(spark, sf_dir):
     from prosnet_prefect_pipelines_spark.operators.similarity import cosine
 
     scored = v.join(F.broadcast(cent), on="label").select(
-        "id", "label", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+        "id", "label", F.round(cosine(F.col("v"), F.col("cv"), 64), 6).alias("ccos")
     )
     w = Window.partitionBy("label").orderBy(F.col("ccos"), F.col("id"))
     return (

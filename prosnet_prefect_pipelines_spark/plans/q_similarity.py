@@ -46,7 +46,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 — the ANN correctness baseline
     (quadratic; verification scale only)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.cosine_topk(emb, "vec_id", "embedding", k=5)
+    return S.cosine_topk(emb, "vec_id", "embedding", k=5, dim=DIM)
 
 
 # 2 hash tables x 4 planes (global plane index hg = t*4 + h), bucket-cap
@@ -241,10 +241,12 @@ def q_ann_kmeans_cells(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
 
-    cents = S.kmeans_centroids(emb, "vec_id", "embedding", n_cells=4, iterations=2)
+    cents = S.kmeans_centroids(
+        emb, "vec_id", "embedding", n_cells=4, iterations=2, dim=DIM
+    )
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     scored = vecs.join(F.broadcast(cents)).select(
-        "id", "cid", F.round(S.cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+        "id", "cid", F.round(S.cosine(F.col("v"), F.col("cv"), DIM), 6).alias("ccos")
     )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
@@ -261,7 +263,7 @@ def q_ann_ivf(spark, sf_dir):
     the IVF recall lever) — ~nprobe*n^2/C work and clean cell-partitioned
     parallelism; the inverted-file scale path next to the LSH one."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=2)
+    return S.ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=2, dim=DIM)
 
 
 SEMDEDUP_THRESHOLD = 0.4
@@ -310,7 +312,7 @@ def q_semdedup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semdedup(
         emb, "vec_id", "embedding", n_cells=4, iterations=2,
-        threshold=SEMDEDUP_THRESHOLD,
+        threshold=SEMDEDUP_THRESHOLD, dim=DIM,
     )
 
 
@@ -353,7 +355,8 @@ def q_ann_recall_report(spark, sf_dir):
     cluster, and recall climbs steeply with `tables`; this report is
     the dial for that trade."""
     exact = S.cosine_topk(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id", "embedding", k=5
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        "vec_id", "embedding", k=5, dim=DIM,
     ).select("id", "neighbor")
     approx = q_ann_rhp_lsh(spark, sf_dir).select(
         "id", F.col("neighbor").alias("a_neighbor")
