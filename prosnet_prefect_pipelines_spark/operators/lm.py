@@ -174,7 +174,7 @@ def linear_quality_score(
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int = 50
+    df: DataFrame, text_col: str, n_merges: int = 50, min_count: int = 1
 ) -> list[tuple[int, str, str, int]]:
     """Byte-pair-encoding merge table -> [(rank, left, right, pair_count)].
 
@@ -187,11 +187,18 @@ def bpe_train(
     not corpus-sized.
 
     Deterministic: best pair = max count, ties broken lexically.
+
+    ``min_count`` floors the word-frequency table BEFORE the collect:
+    on a web-scale corpus the distinct-word tail (hapax legomena, URLs,
+    hashes) dwarfs the useful vocabulary, and dropping words below the
+    floor keeps the driver state truly vocab-sized. Default 1 = keep
+    everything (behavior unchanged at test scale).
     """
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= F.lit(int(min_count)))
         .collect()
     )
     vocab: dict[tuple[str, ...], int] = {}

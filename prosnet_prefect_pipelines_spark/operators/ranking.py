@@ -271,7 +271,7 @@ def ndcg_mrr(
         dcg  = sum_{rank<=k} round((2^rel - 1) / log2(rank + 1), 6)
         idcg = the same sum over the ideal ordering (rel desc, rank asc)
         ndcg = round(dcg / idcg, 6)          (0 when idcg = 0)
-        mrr  = round(1 / first rank with rel > 0, 6)   (0 when no hit)
+        mrr  = round(1 / first rank<=k with rel > 0, 6)  (0 if none in top k)
 
     Gains are 6-dp rounded and summed as scaled integers (catalog
     convention) so both engines agree bit-for-bit. The ideal ordering is
@@ -314,7 +314,13 @@ def ndcg_mrr(
         )
         .cast("long")
         .alias("_idcg6"),
-        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first_hit"),
+        # MRR@k: the cutoff applies to the reciprocal rank too — a first
+        # relevant hit BELOW rank k scores 0, matching how eval suites
+        # report MRR@k (an untruncated min over all ranks would silently
+        # mix metrics at different depths)
+        F.min(
+            F.when((F.col("_rel") > 0) & (F.col("_rank") <= k), F.col("_rank"))
+        ).alias("_first_hit"),
     )
     return agg.select(
         "q",
@@ -342,10 +348,12 @@ def personalized_pagerank(
     goes only to the seed set instead of uniformly to all nodes.
 
     Same exact-integer discipline as ``pagerank``: r0 = PR_SCALE div |S|
-    on seeds (0 elsewhere), per-round base = (15*PR_SCALE) div (100*|S|)
-    on seeds (0 elsewhere), contributions r div outdeg damped 85/100 in
-    integer arithmetic — every iteration bit-identical to a DuckDB twin
-    unrolled with the same CTE shape as the global PageRank oracle.
+    on seeds (0 elsewhere), per-round base = ((den-num)*PR_SCALE) div
+    (den*|S|) on seeds (0 elsewhere — the teleport share of the SAME
+    damping params the propagation uses), contributions r div outdeg
+    damped num/den in integer arithmetic — every iteration bit-identical
+    to a DuckDB twin unrolled with the same CTE shape as the global
+    PageRank oracle.
 
     Scale shape: identical to ``pagerank`` (one join + keyed sum per
     round over the aggregated graph, lineage truncated every
@@ -355,7 +363,11 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     n_seeds = len(seeds)
-    base_seed = (15 * PR_SCALE) // (100 * n_seeds)
+    # teleport mass derives from the SAME damping params as the
+    # propagation term ((den-num)/den of total mass, split over seeds) —
+    # a hardcoded 15/100 here would silently disagree with a non-default
+    # damping_num/damping_den and produce an inconsistent rank vector
+    base_seed = ((damping_den - damping_num) * PR_SCALE) // (damping_den * n_seeds)
     r0_seed = PR_SCALE // n_seeds
     e = edges.select("src", "dst").distinct()
     e = _materialize(e)

@@ -212,12 +212,10 @@ def q_python_datasource_write(spark, sf_dir):
         pass  # already registered in this session
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     # namespace by session so concurrent runs (pytest + sweep) can't race
-    # each other's rmtree/read on the same scratch dir
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_fmt_{spark.sparkContext.applicationId}",
-        "nation_pyds",
-    )
+    # each other's rmtree/read on the same scratch dir; atexit-cleaned
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline20 import _scratch_root
+
+    out = os.path.join(_scratch_root(spark), "nation_pyds")
     shutil.rmtree(out, ignore_errors=True)
     nation.write.format("jsonl_sink").option("path", out).mode("append").save()
     back = spark.read.schema(nation.schema).json(out)
@@ -253,11 +251,9 @@ def q_json_corrupt_audit(spark, sf_dir):
         F.col("n_nationkey") % 5 == 0,
         F.concat(F.lit('{"oops": '), F.col("n_name")),  # unclosed, bad token
     ).otherwise(F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")))
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_fmt_{spark.sparkContext.applicationId}",
-        "nation_corrupt",
-    )
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline20 import _scratch_root
+
+    out = os.path.join(_scratch_root(spark), "nation_corrupt")
     shutil.rmtree(out, ignore_errors=True)
     nation.select(line.alias("value")).write.mode("overwrite").text(out)
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType

@@ -117,11 +117,17 @@ def q_rrf_fusion(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # top-k via orderBy().limit(k) — compiles to TakeOrderedAndProject
+    # (per-partition top-k + driver merge of k rows), never a single-
+    # partition global window over the corpus. The rank columns are then
+    # re-derived by a window over the ALREADY-truncated <=50-row frame —
+    # identical values (deterministic total order), bounded input.
     lex = R.bm25(docs, "doc_id", "text", BM25_TERMS)
     wl = Window.orderBy(F.col("score").desc(), F.col("id"))
     lexr = (
-        lex.withColumn("rank", F.row_number().over(wl))
-        .filter(F.col("rank") <= 50)
+        lex.orderBy(F.col("score").desc(), F.col("id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wl))
         .select("id", "rank")
     )
 
@@ -132,16 +138,16 @@ def q_rrf_fusion(spark, sf_dir):
     )
     wd = Window.orderBy(F.col("cos").desc(), F.col("id"))
     denser = (
-        dense.withColumn("rank", F.row_number().over(wd))
-        .filter(F.col("rank") <= 50)
+        dense.orderBy(F.col("cos").desc(), F.col("id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wd))
         .select("id", "rank")
     )
 
     fused = R.rrf_fuse([("lex", lexr), ("dense", denser)], k=60)
-    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("id"))
     return (
-        fused.withColumn("_rn", F.row_number().over(wf))
-        .filter(F.col("_rn") <= 20)
+        fused.orderBy(F.col("rrf_score").desc(), F.col("id"))
+        .limit(20)
         .select("id", "lex_rank", "dense_rank", "rrf_score")
     )
 
@@ -178,7 +184,7 @@ agg AS (
            CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
            CAST(SUM(CASE WHEN r <= 10 THEN t6 ELSE 0 END) AS BIGINT) AS dcg6,
            CAST(SUM(CASE WHEN ir <= 10 THEN it6 ELSE 0 END) AS BIGINT) AS idcg6,
-           MIN(CASE WHEN rel > 0 THEN r END) AS first_hit
+           MIN(CASE WHEN rel > 0 AND r <= 10 THEN r END) AS first_hit
     FROM terms GROUP BY q
 )
 SELECT q, n_rel,

@@ -38,7 +38,11 @@ m AS (
     SELECT label, p.pos,
            CAST(SUM(CAST(round(CAST(v[p.pos] AS DOUBLE) * 1000000000.0)
                          AS BIGINT)) AS DOUBLE)
-           / COUNT(*) / 1000000000.0 AS m
+           -- COUNT(v[p.pos]) counts NON-NULL components, twinning the
+           -- Spark side's posexplode element count: an embedding shorter
+           -- than DIM contributes no row there, while COUNT(*) here
+           -- would still count it and silently skew the mean
+           / COUNT(v[p.pos]) / 1000000000.0 AS m
     FROM v, generate_series(1, {DIM}) p(pos)
     GROUP BY label, p.pos
 ),

@@ -208,7 +208,12 @@ def q_mode_per_key(spark, sf_dir):
     counts = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type"))
+    # asc_nulls_last pins the tie-break to DuckDB's default NULL order
+    # (Spark's bare asc is NULLS FIRST) — a NULL event_type tying with a
+    # non-null one would otherwise pick different winners per engine
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc_nulls_last()
+    )
     return (
         counts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
