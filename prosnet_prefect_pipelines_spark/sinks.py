@@ -89,6 +89,95 @@ class LocalJsonUpsertClient(UpsertClient):
                 f.write(json.dumps(d, sort_keys=True) + "\n")
 
 
+class HttpUpsertClient(UpsertClient):
+    """K1/K2 over a real socket: speaks the Typesense batch-import wire
+    protocol (push_to_typesense.py:23-53 semantics) with stdlib urllib —
+    GET /collections/{name} (404 -> POST /collections to create, the
+    get-or-create K1 step), then POST /collections/{name}/documents/
+    import?action=upsert with a JSON-lines body per batch (K2).
+
+    Transient failures (connection errors, HTTP 5xx) retry with linear
+    backoff; because every document carries its id and the action is
+    upsert, a replayed batch is idempotent — the retry loop cannot
+    duplicate documents. Import responses are JSONL of per-document
+    {"success": bool}; any false fails the task (Spark retries the
+    partition, again idempotent).
+
+    Built on urllib so executors need no extra dependency; the real
+    typesense SDK slots behind the same ``UpsertClient`` protocol.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        collection: str,
+        schema: dict | None = None,
+        retries: int = 3,
+        backoff_s: float = 0.2,
+        timeout_s: float = 10.0,
+        api_key: str | None = None,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.collection = collection
+        self.schema = schema or {"name": collection}
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+        self.api_key = api_key
+
+    def _request(self, method: str, path: str, body: bytes | None = None) -> tuple[int, bytes]:
+        import time
+        import urllib.error
+        import urllib.request
+
+        headers = {"Content-Type": "text/plain"}
+        if self.api_key:
+            headers["X-TYPESENSE-API-KEY"] = self.api_key
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            req = urllib.request.Request(
+                self.base_url + path, data=body, method=method, headers=headers
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as e:
+                if e.code < 500:  # 4xx is a protocol answer, not transient
+                    return e.code, e.read()
+                last = e
+            except urllib.error.URLError as e:
+                last = e
+            if attempt < self.retries:
+                time.sleep(self.backoff_s * (attempt + 1))
+        raise RuntimeError(f"{method} {path} failed after {self.retries + 1} tries: {last}")
+
+    def ensure_collection(self) -> None:
+        status, _ = self._request("GET", f"/collections/{self.collection}")
+        if status == 404:
+            create_status, body = self._request(
+                "POST", "/collections", json.dumps(self.schema).encode()
+            )
+            # 409 = another task created it concurrently — get-or-create
+            if create_status not in (200, 201, 409):
+                raise RuntimeError(f"create collection failed: {create_status} {body!r}")
+        elif status != 200:
+            raise RuntimeError(f"get collection failed: {status}")
+
+    def upsert_batch(self, docs: list[dict]) -> None:
+        payload = "\n".join(json.dumps(d, sort_keys=True) for d in docs).encode()
+        status, body = self._request(
+            "POST",
+            f"/collections/{self.collection}/documents/import?action=upsert",
+            payload,
+        )
+        if status != 200:
+            raise RuntimeError(f"import failed: HTTP {status} {body!r}")
+        results = [json.loads(line) for line in body.splitlines() if line.strip()]
+        failed = [r for r in results if not r.get("success")]
+        if failed:
+            raise RuntimeError(f"{len(failed)}/{len(results)} documents rejected: {failed[:3]}")
+
+
 def publication_hook(
     artifact_path: str,
     steps: list[Callable[[str], None]],
