@@ -114,6 +114,7 @@ def _load_all() -> None:
         q_pipeline60,
         q_pipeline61,
         q_pipeline62,
+        q_pipeline63,
         q_ranking,
         q_relational,
         q_render,
