@@ -116,6 +116,7 @@ def _load_all() -> None:
         q_pipeline62,
         q_pipeline63,
         q_pipeline64,
+        q_pipeline65,
         q_ranking,
         q_relational,
         q_render,

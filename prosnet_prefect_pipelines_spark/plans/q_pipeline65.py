@@ -1,0 +1,414 @@
+"""Pipeline batch 65 (north-star extension): temporal joins and
+behavior segmentation — bidirectional nearest-event join, k-truss edge
+support, inter-event gap statistics, apriori frequent triples, and RFM
+segmentation.
+
+Exactness discipline: event time is exact integer microseconds
+(epoch_us twin), gaps/recency are integer differences, monetary values
+are exact cents, tie-breaks are pinned everywhere (event_id / item id /
+user_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prosnet_prefect_pipelines_spark.model import read_events
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# ---------------------------------------------------------------------------
+# nearest-event join: each purchase matched to the temporally NEAREST
+# click (either direction), not just the latest-before (asof_join).
+
+NEAREST_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    WHERE user_id IS NOT NULL
+),
+p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+c AS (
+    SELECT user_id, ts_us, MIN(event_id) AS click_id
+    FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+),
+bk AS (
+    SELECT p.event_id, p.user_id, p.ts_us,
+           c.ts_us AS b_ts, c.click_id AS b_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+),
+fw AS (
+    SELECT p.event_id, c.ts_us AS f_ts, c.click_id AS f_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+)
+SELECT bk.event_id, bk.user_id, bk.ts_us,
+       CASE WHEN bk.b_ts IS NOT NULL AND
+                 (fw.f_ts IS NULL OR bk.ts_us - bk.b_ts <= fw.f_ts - bk.ts_us)
+            THEN bk.b_ts ELSE fw.f_ts END AS click_ts,
+       CASE WHEN bk.b_ts IS NOT NULL AND
+                 (fw.f_ts IS NULL OR bk.ts_us - bk.b_ts <= fw.f_ts - bk.ts_us)
+            THEN bk.b_id ELSE fw.f_id END AS click_id,
+       CASE WHEN bk.b_ts IS NOT NULL AND
+                 (fw.f_ts IS NULL OR bk.ts_us - bk.b_ts <= fw.f_ts - bk.ts_us)
+            THEN CAST(bk.ts_us - bk.b_ts AS BIGINT)
+            WHEN fw.f_ts IS NOT NULL THEN CAST(fw.f_ts - bk.ts_us AS BIGINT)
+            END AS abs_dt_us
+FROM bk JOIN fw USING (event_id)
+"""
+
+
+@register("nearest_event_join", oracle=NEAREST_SQL, covers=["J1", "J2", "O6"])
+def q_nearest_event_join(spark, sf_dir):
+    """Bidirectional nearest-event join: each purchase matched to the
+    user's temporally NEAREST click — backward or forward — with the
+    backward match winning distance ties (the attribution-window join;
+    plain as-of only looks backward). Clicks are first deduplicated to
+    one row per (user, timestamp) (min event_id) so both engines pick
+    identical matches.
+
+    Plan: ONE union + one user-keyed window pass derives both the
+    running-last click at-or-before and the running-first click after
+    every purchase (no per-row subqueries); the oracle replays it with
+    DuckDB's native ASOF joins in both directions — two independent
+    implementations that must agree exactly."""
+    ev = read_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    # tag and union: clicks sort BEFORE purchases at equal ts (flag 0<1),
+    # so a same-timestamp click is visible to the backward pass
+    u = p.select(
+        "user_id", "ts_us", F.lit(1).alias("flag"),
+        F.col("event_id"), F.lit(None).cast("long").alias("click_id"),
+    ).unionByName(
+        c.select(
+            "user_id", "ts_us", F.lit(0).alias("flag"),
+            F.lit(None).cast("long").alias("event_id"), "click_id",
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "flag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "flag")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    both = u.select(
+        "user_id", "ts_us", "flag", "event_id",
+        F.last(F.when(F.col("click_id").isNotNull(), F.col("ts_us")), True)
+        .over(wb)
+        .alias("b_ts"),
+        F.last("click_id", True).over(wb).alias("b_id"),
+        F.first(F.when(F.col("click_id").isNotNull(), F.col("ts_us")), True)
+        .over(wf)
+        .alias("f_ts"),
+        F.first("click_id", True).over(wf).alias("f_id"),
+    ).filter(F.col("flag") == 1)
+    back_wins = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull()
+        | (F.col("ts_us") - F.col("b_ts") <= F.col("f_ts") - F.col("ts_us"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(back_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
+        F.when(back_wins, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
+        F.when(back_wins, (F.col("ts_us") - F.col("b_ts")).cast("long"))
+        .otherwise((F.col("f_ts") - F.col("ts_us")).cast("long"))
+        .alias("abs_dt_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-truss edge support over the orders-derived graph (same construction
+# as triangle_count).
+
+TRUSS_SQL = """
+WITH m AS (
+    SELECT COUNT(*) // 10 + 1 AS m1, COUNT(*) // 10 + 3 AS m2 FROM orders
+),
+raw AS (SELECT o_orderkey % m1 AS u, o_orderkey % m2 AS v FROM orders, m),
+e AS (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+    FROM raw WHERE u <> v
+),
+n AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b AS u, a AS w FROM e),
+sup AS (
+    SELECT e.a, e.b, COUNT(*) AS support
+    FROM e
+    JOIN n na ON na.u = e.a
+    JOIN n nb ON nb.u = e.b AND nb.w = na.w
+    WHERE na.w <> e.a AND na.w <> e.b
+    GROUP BY e.a, e.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(support AS BIGINT) AS support,
+       CAST(CASE WHEN support >= 2 THEN 1 ELSE 0 END AS INT) AS in_4truss
+FROM sup
+"""
+
+
+@register("edge_triangle_support", oracle=TRUSS_SQL, covers=["J1", "A2"])
+def q_edge_triangle_support(spark, sf_dir):
+    """Per-edge triangle support (the k-truss filter): for every edge,
+    the number of triangles it participates in = |common neighbors of
+    its endpoints|; support >= k-2 marks k-truss membership (flagged
+    for k=4) — the cohesion screen community pipelines run before
+    expensive clustering.
+
+    Plan: canonical edge list, undirected adjacency, and a common-
+    neighbor join keyed on (endpoint, witness) — work is sum over edges
+    of min-degree, the same bound as triangle counting; nothing
+    quadratic in |V|. Only edges with support >= 1 appear (COUNT
+    group)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()  # parquet metadata count
+    m1, m2 = n_orders // 10 + 1, n_orders // 10 + 3
+    k = F.col("o_orderkey")
+    raw = orders.select((k % m1).alias("u"), (k % m2).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    e = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    n = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    na = n.select(F.col("u").alias("a"), F.col("w").alias("wa"))
+    nb = n.select(F.col("u").alias("b"), F.col("w").alias("wb"))
+    sup = (
+        e.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            (F.col("wa") == F.col("wb"))
+            & (F.col("wa") != F.col("a"))
+            & (F.col("wa") != F.col("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return sup.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
+        F.when(F.col("support") >= 2, 1).otherwise(0).cast("int").alias("in_4truss"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap statistics per user.
+
+GAPS_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    WHERE user_id IS NOT NULL
+),
+gaps AS (
+    SELECT user_id,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS gap_us
+    FROM ev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(CASE WHEN COUNT(gap_us) > 0
+                 THEN CAST(SUM(gap_us) AS HUGEINT) // COUNT(gap_us) END
+            AS BIGINT) AS mean_gap_us,
+       CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_breaks_30m
+FROM gaps GROUP BY user_id
+"""
+
+
+@register("gap_stats_per_user", oracle=GAPS_SQL, covers=["A2", "O1"])
+def q_gap_stats_per_user(spark, sf_dir):
+    """Inter-event gap profile per user: max / truncating-mean gap in
+    exact integer microseconds plus the count of >30-minute breaks (the
+    session-boundary signal sessionization thresholds are tuned from).
+    One user-keyed window (lag) + one aggregation — gaps never leave
+    integer arithmetic."""
+    ev = read_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(gap_us) > 0 THEN "
+            "CAST(SUM(gap_us) AS DECIMAL(38,0)) div COUNT(gap_us) END AS BIGINT)"
+        ).alias("mean_gap_us"),
+        F.sum(F.when(F.col("gap_us") > 1_800_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_breaks_30m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# apriori frequent triples over order baskets.
+
+APRIORI_SQL = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS bid, l_partkey % 40 AS item FROM lineitem
+),
+nb AS (SELECT COUNT(DISTINCT bid) AS n FROM baskets),
+fp AS (
+    SELECT x.item AS a, y.item AS b
+    FROM baskets x JOIN baskets y ON x.bid = y.bid AND x.item < y.item
+    GROUP BY x.item, y.item HAVING COUNT(*) >= 5
+),
+tri AS (
+    SELECT x.item AS a, y.item AS b, z.item AS c, COUNT(*) AS n_abc
+    FROM baskets x
+    JOIN baskets y ON x.bid = y.bid AND x.item < y.item
+    JOIN baskets z ON x.bid = z.bid AND y.item < z.item
+    JOIN fp ab ON ab.a = x.item AND ab.b = y.item
+    JOIN fp ac ON ac.a = x.item AND ac.b = z.item
+    JOIN fp bc ON bc.a = y.item AND bc.b = z.item
+    GROUP BY x.item, y.item, z.item HAVING COUNT(*) >= 5
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+       CAST(n_abc AS BIGINT) AS n_abc,
+       CAST(CAST(n_abc AS HUGEINT) * 1000000 // nb.n AS BIGINT) AS support_ppm
+FROM tri CROSS JOIN nb
+"""
+
+
+@register("apriori_triples", oracle=APRIORI_SQL, covers=["J1", "A2"])
+def q_apriori_triples(spark, sf_dir):
+    """Frequent 3-itemsets with apriori pruning: candidate triples are
+    generated ONLY through frequent pairs (every 2-subset must clear
+    min-support 5 — the apriori property), so the 3-way basket join is
+    gated by the pruned pair table instead of exploding combinatorially.
+    Supports in truncating ppm."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.select(
+        F.col("l_orderkey").alias("bid"),
+        (F.col("l_partkey") % 40).alias("item"),
+    ).distinct()
+    nb = baskets.agg(F.countDistinct("bid").alias("n"))
+    fp = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "bid")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+        .select("a", "b")
+    )
+    tri = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "bid")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .join(baskets.alias("z"), "bid")
+        .filter(F.col("y.item") < F.col("z.item"))
+        .select(
+            F.col("x.item").alias("a"),
+            F.col("y.item").alias("b"),
+            F.col("z.item").alias("c"),
+        )
+        .join(F.broadcast(fp), ["a", "b"])
+        .join(
+            F.broadcast(fp.select(F.col("a"), F.col("b").alias("c"))),
+            ["a", "c"],
+        )
+        .join(
+            F.broadcast(fp.select(F.col("a").alias("b"), F.col("b").alias("c"))),
+            ["b", "c"],
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+        .filter(F.col("n_abc") >= 5)
+    )
+    return tri.join(F.broadcast(nb)).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("n_abc").cast("long").alias("n_abc"),
+        F.expr("CAST(CAST(n_abc AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)").alias(
+            "support_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation.
+
+RFM_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE user_id IS NOT NULL
+),
+mx AS (SELECT MAX(ts_us) AS corpus_max FROM ev),
+rfm AS (
+    SELECT user_id,
+           CAST(mx.corpus_max - MAX(ts_us) AS BIGINT) AS recency_us,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(cents) AS BIGINT) AS monetary_cents
+    FROM ev CROSS JOIN mx GROUP BY user_id, mx.corpus_max
+)
+SELECT user_id, recency_us, frequency, monetary_cents,
+       CAST(ntile(3) OVER (ORDER BY recency_us, user_id) AS INT) AS r_t,
+       CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_t,
+       CAST(ntile(3) OVER (ORDER BY monetary_cents DESC, user_id) AS INT) AS m_t
+FROM rfm
+"""
+
+
+@register("rfm_segments", oracle=RFM_SQL, covers=["A2", "O6", "O1"])
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency (exact integer microseconds
+    vs the corpus max), frequency, and monetary value (exact cents),
+    each tertiled by ntile(3) with a user-id tie-break (tertile 1 =
+    best). The three global ntile windows run over the USER DIMENSION
+    (one row per user — entity-bounded, not corpus-sized); the corpus
+    max is a broadcast single row."""
+    ev = read_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    mx = ev.agg(F.max("ts_us").alias("corpus_max"))
+    rfm = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("user_max"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("corpus_max") - F.col("user_max"))
+            .cast("long")
+            .alias("recency_us"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy("recency_us", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return rfm.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary_cents",
+        F.ntile(3).over(wr).cast("int").alias("r_t"),
+        F.ntile(3).over(wf).cast("int").alias("f_t"),
+        F.ntile(3).over(wm).cast("int").alias("m_t"),
+    )
