@@ -117,6 +117,7 @@ def _load_all() -> None:
         q_pipeline63,
         q_pipeline64,
         q_pipeline65,
+        q_pipeline66,
         q_ranking,
         q_relational,
         q_render,
