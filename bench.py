@@ -112,12 +112,15 @@ def _latest(pattern: str) -> tuple[int, str] | None:
 
 
 def _prev_round_queries() -> tuple[dict[str, float], str]:
-    """Per-query timings from the latest usable prior artifact: prefer our own
-    BENCH_DETAIL_r{N}.json (always complete), else the driver's parsed
-    BENCH_r{N}.json (r2's is null — truncated). Returns ({}, "") if none."""
+    """Per-query timings from the latest usable PRIOR-round artifact:
+    prefer our own BENCH_DETAIL_r{N}.json (always complete), else the
+    driver's parsed BENCH_r{N}.json (r2's is null — truncated). The
+    current round's own detail file is excluded so a re-run within a
+    round still compares against the previous round. ({}, "") if none."""
+    this_round = _this_round()
     candidates: list[tuple[int, dict]] = []
     det = _latest("BENCH_DETAIL_r*.json")
-    if det:
+    if det and det[0] < this_round:
         try:
             with open(det[1]) as fh:
                 q = json.load(fh).get("queries")
@@ -207,6 +210,30 @@ def main() -> None:
         ),
         key=lambda r: -r["delta_s"],
     )
+    # Host-speed attribution: the driver boxes differ in speed between
+    # rounds (observed: a ~1.5-1.8x UNIFORM ratio across unrelated
+    # trivial queries). The median now/prev ratio over the shared set
+    # estimates that host factor; only queries regressing beyond it are
+    # CODE regressions. Both lists land in the detail file.
+    ratios = sorted(
+        timings[n] / prev[n] for n in deltas if prev[n] > 0.05
+    )
+    host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
+    regressions_beyond_host = sorted(
+        (
+            {
+                "query": n,
+                "prev_s": prev[n],
+                "now_s": timings[n],
+                "ratio": round(timings[n] / prev[n], 2),
+            }
+            for n in deltas
+            if prev[n] > 0.05
+            and timings[n] > prev[n] * host_ratio * (1 + REGRESSION_PCT)
+            and timings[n] - prev[n] * host_ratio > REGRESSION_ABS_S
+        ),
+        key=lambda r: -r["ratio"],
+    )
 
     rnd = _this_round()
     detail = {
@@ -224,7 +251,9 @@ def main() -> None:
         "deltas_vs_prev": deltas,
         "shared_total": shared_total,
         "prev_shared_total": prev_shared_total,
+        "host_speed_ratio_median": host_ratio,
         "regressions": regressions,
+        "regressions_beyond_host": regressions_beyond_host,
         "regression_gate": {"pct": REGRESSION_PCT, "abs_s": REGRESSION_ABS_S},
     }
     for fname in (f"BENCH_DETAIL_r{rnd}.json", "BENCH_DETAIL.json"):
@@ -243,11 +272,16 @@ def main() -> None:
         "calib_spark_agg_sec": calib,
         "value_per_calib": round(total / calib, 2) if calib else None,
         "shared_vs_prev": (
-            {"prev": prev_round, "now_s": shared_total, "prev_s": prev_shared_total}
+            {
+                "prev": prev_round,
+                "now_s": shared_total,
+                "prev_s": prev_shared_total,
+                "host_speed_ratio_median": host_ratio,
+            }
             if deltas
             else None
         ),
-        "n_regressions": len(regressions),
+        "n_regressions_beyond_host_speed": len(regressions_beyond_host),
         "detail_file": f"BENCH_DETAIL_r{rnd}.json",
     }
     print(json.dumps(out))
