@@ -120,6 +120,7 @@ def _load_all() -> None:
         q_pipeline66,
         q_pipeline67,
         q_pipeline68,
+        q_pipeline69,
         q_ranking,
         q_relational,
         q_render,
