@@ -547,6 +547,140 @@ AUDITS = {
         ("partial_", "per-point winding min/max combine map-side"),
         ("BroadcastNestedLoopJoin", "8-edge table broadcast into the fan-out (deliberate)"),
     ],
+    # --- batches 63-70 (r3) ---
+    "bigram_lm_score": [
+        ("partial_", "bigram/prefix count tables combine map-side"),
+        ("HashJoin", "vocabulary-sized count tables joined back on keys"),
+    ],
+    "readability_scores": [
+        ("ReadSchema", "column pruning: only doc_id + text read"),
+    ],
+    "prf_query_expansion": [
+        ("TakeOrderedAndProject", "top-10 docs / top-8 terms never a global window"),
+        ("BroadcastHashJoin", "pseudo-relevant doc ids broadcast into the tf table"),
+    ],
+    "class_balance_plan": [
+        ("Window", "per-class rank partitions by label — bounded, parallel"),
+    ],
+    "assoc_rules_lift": [
+        ("partial_", "pair counts combine map-side"),
+        ("BroadcastHashJoin", "item-count dims + basket total broadcast"),
+    ],
+    "ewma_per_user": [
+        ("partial_", "per-user sequence assembly is a keyed aggregation"),
+    ],
+    "sigma_outliers_exact": [
+        ("partial_", "five integer sums per group combine map-side"),
+        ("BroadcastHashJoin", "group stats broadcast back into the counting pass"),
+    ],
+    "path_trigrams_top": [
+        ("TakeOrderedAndProject", "global top-10 paths via per-partition top-k"),
+    ],
+    "benford_digit_audit": [
+        ("partial_", "digit counts combine map-side"),
+        ("ReadSchema", "column pruning: only l_extendedprice read"),
+    ],
+    "supplier_overlap_pairs": [
+        ("partial_", "pair counts combine map-side"),
+        ("HashJoin", "candidate pairs generated per part — equi join, never a product"),
+    ],
+    "nearest_event_join": [
+        ("Window", "both directions from ONE user-keyed window pass"),
+    ],
+    "edge_triangle_support": [
+        ("partial_", "per-edge support counts combine map-side"),
+        ("HashJoin", "common-neighbor join keyed on (endpoint, witness)"),
+    ],
+    "gap_stats_per_user": [
+        ("Window", "lag() over the user key — one shuffle"),
+        ("partial_", "gap rollup combines map-side"),
+    ],
+    "apriori_triples": [
+        ("BroadcastHashJoin", "frequent-pair prune tables broadcast (apriori gate)"),
+    ],
+    "rfm_segments": [
+        ("partial_", "per-user RFM aggregates combine map-side"),
+        ("Window", "ntile over the user DIMENSION (entity-bounded)"),
+    ],
+    "rake_keywords": [
+        ("Window", "phrase ids = running stopword count per doc"),
+        ("TakeOrderedAndProject", "global top-15 phrases via per-partition top-k"),
+    ],
+    "pearson_r2_exact": [
+        ("partial_", "five wide-integer sums per group combine map-side"),
+    ],
+    "dau_overlap_jaccard": [
+        ("HashJoin", "set sizes and intersections are keyed joins on day"),
+    ],
+    "conversion_latency_histogram": [
+        ("partial_", "min-aggregations + bucket rollup combine map-side"),
+    ],
+    "market_concentration_hhi": [
+        ("BroadcastHashJoin", "supplier dim broadcast into the revenue rollup"),
+    ],
+    "sql_set_operations": [
+        ("partial_", "INTERSECT/EXCEPT ALL compile to multiplicity aggregations"),
+    ],
+    "sql_correlated_scalar": [
+        ("partial_", "the correlated MAX decorrelates into a keyed aggregation"),
+        ("HashJoin", "decorrelated subquery joins on the correlation key"),
+    ],
+    "time_grain_rollup": [
+        ("Union", "4-grain fanout is one union, each branch narrow"),
+        ("partial_", "grain rollup combines map-side"),
+    ],
+    "window_value_suite": [
+        ("Window", "value functions share one nation-keyed window"),
+    ],
+    "sql_not_in_null_semantics": [
+        ("LeftAnti", "NOT IN plans as a null-aware anti join"),
+    ],
+    "mom_growth_report": [
+        ("BroadcastHashJoin", "customer dim broadcast into the revenue rollup"),
+        ("Window", "lag over the bounded (nation, month) series"),
+    ],
+    "state_dwell_times": [
+        ("Window", "lead() over the user key — one shuffle"),
+        ("partial_", "state rollup combines map-side"),
+    ],
+    "hist2d_bins": [
+        ("partial_", "bin counts combine map-side"),
+        ("ReadSchema", "column pruning: only quantity + price read"),
+    ],
+    "reconciliation_report": [
+        ("partial_", "lineitem rollup combines map-side"),
+    ],
+    "fixed_width_roundtrip": [
+        ("partial_", "decode is per-row; the rollup combines map-side"),
+    ],
+    "generalization_levels": [
+        ("Union", "3-level fanout is one union of narrow branches"),
+        ("partial_", "both grouped aggregations combine map-side"),
+    ],
+    "consent_partition_report": [
+        ("BroadcastHashJoin", "per-type totals broadcast back"),
+    ],
+    "contribution_bounding_report": [
+        ("partial_", "(type, user) counts + type rollup combine map-side"),
+    ],
+    "sla_breach_report": [
+        ("partial_", "first-ship min-aggregation combines map-side"),
+        ("HashJoin", "orders join first-ship on the order key"),
+    ],
+    "error_budget_burn": [
+        ("partial_", "hourly counts combine map-side"),
+        ("Window", "cumulative burn over the bounded hourly series"),
+    ],
+    "rank_movers_report": [
+        ("Window", "per-period ranks partition by period"),
+        ("TakeOrderedAndProject", "top-15 movers via per-partition top-k"),
+    ],
+    "duplicate_payment_candidates": [
+        ("HashJoin", "self-join keyed on (user, amount) — collisions only"),
+    ],
+    "freshness_report": [
+        ("partial_", "per-type max + corpus watermark combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -725,6 +859,15 @@ FORBIDDEN = {
     "rfm_segmentation": ["CartesianProduct"],
     "bitemporal_asof": ["CartesianProduct", "Exchange SinglePartition"],
     "diff_in_diff_report": ["SortMergeJoin"],
+    # batches 63-70
+    "duplicate_payment_candidates": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "supplier_overlap_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "nearest_event_join": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "apriori_triples": ["CartesianProduct"],
+    "edge_triangle_support": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "hist2d_bins": ["Exchange SinglePartition"],
+    "state_dwell_times": ["Exchange SinglePartition"],
+    "benford_digit_audit": ["CartesianProduct"],
 }
 
 
