@@ -122,6 +122,7 @@ def _load_all() -> None:
         q_pipeline68,
         q_pipeline69,
         q_pipeline70,
+        q_pipeline71,
         q_ranking,
         q_relational,
         q_render,
