@@ -124,6 +124,7 @@ def _load_all() -> None:
         q_pipeline70,
         q_pipeline71,
         q_pipeline72,
+        q_pipeline73,
         q_ranking,
         q_relational,
         q_render,
