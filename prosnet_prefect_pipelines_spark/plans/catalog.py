@@ -125,6 +125,7 @@ def _load_all() -> None:
         q_pipeline71,
         q_pipeline72,
         q_pipeline73,
+        q_pipeline74,
         q_ranking,
         q_relational,
         q_render,
