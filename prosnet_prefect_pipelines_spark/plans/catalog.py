@@ -128,6 +128,7 @@ def _load_all() -> None:
         q_pipeline74,
         q_pipeline75,
         q_pipeline76,
+        q_pipeline77,
         q_ranking,
         q_relational,
         q_render,
