@@ -681,6 +681,102 @@ AUDITS = {
     "freshness_report": [
         ("partial_", "per-type max + corpus watermark combine map-side"),
     ],
+    # --- batches 71-78 (r3) ---
+    "bom_explosion": [
+        ("HashJoin", "each BOM level is one equi join against the edge table"),
+        ("partial_", "the (root, part) rollup combines map-side"),
+    ],
+    "ols_slope_exact": [
+        ("partial_", "normal-equation sums combine map-side"),
+    ],
+    "churn_hazard_report": [
+        ("BroadcastNestedLoopJoin", "61-row offset spine broadcast fan-out (deliberate)"),
+        ("partial_", "risk-set counts combine map-side"),
+    ],
+    "cohort_ltv_triangle": [
+        ("BroadcastHashJoin", "cohort sizes broadcast into the triangle"),
+        ("Window", "cumulative LTV partitions by cohort"),
+    ],
+    "cuped_adjustment": [
+        ("partial_", "pooled theta stats combine map-side"),
+        ("BroadcastNestedLoopJoin", "single-row theta broadcast (deliberate)"),
+    ],
+    "lang_id_confusion": [
+        ("partial_", "confusion counts combine map-side"),
+    ],
+    "funnel_strict_windows": [
+        # the three steps execute as separately-counted cascade jobs;
+        # the returned report is their driver-scalar assembly
+        ("Scan ExistingRDD", "3-row report assembled from counted cascade stages"),
+    ],
+    "phrase_search_positional": [
+        ("HashJoin", "postings adjacency join on (doc, pos)"),
+        ("partial_", "per-doc occurrence counts combine map-side"),
+    ],
+    "substring_trgm_search": [
+        ("partial_", "trigram candidate counts combine map-side"),
+    ],
+    "symspell_suggest": [
+        ("TakeOrderedAndProject", "top-5 suggestions via per-partition top-k"),
+    ],
+    "kwic_snippets": [
+        ("HashJoin", "hit list joins token arrays on the doc key"),
+    ],
+    "boolean_retrieval": [
+        ("LeftSemi", "AND = posting-list semi join"),
+        ("LeftAnti", "NOT = posting-list anti join"),
+    ],
+    "loo_target_encoding": [
+        ("BroadcastHashJoin", "category stats broadcast back"),
+    ],
+    "lag_feature_table": [
+        ("Window", "lag block shares one user-keyed window"),
+    ],
+    "onehot_sparse_encode": [
+        ("BroadcastHashJoin", "dense-ranked vocabulary broadcast into the fact scan"),
+    ],
+    "abc_xyz_classification": [
+        ("partial_", "revenue + dispersion sums combine map-side"),
+        ("Window", "cumulative share over the bounded group dimension"),
+    ],
+    "roc_points_fixed": [
+        ("BroadcastNestedLoopJoin", "5-row threshold dim broadcast fan-out (deliberate)"),
+        ("partial_", "confusion rollup combines map-side"),
+    ],
+    "return_rate_by_brand": [
+        ("BroadcastHashJoin", "part dim broadcast into the fact scan"),
+    ],
+    "fifo_allocation": [
+        ("Window", "consumption intervals from per-(group, side) running sums"),
+        ("HashJoin", "interval intersection keyed on the group"),
+    ],
+    "trial_balance_audit": [
+        ("Union", "double-entry postings are one union of narrow passes"),
+        ("partial_", "account rollup combines map-side"),
+    ],
+    "ar_aging_report": [
+        ("partial_", "aging rollup combines map-side"),
+    ],
+    "concurrent_sessions_profile": [
+        ("Window", "sessionization + sweep are window passes"),
+        ("partial_", "boundary dedup combines map-side"),
+    ],
+    "merge_overlapping_intervals": [
+        ("Window", "running-max-end episode detection partitions by user"),
+    ],
+    "topn_plus_other": [
+        ("Window", "per-nation rank over the bounded customer set"),
+        ("BroadcastHashJoin", "customer dim broadcast into the revenue rollup"),
+    ],
+    "sql_pivot_native": [
+        ("partial_", "PIVOT compiles to one-scan conditional aggregation"),
+    ],
+    "null_ordering_matrix": [
+        ("TakeOrderedAndProject", "each ordering head is a top-1, never a full sort collect"),
+    ],
+    "date_func_matrix": [
+        ("ReadSchema", "column pruning: only o_orderdate read"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -868,6 +964,13 @@ FORBIDDEN = {
     "hist2d_bins": ["Exchange SinglePartition"],
     "state_dwell_times": ["Exchange SinglePartition"],
     "benford_digit_audit": ["CartesianProduct"],
+    # batches 71-78
+    "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "bom_explosion": ["CartesianProduct"],
+    "loo_target_encoding": ["Exchange SinglePartition"],
+    "lag_feature_table": ["Exchange SinglePartition"],
+    "merge_overlapping_intervals": ["Exchange SinglePartition"],
 }
 
 
