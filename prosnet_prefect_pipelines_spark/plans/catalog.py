@@ -130,6 +130,7 @@ def _load_all() -> None:
         q_pipeline76,
         q_pipeline77,
         q_pipeline78,
+        q_pipeline79,
         q_ranking,
         q_relational,
         q_render,

@@ -1,0 +1,404 @@
+"""Pipeline batch 79 (north-star extension): nonparametric statistics,
+exactly — Kolmogorov-Smirnov via cross-multiplied ECDFs, Mann-Whitney U
+with doubled tie ranks, Spearman rank correlation as integer Pearson on
+ranks, the Wald-Wolfowitz runs test, and a paired sign test.
+
+Every statistic that classically needs fractions is rescaled to stay in
+integers: ECDF differences cross-multiply (|i*m - j*n|), average ranks
+double (2r is always integral), Spearman reuses the (sign, r² ppm)
+decomposition — so both engines agree bit-for-bit with no float ever."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# Two samples throughout: order values before/after 1996-01-01.
+_SAMPLES_CTE = """
+s AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+           CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+                THEN 1 ELSE 2 END AS grp
+    FROM orders
+)
+"""
+
+
+def _samples(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(
+            F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"), 1
+        )
+        .otherwise(2)
+        .alias("grp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov statistic.
+
+KS_SQL = f"""
+WITH {_SAMPLES_CTE},
+n AS (
+    SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+    FROM s
+),
+merged AS (
+    SELECT v,
+           SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER
+               (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+           SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) OVER
+               (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+           row_number() OVER (ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY v) AS dup,
+           row_number() OVER (PARTITION BY v ORDER BY grp) AS dup_rn
+    FROM s
+),
+at_value AS (
+    -- evaluate the ECDF step only at the LAST row of each tied value
+    SELECT c1, c2 FROM merged WHERE dup_rn = dup
+),
+d AS (
+    SELECT MAX(abs(CAST(c1 AS HUGEINT) * n.n2 - CAST(c2 AS HUGEINT) * n.n1))
+               AS dnum
+    FROM at_value CROSS JOIN n
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(d.dnum AS BIGINT) AS ks_numerator,
+       CAST(CAST(d.dnum AS HUGEINT) * 1000000
+            // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS ks_micro
+FROM d CROSS JOIN n
+"""
+
+
+@register("ks_statistic_exact", oracle=KS_SQL, covers=["A2", "O1"])
+def q_ks_statistic_exact(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov: D = max |F1(v) - F2(v)|
+    evaluated WITHOUT fractions — the ECDF difference cross-multiplies
+    to |c1*n2 - c2*n1| (over n1*n2), the step evaluated at the last row
+    of each tied value. One merged-order window pass; the distribution-
+    drift gate that needs no binning choices (vs PSI's fixed bins)."""
+    s = _samples(spark, sf_dir)
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wv = Window.partitionBy("v")
+    wvr = Window.partitionBy("v").orderBy("grp")
+    merged = s.select(
+        "v",
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).over(w).alias("c2"),
+        F.count(F.lit(1)).over(wv).alias("dup"),
+        F.row_number().over(wvr).alias("dup_rn"),
+    )
+    at_value = merged.filter(F.col("dup_rn") == F.col("dup")).select("c1", "c2")
+    d = at_value.join(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("c1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+            )
+        ).alias("dnum")
+    )
+    return d.join(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("dnum").cast("long").alias("ks_numerator"),
+        F.expr(
+            "CAST(CAST(dnum AS DECIMAL(38,0)) * 1000000 div "
+            "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("ks_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U with tie-corrected (doubled) ranks.
+
+MWU_SQL = f"""
+WITH {_SAMPLES_CTE},
+r AS (
+    -- doubled average rank: 2*avg_rank = rank() + (rank of last tie)
+    -- = 2*rank(v) + ties(v) - 1, always an integer
+    SELECT grp,
+           2 * rank() OVER (ORDER BY v) + COUNT(*) OVER (PARTITION BY v) - 1
+               AS r2
+    FROM s
+),
+n AS (
+    SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+    FROM s
+),
+rs AS (SELECT SUM(CASE WHEN grp = 1 THEN r2 ELSE 0 END) AS r2sum1 FROM r)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(rs.r2sum1 AS BIGINT) AS rank2_sum_1,
+       -- 2*U1 = 2*R1 - n1*(n1+1)
+       CAST(rs.r2sum1 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * CAST(n.n1 AS HUGEINT) * n.n2
+            - (rs.r2sum1 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)) AS BIGINT)
+           AS u2_x2
+FROM n CROSS JOIN rs
+"""
+
+
+@register("mannwhitney_u_exact", oracle=MWU_SQL, covers=["A2", "O1"])
+def q_mannwhitney_u_exact(spark, sf_dir):
+    """Exact Mann-Whitney U (rank-sum) with ties: the average rank is
+    kept integral by doubling (2*avg_rank = 2*rank + ties - 1), so
+    2*U1 = 2*R1 - n1(n1+1) is exact integer arithmetic — the
+    nonparametric A/B test for ordinal shifts, with U1 + U2 = n1*n2
+    as the built-in invariant (asserted in pytest)."""
+    s = _samples(spark, sf_dir)
+    wr = Window.orderBy("v")
+    wv = Window.partitionBy("v")
+    r = s.select(
+        "grp",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wv) - 1
+        ).alias("r2"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    rs = r.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("r2")).otherwise(0)).alias("r2sum1")
+    )
+    return n.join(rs).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("r2sum1").cast("long").alias("rank2_sum_1"),
+        F.expr(
+            "CAST(r2sum1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)"
+        ).alias("u1_x2"),
+        F.expr(
+            "CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 - "
+            "(r2sum1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS BIGINT)"
+        ).alias("u2_x2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation as integer Pearson on doubled ranks.
+
+SPEARMAN_SQL = """
+WITH pts AS (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem WHERE l_partkey % 50 = 0
+),
+r AS (
+    SELECT 2 * rank() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1
+               AS rx,
+           2 * rank() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1
+               AS ry
+    FROM pts
+),
+s AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+           CAST(SUM(rx * ry) AS HUGEINT) AS sxy,
+           CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+           CAST(SUM(ry * ry) AS HUGEINT) AS syy
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                 WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INT)
+           AS rho_sign,
+       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+           AS rho2_ppm
+FROM s
+"""
+
+
+@register("spearman_rank_corr", oracle=SPEARMAN_SQL, covers=["A2", "O1"])
+def q_spearman_rank_corr(spark, sf_dir):
+    """Exact Spearman correlation: Pearson computed on tie-corrected
+    DOUBLED ranks (integral average ranks), emitted as the (sign,
+    rho² ppm) decomposition — monotonic association with zero floats,
+    correct under ties where the classic 6Σd² shortcut is not."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_partkey") % 50 == 0
+    )
+    pts = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    wx, wxv = Window.orderBy("x"), Window.partitionBy("x")
+    wy, wyv = Window.orderBy("y"), Window.partitionBy("y")
+    r = pts.select(
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxv) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyv) - 1).alias("ry"),
+    )
+    d = "DECIMAL(38,0)"
+    s = r.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("rx").cast(d).alias("sx"),
+        F.sum("ry").cast(d).alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast(d).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast(d).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast(d).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).cast("int").alias(
+            "rho_sign"
+        ),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000 div "
+            "((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+        ).alias("rho2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test counts.
+
+RUNS_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY day
+),
+med AS (
+    -- exact lower median by position over the bounded daily series
+    SELECT n AS m FROM (
+        SELECT n, row_number() OVER (ORDER BY n, day) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM daily
+    ) t WHERE rn = (cnt + 1) // 2
+),
+signs AS (
+    SELECT day, CASE WHEN d.n > m.m THEN 1 ELSE 0 END AS above
+    FROM daily d CROSS JOIN med m
+),
+flips AS (
+    SELECT above,
+           CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                     OR lag(above) OVER (ORDER BY day) <> above
+                THEN 1 ELSE 0 END AS new_run
+    FROM signs
+)
+SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+       CAST(SUM(above) AS BIGINT) AS n_above,
+       CAST(SUM(1 - above) AS BIGINT) AS n_not_above
+FROM flips
+"""
+
+
+@register("runs_test_exact", oracle=RUNS_SQL, covers=["A2", "O1"])
+def q_runs_test_exact(spark, sf_dir):
+    """Wald-Wolfowitz runs test counts: the daily event series signed
+    against its exact positional median, runs counted as sign flips —
+    too FEW runs = trending/clustered, too MANY = oscillating; the
+    counts feed the normal approximation downstream. All windows run
+    over the bounded daily series."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wm = Window.orderBy("n", "day")
+    wall = Window.partitionBy()
+    med = (
+        daily.select(
+            "n",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("n").alias("m"))
+    )
+    signs = daily.join(F.broadcast(med)).select(
+        "day", F.when(F.col("n") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    wd = Window.orderBy("day")
+    flips = signs.select(
+        "above",
+        F.when(
+            F.lag("above").over(wd).isNull()
+            | (F.lag("above").over(wd) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return flips.agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(1 - F.col("above")).cast("long").alias("n_not_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# paired sign test over consecutive months.
+
+SIGN_SQL = """
+WITH rev AS (
+    SELECT c.c_nationkey AS nation,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY nation, month
+),
+pairs AS (
+    SELECT nation, cents,
+           lag(cents) OVER (PARTITION BY nation ORDER BY month) AS prev
+    FROM rev
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(SUM(CASE WHEN cents > prev THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN cents < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(CASE WHEN cents = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+FROM pairs WHERE prev IS NOT NULL
+GROUP BY nation
+"""
+
+
+@register("sign_test_counts", oracle=SIGN_SQL, covers=["A2", "O1"])
+def q_sign_test_counts(spark, sf_dir):
+    """Paired sign test: month-over-month revenue direction counts per
+    nation (up / down / tie) — the distribution-free trend test whose
+    binomial p-value needs only these integers. One rollup + a
+    per-nation lag window over the bounded month series."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nation")
+    )
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy("nation", "month")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    pairs = rev.select(
+        "nation", "cents", F.lag("cents").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return pairs.groupBy("nation").agg(
+        F.sum(F.when(F.col("cents") > F.col("prev"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("cents") < F.col("prev"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(F.when(F.col("cents") == F.col("prev"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie"),
+    ).select(
+        F.col("nation").cast("long").alias("nation"), "n_up", "n_down", "n_tie"
+    )
