@@ -131,6 +131,7 @@ def _load_all() -> None:
         q_pipeline77,
         q_pipeline78,
         q_pipeline79,
+        q_pipeline80,
         q_ranking,
         q_relational,
         q_render,
