@@ -132,6 +132,7 @@ def _load_all() -> None:
         q_pipeline78,
         q_pipeline79,
         q_pipeline80,
+        q_pipeline81,
         q_ranking,
         q_relational,
         q_render,
