@@ -133,6 +133,7 @@ def _load_all() -> None:
         q_pipeline79,
         q_pipeline80,
         q_pipeline81,
+        q_pipeline82,
         q_ranking,
         q_relational,
         q_render,
