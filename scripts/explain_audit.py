@@ -777,6 +777,65 @@ AUDITS = {
     "date_func_matrix": [
         ("ReadSchema", "column pruning: only o_orderdate read"),
     ],
+    # --- batches 79-82 (r3) ---
+    "ks_statistic_exact": [
+        ("Window", "merged-order ECDF counts from one window pass"),
+    ],
+    "mannwhitney_u_exact": [
+        ("Window", "doubled tie ranks from rank + per-value count windows"),
+        ("partial_", "rank sums combine map-side"),
+    ],
+    "spearman_rank_corr": [
+        ("partial_", "Pearson-on-ranks sums combine map-side"),
+    ],
+    "sign_test_counts": [
+        ("Window", "per-nation lag over the bounded month series"),
+        ("BroadcastHashJoin", "customer dim broadcast"),
+    ],
+    "sparse_matmul_coo": [
+        ("HashJoin", "matmul contraction joins on the term index"),
+        ("partial_", "output-key sums combine map-side"),
+    ],
+    "gram_matrix_exact": [
+        ("partial_", "dim^2 keyed sums combine map-side"),
+        ("HashJoin", "component contraction joins on the vector id"),
+    ],
+    "vector_analogy_topk": [
+        ("TakeOrderedAndProject", "top-3 neighbors via per-partition top-k"),
+        ("BroadcastNestedLoopJoin", "single-row target broadcast (deliberate)"),
+    ],
+    "markov_two_step": [
+        ("partial_", "P^2 sums combine map-side over the tiny state space"),
+    ],
+    "term_cooccurrence_matmul": [
+        ("BroadcastHashJoin", "top-12 term slice broadcast into the incidence"),
+    ],
+    "hierarchical_share_report": [
+        ("BroadcastHashJoin", "all parent rollups broadcast back to leaves"),
+    ],
+    "repeat_purchase_transitions": [
+        ("Window", "dominant brand + order sequence are keyed windows"),
+    ],
+    "new_vs_returning_report": [
+        ("HashJoin", "first-order month joins on the customer key"),
+        ("partial_", "monthly rollup combines map-side"),
+    ],
+    "dow_hour_heatmap": [
+        ("partial_", "7x24 rollup combines map-side"),
+    ],
+    "incremental_agg_equivalence": [
+        ("Union", "partition states merge through one union"),
+        ("partial_", "every aggregation is partial+final"),
+    ],
+    "cdc_tombstone_compaction": [
+        ("Window", "highest-version-wins is one per-key window"),
+    ],
+    "identity_stitching": [
+        ("partial_", "per-component rollup combines map-side"),
+    ],
+    "late_arrival_accounting": [
+        ("Window", "arrival-order lag partitions by user"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
