@@ -134,6 +134,7 @@ def _load_all() -> None:
         q_pipeline80,
         q_pipeline81,
         q_pipeline82,
+        q_pipeline83,
         q_ranking,
         q_relational,
         q_render,
