@@ -135,6 +135,7 @@ def _load_all() -> None:
         q_pipeline81,
         q_pipeline82,
         q_pipeline83,
+        q_pipeline84,
         q_ranking,
         q_relational,
         q_render,
