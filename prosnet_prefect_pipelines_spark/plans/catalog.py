@@ -136,6 +136,7 @@ def _load_all() -> None:
         q_pipeline82,
         q_pipeline83,
         q_pipeline84,
+        q_pipeline85,
         q_ranking,
         q_relational,
         q_render,
