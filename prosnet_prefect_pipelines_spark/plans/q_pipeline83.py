@@ -293,24 +293,35 @@ def q_geo_pairs_within_radius(spark, sf_dir):
         F.expr("CAST(x div 50000 AS BIGINT)").alias("gx"),
         F.expr("CAST(y div 50000 AS BIGINT)").alias("gy"),
     )
+    # scale shape: the probe side EXPLODES to its 3x3 neighbor cells and
+    # the join is a pure EQUI join on the cell key (a hash/sort-merge
+    # join that shuffles on cells) — an abs-difference predicate would
+    # force a nested-loop plan
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     a = g.select(
         F.col("id").alias("a"), F.col("x").alias("ax"), F.col("y").alias("ay"),
-        F.col("gx").alias("agx"), F.col("gy").alias("agy"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("cgx"),
+                        (F.col("gy") + dy).alias("cgy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("cell"),
+    ).select("a", "ax", "ay", F.col("cell.cgx").alias("cgx"), F.col("cell.cgy").alias("cgy"))
     b = g.select(
         F.col("id").alias("b"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        F.col("gx").alias("bgx"), F.col("gy").alias("bgy"),
+        F.col("gx").alias("cgx"), F.col("gy").alias("cgy"),
     )
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
     return (
-        a.join(
-            b,
-            (F.abs(F.col("agx") - F.col("bgx")) <= 1)
-            & (F.abs(F.col("agy") - F.col("bgy")) <= 1)
-            & (F.col("a") < F.col("b")),
-        )
+        a.join(b, ["cgx", "cgy"])
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", d2.alias("d2"))
         .filter(F.col("d2") <= 2_500_000_000)
         .select(

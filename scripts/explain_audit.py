@@ -836,6 +836,37 @@ AUDITS = {
     "late_arrival_accounting": [
         ("Window", "arrival-order lag partitions by user"),
     ],
+    # --- batches 83-85 (r3) ---
+    "geo_grid_density": [
+        ("partial_", "tile counts combine map-side"),
+    ],
+    "geo_nearest_hub": [
+        ("BroadcastNestedLoopJoin", "25-hub candidate fan-out broadcast (deliberate)"),
+        ("Window", "squared-distance argmin partitions by point"),
+    ],
+    "geo_bbox_join": [
+        ("BroadcastNestedLoopJoin", "5 boxes broadcast against the point scan (deliberate)"),
+    ],
+    "geo_pairs_within_radius": [
+        ("HashJoin", "3x3 grid neighborhoods — equi-ish join, never all-pairs"),
+    ],
+    "unicode_confusables_audit": [
+        ("ReadSchema", "column pruning: only key + name read"),
+    ],
+    "null_aggregate_semantics": [
+        ("partial_", "all five NULL spellings combine map-side"),
+    ],
+    "empty_group_semantics": [
+        ("partial_", "spine-side aggregation is partial+final"),
+    ],
+    "llm_corpus_pipeline_v3": [
+        ("Window", "dedup keeper + per-language balance are keyed windows"),
+        ("partial_", "bigram counts and rollups combine map-side"),
+    ],
+    "search_pipeline_e2e": [
+        ("LeftSemi", "the boolean gate prunes via posting-list semi joins"),
+        ("TakeOrderedAndProject", "top-10 via per-partition top-k"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1030,6 +1061,8 @@ FORBIDDEN = {
     "loo_target_encoding": ["Exchange SinglePartition"],
     "lag_feature_table": ["Exchange SinglePartition"],
     "merge_overlapping_intervals": ["Exchange SinglePartition"],
+    "geo_pairs_within_radius": ["CartesianProduct"],
+    "llm_corpus_pipeline_v3": ["CartesianProduct"],
 }
 
 
