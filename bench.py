@@ -96,6 +96,21 @@ HEADLINE = [
 REGRESSION_PCT = 0.25
 REGRESSION_ABS_S = 0.3
 
+# Documented quality-for-time trades: when one of these queries exceeds
+# the host-normalized gate, the detail file carries the attribution
+# instead of an unexplained flag. (VERDICT r2 asked for exactly this:
+# recall-gained-per-second recorded next to the regression.)
+KNOWN_TRADEOFFS = {
+    "ann_rhp_lsh_topk": (
+        "r2 added a second hash table + bucket_cap skew salting vs r1's "
+        "single-table LSH: ~1.3x residual work buys multi-table recall "
+        "(ann_recall_report measures it; the i.i.d. test corpus is the "
+        "adversarial case for angle LSH) and a bounded worst-case bucket. "
+        "r3 clawed the r2-specific 2.1x regression back to ~host-speed "
+        "by dropping the one-shot localCheckpoint and hoisting norms."
+    ),
+}
+
 
 def _here() -> str:
     return os.path.dirname(os.path.abspath(__file__))
@@ -226,6 +241,11 @@ def main() -> None:
                 "prev_s": prev[n],
                 "now_s": timings[n],
                 "ratio": round(timings[n] / prev[n], 2),
+                **(
+                    {"documented_tradeoff": KNOWN_TRADEOFFS[n]}
+                    if n in KNOWN_TRADEOFFS
+                    else {}
+                ),
             }
             for n in deltas
             if prev[n] > 0.05
@@ -282,6 +302,9 @@ def main() -> None:
             else None
         ),
         "n_regressions_beyond_host_speed": len(regressions_beyond_host),
+        "n_unattributed_regressions": sum(
+            1 for r in regressions_beyond_host if "documented_tradeoff" not in r
+        ),
         "detail_file": f"BENCH_DETAIL_r{rnd}.json",
     }
     print(json.dumps(out))
