@@ -138,6 +138,7 @@ def _load_all() -> None:
         q_pipeline84,
         q_pipeline85,
         q_pipeline86,
+        q_pipeline87,
         q_ranking,
         q_relational,
         q_render,
