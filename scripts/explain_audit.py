@@ -867,6 +867,38 @@ AUDITS = {
         ("LeftSemi", "the boolean gate prunes via posting-list semi joins"),
         ("TakeOrderedAndProject", "top-10 via per-partition top-k"),
     ],
+    # --- batches 86-87 (r3) ---
+    "degree_assortativity_exact": [
+        ("HashJoin", "degrees join back on endpoint keys"),
+        ("partial_", "correlation sums combine map-side"),
+    ],
+    "graph_reciprocity_report": [
+        ("LeftSemi", "reciprocity = semi join on the swapped edge key"),
+    ],
+    "tukey_outlier_fences": [
+        ("Window", "nearest-rank quartiles per group"),
+        ("BroadcastHashJoin", "quartile stats broadcast back into the scan"),
+    ],
+    "popularity_recommender": [
+        ("BroadcastHashJoin", "segment-popularity candidates broadcast"),
+        ("LeftAnti", "already-bought exclusion is a (cust, brand) anti join"),
+    ],
+    "media_phash_dedup": [
+        ("partial_", "signature groups combine map-side"),
+        ("ReadSchema", "column pruning: only doc_id + text read"),
+    ],
+    "media_chunk_manifest": [
+        ("partial_", "chunk counts and distincts combine map-side"),
+    ],
+    "media_metadata_profile": [
+        ("partial_", "per-format rollup combines map-side"),
+    ],
+    "bounce_rate_report": [
+        ("Window", "sessionization is two user-keyed windows"),
+    ],
+    "order_size_distribution": [
+        ("partial_", "both stacked aggregations combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
