@@ -139,6 +139,7 @@ def _load_all() -> None:
         q_pipeline85,
         q_pipeline86,
         q_pipeline87,
+        q_pipeline88,
         q_ranking,
         q_relational,
         q_render,
