@@ -899,6 +899,41 @@ AUDITS = {
     "order_size_distribution": [
         ("partial_", "both stacked aggregations combine map-side"),
     ],
+    # --- batches 88-89 (r3) ---
+    "autocomplete_prefix_table": [
+        ("Window", "per-prefix rank over bounded candidate sets"),
+        ("partial_", "vocabulary rollup combines map-side"),
+    ],
+    "longest_prefix_match": [
+        ("BroadcastNestedLoopJoin", "broadcast route dim, prefix-length predicate (deliberate; LPM tables are tiny)"),
+        ("Window", "longest-prefix argmax partitions by key"),
+    ],
+    "user_growth_curve": [
+        ("partial_", "first-seen min-aggregation combines map-side"),
+        ("Window", "running total over the bounded daily series"),
+    ],
+    "power_user_curve": [
+        ("BroadcastNestedLoopJoin", "30-row spine fan-out broadcast (deliberate)"),
+    ],
+    "anagram_groups": [
+        ("partial_", "signature groups combine map-side"),
+    ],
+    "campaign_lift_report": [
+        ("partial_", "two-row rollup combines map-side"),
+    ],
+    "field_change_matrix": [
+        ("HashJoin", "the two snapshot versions join on the key"),
+    ],
+    "time_weighted_balance": [
+        ("Window", "running balance + level duration from one keyed window"),
+    ],
+    "srm_check": [
+        ("partial_", "variant counts combine map-side"),
+    ],
+    "interaction_means_2way": [
+        ("partial_", "the 2-way grid rollup combines map-side"),
+        ("ReadSchema", "column pruning: only the three needed columns read"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
