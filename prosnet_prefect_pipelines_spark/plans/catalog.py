@@ -142,6 +142,7 @@ def _load_all() -> None:
         q_pipeline88,
         q_pipeline89,
         q_pipeline90,
+        q_pipeline91,
         q_ranking,
         q_relational,
         q_render,
