@@ -934,6 +934,40 @@ AUDITS = {
         ("partial_", "the 2-way grid rollup combines map-side"),
         ("ReadSchema", "column pruning: only the three needed columns read"),
     ],
+    # --- batches 90-91 (r3) ---
+    "attribution_linear_remainder": [
+        ("HashJoin", "touch paths join conversions on the user key"),
+        ("Window", "per-conversion split counts + recency from keyed windows"),
+    ],
+    "dedup_bow_signature": [
+        ("partial_", "signature groups combine map-side"),
+    ],
+    "price_endings_audit": [
+        ("partial_", "the 100-key ending rollup combines map-side"),
+    ],
+    "keyset_pagination_equivalence": [
+        ("TakeOrderedAndProject", "both pages fetch via per-partition top-k"),
+    ],
+    "normalize_minmax_groups": [
+        ("BroadcastHashJoin", "group min/max broadcast back into the scan"),
+    ],
+    "category_mix_trend": [
+        ("BroadcastHashJoin", "part dimension broadcast"),
+        ("partial_", "mix rollups combine map-side"),
+    ],
+    "first_value_repeat_rate": [
+        ("Window", "first order + lifetime count from one customer window"),
+    ],
+    "pareto_share_report": [
+        ("Window", "rank cuts over the bounded customer dimension"),
+    ],
+    "vocab_growth_curve": [
+        ("partial_", "first-seen min-aggregation combines map-side"),
+        ("BroadcastNestedLoopJoin", "5-row decile spine broadcast (deliberate)"),
+    ],
+    "daily_volume_anomalies": [
+        ("partial_", "daily counts + stats combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
