@@ -968,6 +968,26 @@ AUDITS = {
     "daily_volume_anomalies": [
         ("partial_", "daily counts + stats combine map-side"),
     ],
+    # --- batch 92 (r3) ---
+    "node_clustering_coefficient": [
+        ("HashJoin", "wedges verify against the canonical edge list"),
+        ("partial_", "per-node triangle counts combine map-side"),
+    ],
+    "rank_uniform_transform": [
+        ("Window", "tie-corrected ranks per group"),
+    ],
+    "covisitation_pairs": [
+        ("Window", "sessionization windows partition by user"),
+        ("HashJoin", "pairs join on the (user, session) key"),
+    ],
+    "enum_drift_report": [
+        ("LeftAnti", "unseen values = anti join against the baseline set"),
+    ],
+    "topk_stability_report": [
+        # ranks + the semi-join count run as separate jobs; the 1-row
+        # report is their driver-scalar assembly
+        ("Scan ExistingRDD", "1-row report assembled from counted stages"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
