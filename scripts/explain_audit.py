@@ -988,6 +988,23 @@ AUDITS = {
         # report is their driver-scalar assembly
         ("Scan ExistingRDD", "1-row report assembled from counted stages"),
     ],
+    # --- batch 93 (r3) ---
+    "month_end_effect": [
+        ("partial_", "the two-row rollup combines map-side"),
+        ("ReadSchema", "column pruning: only date + price read"),
+    ],
+    "business_hours_share": [
+        ("partial_", "per-type rollup combines map-side"),
+    ],
+    "user_burstiness": [
+        ("partial_", "both stacked keyed aggregations combine map-side"),
+    ],
+    "customer_lifespan_histogram": [
+        ("partial_", "span min/max + bucket regroup combine map-side"),
+    ],
+    "bag_diff_report": [
+        ("partial_", "EXCEPT ALL compiles to multiplicity aggregations"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
