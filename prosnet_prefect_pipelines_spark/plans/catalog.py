@@ -145,6 +145,7 @@ def _load_all() -> None:
         q_pipeline91,
         q_pipeline92,
         q_pipeline93,
+        q_pipeline94,
         q_ranking,
         q_relational,
         q_render,
