@@ -1005,6 +1005,16 @@ AUDITS = {
     "bag_diff_report": [
         ("partial_", "EXCEPT ALL compiles to multiplicity aggregations"),
     ],
+    # --- batch 94 (r3) ---
+    "json_struct_roundtrip": [
+        ("ReadSchema", "column pruning: only the three packed columns read"),
+    ],
+    "weekday_revenue_index": [
+        ("partial_", "weekday rollup combines map-side"),
+    ],
+    "minby_maxby_parity": [
+        ("partial_", "min_by/max_by are one-pass partial aggregates"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
