@@ -412,7 +412,6 @@ def semdedup(
     n_cells: int = 4,
     iterations: int = 2,
     threshold: float = 0.4,
-    dim: int | None = None,
 ) -> DataFrame:
     """-> (id, cell, kept): SemDeDup — semantic deduplication by
     k-means clustering + within-cluster cosine pruning (Abbas et al.

@@ -33,6 +33,23 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     interpreted eval because the HOF path allocates an intermediate
     array per row and dispatches a lambda per element. Pass dim=None
     for variable-length arrays (falls back to the HOF fold).
+
+    Choosing: the unrolled chain costs ~2 s of Catalyst OPTIMIZATION
+    per plan branch it appears in (measured r4: knn_join_batch spent
+    2.7 s planning / 0.8 s executing with dim=64, 0.87 s total with the
+    fold) — it only pays on FLAT plans whose pair volume makes
+    execution dominate (>= ~10^8 element-evals through ONE projection,
+    e.g. brute-force cosine_topk at scale). In iterative or
+    multi-branch plans (k-means loops, LSH self-joins) the duplicated
+    tree also inflates every optimizer pass — use the fold there.
+
+    Divergence on malformed input: with ``dim`` set, getItem(i) yields
+    NULL for any vector SHORTER than dim and the NULL propagates
+    through the whole score (the row silently drops through downstream
+    score filters); the HOF path instead folds over the actual zipped
+    length and returns a number. Fixed-width corpora (every caller
+    here) never see the difference; validate ``size(v) = dim``
+    upstream before trusting the unrolled path on untrusted input.
     """
     if dim is None:
         return F.aggregate(
@@ -47,6 +64,8 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm as an ordered fold; same ``dim`` unrolling, planning-cost
+    and short-vector caveats as ``dot`` (see its docstring)."""
     if dim is None:
         return F.sqrt(
             F.aggregate(
@@ -159,7 +178,6 @@ def auto_planes(n: int, target_bucket: int = 64, floor: int = 4) -> int:
 
 def ivf_assign(
     df: DataFrame, id_col: str, vec_col: str, n_cells: int = 8, rank_limit: int = 1,
-    dim: int | None = None,
 ) -> DataFrame:
     """-> (id, v, cell, cell_rank): each vector's ``rank_limit`` nearest
     centroids (rank 1 = the cell it lives in; ranks 2.. = probe cells).
@@ -170,6 +188,11 @@ def ivf_assign(
     join, run to convergence). Assignment = argmax cosine, ties broken
     by centroid id. The centroid table is tiny and broadcast, so
     assignment is a single narrow pass over the corpus — no shuffle.
+
+    Deliberately NOT dim-unrolled: the assignment expressions land in
+    localCheckpointed / multi-branch consumer plans (ivf_topk, ivf_pq)
+    where an unrolled tree multiplies Catalyst optimization cost (see
+    ``dot``); the fold is the measured-faster total here.
     """
     # centroid norms computed once broadcast-side, vector norms once per
     # row — one fold per (vector, centroid) pair instead of three;
@@ -225,7 +248,7 @@ def ivf_topk(
     ~n/C vectors, total work is ~nprobe * n^2/C instead of n^2, and
     cells partition cleanly across executors.
     """
-    assigned = ivf_assign(df, id_col, vec_col, n_cells, rank_limit=nprobe, dim=dim).localCheckpoint(
+    assigned = ivf_assign(df, id_col, vec_col, n_cells, rank_limit=nprobe).localCheckpoint(
         eager=False
     )  # both join sides below; assignment is C folds/row
     db = assigned.filter(F.col("cell_rank") == 1)
@@ -422,7 +445,6 @@ def kmeans_centroids(
     vec_col: str,
     n_cells: int = 8,
     iterations: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """-> (cid, cv): spherical k-means centroids via Lloyd's iterations —
     the production IVF trainer the seed-centroid shortcut stands in for.
@@ -531,7 +553,7 @@ def pq_encode(
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
         )
         cents = kmeans_centroids(
-            sliced, "id", "v", n_cells=n_cells, iterations=iterations, dim=sub_dim
+            sliced, "id", "v", n_cells=n_cells, iterations=iterations
         )
         w = Window.partitionBy("id").orderBy(F.col("scos").desc(), F.col("cid"))
         outs.append(
@@ -605,7 +627,7 @@ def ivf_pq_topk(
     nprobe=1, codebooks trained on raw subvectors (not residuals),
     spherical geometry throughout.
     """
-    assign = ivf_assign(df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1, dim=dim)
+    assign = ivf_assign(df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1)
     cbs = pq_codebooks(df, id_col, vec_col, dim, n_sub, n_cells_code)
     codes = pq_encode(df, id_col, vec_col, dim, n_sub, n_cells_code).select(
         F.col("id").alias("xid"), "sub", "code"
@@ -690,10 +712,29 @@ def knn_join(
     exact and deterministic. For large query sets, switch to
     ``ivf_topk``-style cell routing on both sides.
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor"), F.col(corpus_vec).alias("cv"))
+    # norms hoisted out of the pair stage: one fold per QUERY (broadcast
+    # side, |Q| rows) and one per CORPUS row instead of re-deriving both
+    # inside every cosine — bit-identical (same fold + sqrt expressions,
+    # same IEEE op order; only the evaluation site moves) and 3x less
+    # per-pair arithmetic in the only quadratic stage. r3 benched this
+    # query computing 3 unrolled dim-length chains per PAIR; that was
+    # the knn_join_batch r2->r3 regression residual.
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qv"),
+        norm(F.col(query_vec), dim).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor"),
+        F.col(corpus_vec).alias("cv"),
+        norm(F.col(corpus_vec), dim).alias("cn"),
+    )
     scored = c.join(F.broadcast(q)).select(
-        "qid", "neighbor", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos")
+        "qid",
+        "neighbor",
+        F.round(
+            dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cos"),
     )
 
     def _prune(batches):

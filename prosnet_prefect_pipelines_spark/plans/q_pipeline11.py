@@ -308,10 +308,17 @@ def q_knn_join_batch(spark, sf_dir):
     against the rest of the corpus. Queries broadcast, corpus scored in
     place (never shuffled for pair generation), Arrow-batched local
     top-k prune before the only wide exchange — see
-    ``similarity.knn_join`` for the 100 TB analysis."""
+    ``similarity.knn_join`` for the 100 TB analysis.
+
+    dim deliberately NOT passed (HOF fold): r3 benched this with
+    dim=64 unrolled chains and regressed 2.17x vs r2 — attributed r4 to
+    ~2 s of Catalyst planning the 600-node trees cost per call against
+    ~0.8 s of execution (measured: 2.97 s unrolled vs 0.87 s fold at
+    sf0.1). Unrolling only pays when pair volume makes execution
+    dominate; see ``similarity.dot``."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     corpus_ = emb.filter(F.col("vec_id") % 101 != 0)
     return S.knn_join(
-        queries, corpus_, "vec_id", "embedding", "vec_id", "embedding", k=5, dim=64
+        queries, corpus_, "vec_id", "embedding", "vec_id", "embedding", k=5
     )

@@ -109,8 +109,10 @@ def q_weekday_revenue_index(spark, sf_dir):
 
 MINBY_SQL = """
 SELECT c_nationkey AS nation,
-       CAST(arg_min(c_custkey, c_acctbal) AS BIGINT) AS poorest_cust,
-       CAST(arg_max(c_custkey, c_acctbal) AS BIGINT) AS richest_cust,
+       CAST((MIN(struct_pack(b := CAST(round(c_acctbal * 100) AS BIGINT),
+                             c := c_custkey))).c AS BIGINT) AS poorest_cust,
+       CAST((MAX(struct_pack(b := CAST(round(c_acctbal * 100) AS BIGINT),
+                             c := c_custkey))).c AS BIGINT) AS richest_cust,
        CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
            AS min_cents,
        CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
@@ -121,15 +123,24 @@ FROM customer GROUP BY c_nationkey
 
 @register("minby_maxby_parity", oracle=MINBY_SQL, covers=["O6", "A2"])
 def q_minby_maxby_parity(spark, sf_dir):
-    """The argmin/argmax aggregate family: Spark's min_by/max_by vs
-    DuckDB's arg_min/arg_max picking the customer holding each nation's
-    extreme balance — the one-pass alternative to a rank-window top-1
-    (half the shuffles; ties resolved identically here because the
-    synthetic balances are distinct within nations)."""
+    """The argmin/argmax aggregate family: Spark's min_by/max_by picking
+    the customer holding each nation's extreme balance — the one-pass
+    alternative to a rank-window top-1 (half the shuffles).
+
+    The winner is deterministic BY CONSTRUCTION: the ordering key is the
+    composite (balance_cents, custkey) struct, so a balance tie at an
+    extreme resolves to the lowest (min) / highest (max) custkey in both
+    engines — DuckDB's arg_min can't take a composite key, so the oracle
+    uses the equivalent struct-MIN/MAX extraction (lexicographic struct
+    ordering, identical in both engines; the struct key is unique, so
+    struct-min == min_by). sf0.1 really does carry duplicate acctbals
+    within nations — a raw-balance key would be tie-nondeterministic."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    key = F.struct(cents.alias("b"), F.col("c_custkey").alias("c"))
     return c.groupBy(F.col("c_nationkey").alias("nation")).agg(
-        F.min_by("c_custkey", "c_acctbal").cast("long").alias("poorest_cust"),
-        F.max_by("c_custkey", "c_acctbal").cast("long").alias("richest_cust"),
+        F.min_by("c_custkey", key).cast("long").alias("poorest_cust"),
+        F.max_by("c_custkey", key).cast("long").alias("richest_cust"),
         F.min(F.round(F.col("c_acctbal") * 100).cast("long"))
         .cast("long")
         .alias("min_cents"),

@@ -242,7 +242,7 @@ def q_ann_kmeans_cells(spark, sf_dir):
     from pyspark.sql.window import Window
 
     cents = S.kmeans_centroids(
-        emb, "vec_id", "embedding", n_cells=4, iterations=2, dim=DIM
+        emb, "vec_id", "embedding", n_cells=4, iterations=2
     )
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     scored = vecs.join(F.broadcast(cents)).select(
@@ -312,7 +312,7 @@ def q_semdedup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semdedup(
         emb, "vec_id", "embedding", n_cells=4, iterations=2,
-        threshold=SEMDEDUP_THRESHOLD, dim=DIM,
+        threshold=SEMDEDUP_THRESHOLD,
     )
 
 

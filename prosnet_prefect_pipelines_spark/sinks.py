@@ -125,12 +125,21 @@ class HttpUpsertClient(UpsertClient):
         self.timeout_s = timeout_s
         self.api_key = api_key
 
-    def _request(self, method: str, path: str, body: bytes | None = None) -> tuple[int, bytes]:
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: bytes | None = None,
+        content_type: str = "text/plain",
+    ) -> tuple[int, bytes]:
         import time
         import urllib.error
         import urllib.request
 
-        headers = {"Content-Type": "text/plain"}
+        # JSONL document imports go as text/plain (newline-delimited
+        # bodies); structural endpoints (collection create) are JSON and
+        # the server is entitled to reject a mislabeled body
+        headers = {"Content-Type": content_type}
         if self.api_key:
             headers["X-TYPESENSE-API-KEY"] = self.api_key
         last: Exception | None = None
@@ -155,7 +164,10 @@ class HttpUpsertClient(UpsertClient):
         status, _ = self._request("GET", f"/collections/{self.collection}")
         if status == 404:
             create_status, body = self._request(
-                "POST", "/collections", json.dumps(self.schema).encode()
+                "POST",
+                "/collections",
+                json.dumps(self.schema).encode(),
+                content_type="application/json",
             )
             # 409 = another task created it concurrently — get-or-create
             if create_status not in (200, 201, 409):
@@ -173,6 +185,12 @@ class HttpUpsertClient(UpsertClient):
         if status != 200:
             raise RuntimeError(f"import failed: HTTP {status} {body!r}")
         results = [json.loads(line) for line in body.splitlines() if line.strip()]
+        # one result line per submitted doc — a truncated import response
+        # whose surviving lines all say success must NOT pass silently
+        if len(results) != len(docs):
+            raise RuntimeError(
+                f"import response truncated: {len(results)} results for {len(docs)} docs"
+            )
         failed = [r for r in results if not r.get("success")]
         if failed:
             raise RuntimeError(f"{len(failed)}/{len(results)} documents rejected: {failed[:3]}")

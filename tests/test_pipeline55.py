@@ -72,6 +72,24 @@ def test_ndcg_mrr_known_values(spark):
     assert r.n_rel == 2
 
 
+def test_mrr_truncated_first_hit_beyond_k(spark):
+    """Truncated MRR@k: when the FIRST relevant item ranks past the k
+    cutoff, the query contributes mrr = 0 (not 1/rank) — the branch the
+    known-values test (first hit at rank 2 < k) never exercises."""
+    from prosnet_prefect_pipelines_spark.operators.ranking import ndcg_mrr
+
+    # first (and only) relevant item at rank 4, evaluated at k=3
+    df = spark.createDataFrame(
+        [(0, 1, 0), (0, 2, 0), (0, 3, 0), (0, 4, 2)],
+        "q int, rank long, rel int",
+    )
+    r = ndcg_mrr(df, k=3).collect()[0]
+    assert r.mrr == 0.0
+    # same ranking at k=4 picks the hit up again
+    r4 = ndcg_mrr(df, k=4).collect()[0]
+    assert abs(r4.mrr - 0.25) < 1e-9
+
+
 def test_char_entropy_extremes(spark):
     from prosnet_prefect_pipelines_spark.operators.textstats import char_entropy
 

@@ -27,6 +27,7 @@ class _State:
         self.lock = threading.Lock()
         self.collections: dict[str, dict[str, dict]] = {}
         self.fail_next_imports = 0  # injected transient 503s
+        self.truncate_next_response = False  # drop one result line once
         self.n_import_requests = 0
         self.n_create_requests = 0
 
@@ -54,6 +55,11 @@ def _make_handler(state: _State):
         def do_POST(self):
             body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
             if self.path == "/collections":
+                # Typesense rejects a mislabeled collection-create body;
+                # enforce it so a Content-Type regression fails loudly
+                if self.headers.get("Content-Type") != "application/json":
+                    self._send(400, b'{"message": "expected application/json"}')
+                    return
                 spec = json.loads(body)
                 with state.lock:
                     state.n_create_requests += 1
@@ -73,8 +79,11 @@ def _make_handler(state: _State):
                     lines = [json.loads(x) for x in body.splitlines() if x.strip()]
                     for doc in lines:
                         store[str(doc["id"])] = doc  # upsert: last write wins
-                out = "\n".join('{"success": true}' for _ in lines).encode()
-                self._send(200, out)
+                results = ['{"success": true}' for _ in lines]
+                if state.truncate_next_response:
+                    state.truncate_next_response = False
+                    results = results[: max(len(results) - 1, 0)]
+                self._send(200, "\n".join(results).encode())
                 return
             self._send(404, b"{}")
 
@@ -144,3 +153,20 @@ def test_http_upsert_rejects_failed_documents(http_sink):
         HttpUpsertClient(url, "c1", retries=1, backoff_s=0.01).upsert_batch(
             [{"id": "2", "v": 2}]
         )
+
+
+def test_http_upsert_truncated_response_detected(http_sink):
+    """A 200 import response carrying FEWER per-line results than docs
+    sent (connection cut mid-body, proxy truncation) must raise — the
+    missing lines' outcomes are unknown, and the surviving lines all
+    saying success is exactly the case that used to pass silently."""
+    url, state = http_sink
+    client = HttpUpsertClient(url, "c2", backoff_s=0.01)
+    client.ensure_collection()
+    state.truncate_next_response = True
+    with pytest.raises(RuntimeError, match="truncated"):
+        client.upsert_batch([{"id": "1", "v": 1}, {"id": "2", "v": 2}])
+    # intact response: same docs go through
+    client.upsert_batch([{"id": "1", "v": 1}, {"id": "2", "v": 2}])
+    with state.lock:
+        assert len(state.collections["c2"]) == 2
