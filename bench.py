@@ -90,6 +90,8 @@ HEADLINE = [
     "llm_corpus_pipeline_v2", # 2024 flagship: dedup->gate->buckets->split->epochs->shuffle
     "sql_tpch_q9",            # profit rollup over derived partsupp (6-way join)
     "sql_tpch_q21",           # waiting-supplier EXISTS/NOT EXISTS chain
+    "kruskal_wallis_h",       # r5: doubled-rank KW (distinct-value window)
+    "spearman_rho_price_recency",  # r5: partitioned rank correlation
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).
@@ -183,24 +185,25 @@ def _prior_rounds() -> dict[int, dict]:
                 "queries": q,
                 "warm": det.get("warm_s") or {},
                 "calib": det.get("calib_spark_agg_sec"),
+                "calib_samples": det.get("calib_samples"),
             }
     return rounds
 
 
-def _per_query_prev(rounds: dict[int, dict]) -> dict[str, tuple[int, float, float | None]]:
-    """query -> (round, cold_s, calib) from the NEWEST prior round that
-    benched it. Diffing each query against the newest round that HAS it
-    (instead of one globally-chosen round) closes the r3 gate blind
-    spot: queries first benched in a round whose artifact was later
-    unusable silently escaped comparison entirely."""
-    out: dict[str, tuple[int, float, float | None]] = {}
+def _per_query_prev(rounds: dict[int, dict]) -> dict[str, tuple[int, float, float | None, float | None]]:
+    """query -> (round, cold_s, warm_s|None, calib) from the NEWEST prior
+    round that benched it. Diffing each query against the newest round
+    that HAS it (instead of one globally-chosen round) closes the r3
+    gate blind spot: queries first benched in a round whose artifact was
+    later unusable silently escaped comparison entirely. Cold and warm
+    are kept SEPARATE so comparisons never mix measurement modes
+    (the r4 advice finding): warm-to-warm only when both rounds recorded
+    warm, cold-to-cold otherwise."""
+    out: dict[str, tuple[int, float, float | None, float | None]] = {}
     for rnd in sorted(rounds):
         info = rounds[rnd]
         for name, t in info["queries"].items():
-            # prefer the prior round's warm time when it recorded one —
-            # steady-state against steady-state
-            warm = info["warm"].get(name)
-            out[name] = (rnd, warm if warm is not None else t, info["calib"])
+            out[name] = (rnd, t, info["warm"].get(name), info["calib"])
     return out
 
 
@@ -226,13 +229,28 @@ def main() -> None:
     # Query timings divided by this normalize away host-speed differences
     # between rounds (r2's driver box ran every r1 query uniformly ~2x
     # slower; this field makes that visible instead of arguable).
-    t0 = time.time()
+    # N=3 samples (r4 verdict item 7): the r4 gate stood on ONE calibration
+    # sample while calibration and median per-query ratio disagreed 15%+;
+    # the median of three plus the recorded spread puts the host
+    # attribution on measured variance instead of a point estimate.
     from pyspark.sql import functions as _F
 
-    spark.range(0, 200_000_000, 1, 32).agg(
-        _F.sum((_F.col("id") % 97).cast("long"))
-    ).collect()
-    calib = round(time.time() - t0, 3)
+    calib_samples: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).agg(
+            _F.sum((_F.col("id") % 97).cast("long"))
+        ).collect()
+        calib_samples.append(round(time.time() - t0, 3))
+    calib = sorted(calib_samples)[1]
+    # the FIRST sample is the cold/JIT-inclusive one — comparable to the
+    # single-shot calibration rounds <= 4 recorded (measured r5: cold
+    # 1.90 vs steady 0.75 on the same host; a median-vs-cold comparison
+    # would claim a phantom 2.4x host speedup)
+    calib_cold = calib_samples[0]
+    calib_spread = round(
+        (max(calib_samples) - min(calib_samples)) / calib, 3
+    ) if calib else None
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -271,15 +289,28 @@ def main() -> None:
     prev_map = _per_query_prev(rounds)
     newest_prev = max(rounds) if rounds else None
     prev_round = f"r{newest_prev}" if newest_prev else ""
-    prev_calib = rounds[newest_prev]["calib"] if newest_prev else None
 
-    def eff(n: str) -> float:
-        return warm_s.get(n, timings[n])
+    def pair(n: str) -> tuple[float, float, str]:
+        """(now_s, prev_s, mode) for query n. Warm-to-warm ONLY when
+        BOTH rounds recorded a warm time for n; cold-to-cold otherwise
+        — never a mixed-mode comparison (r4 advice: a warm-now vs
+        cold-prev pairing excludes planning cost on one side only and
+        can hide real regressions)."""
+        _rnd, prev_cold, prev_warm, _calib = prev_map[n]
+        if n in warm_s and prev_warm is not None:
+            return warm_s[n], prev_warm, "warm"
+        return timings[n], prev_cold, "cold"
 
-    deltas = {
-        n: round(eff(n) - prev_map[n][1], 3) for n in timings if n in prev_map
-    }
+    deltas: dict[str, float] = {}
+    delta_mode: dict[str, str] = {}
+    for n in timings:
+        if n in prev_map:
+            now_n, prev_n, mode = pair(n)
+            deltas[n] = round(now_n - prev_n, 3)
+            delta_mode[n] = mode
     first_benched = sorted(n for n in timings if n not in prev_map)
+    # headline totals compare ONE measurement mode on BOTH sides:
+    # cold sum vs cold sum (warm deltas are per-query, mode-tagged)
     shared_total = round(sum(timings[n] for n in deltas), 3)
     prev_shared_total = round(sum(prev_map[n][1] for n in deltas), 3)
 
@@ -293,12 +324,27 @@ def main() -> None:
     #    the r3 verdict's circularity finding). A >15% disagreement
     #    between the two is itself reported as a fleet-wide residual.
     ratios = sorted(
-        eff(n) / prev_map[n][1] for n in deltas if prev_map[n][1] > 0.05
+        pair(n)[0] / pair(n)[1] for n in deltas if pair(n)[1] > 0.05
     )
     median_ratio = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
-    calib_ratio = (
-        round(calib / prev_calib, 3) if calib and prev_calib else None
-    )
+
+    def _calib_ratio_vs(rnd: int | None) -> float | None:
+        """Calibration ratio vs a prior round, LIKE FOR LIKE: rounds
+        <= 4 recorded one cold/JIT-inclusive sample, so they compare
+        against THIS round's cold first sample; rounds with N=3 samples
+        compare median-to-median."""
+        if rnd is None or rnd not in rounds:
+            return None
+        info = rounds[rnd]
+        samples = info.get("calib_samples")
+        if samples:
+            pr = sorted(samples)[len(samples) // 2]
+            return round(calib / pr, 3) if calib and pr else None
+        if info.get("calib"):
+            return round(calib_cold / info["calib"], 3) if calib_cold else None
+        return None
+
+    calib_ratio = _calib_ratio_vs(newest_prev)
     host_ratio = calib_ratio if calib_ratio is not None else median_ratio
     host_estimator = "calibration" if calib_ratio is not None else "median"
     fleet_residual_warn = (
@@ -310,24 +356,23 @@ def main() -> None:
     def _host_factor(n: str) -> float:
         # normalize each query by ITS comparison round's calibration
         # when that round recorded one; the newest-round ratio otherwise
-        pr_calib = prev_map[n][2]
-        if calib and pr_calib:
-            return calib / pr_calib
-        return host_ratio
+        r = _calib_ratio_vs(prev_map[n][0])
+        return r if r is not None else host_ratio
 
     regressions = sorted(
         (
             {
                 "query": n,
                 "prev_round": f"r{prev_map[n][0]}",
-                "prev_s": prev_map[n][1],
-                "now_s": eff(n),
+                "prev_s": pair(n)[1],
+                "now_s": pair(n)[0],
+                "mode": delta_mode[n],
                 "delta_s": d,
             }
             for n, d in deltas.items()
             if d > REGRESSION_ABS_S
-            and prev_map[n][1] > 0
-            and d / prev_map[n][1] > REGRESSION_PCT
+            and pair(n)[1] > 0
+            and d / pair(n)[1] > REGRESSION_PCT
         ),
         key=lambda r: -r["delta_s"],
     )
@@ -336,10 +381,11 @@ def main() -> None:
             {
                 "query": n,
                 "prev_round": f"r{prev_map[n][0]}",
-                "prev_s": prev_map[n][1],
-                "now_s": eff(n),
+                "prev_s": pair(n)[1],
+                "now_s": pair(n)[0],
+                "mode": delta_mode[n],
                 "host_factor": round(_host_factor(n), 3),
-                "ratio": round(eff(n) / prev_map[n][1], 2),
+                "ratio": round(pair(n)[0] / pair(n)[1], 2),
                 **(
                     {"documented_tradeoff": KNOWN_TRADEOFFS[n]}
                     if n in KNOWN_TRADEOFFS
@@ -347,9 +393,9 @@ def main() -> None:
                 ),
             }
             for n in deltas
-            if prev_map[n][1] > 0.05
-            and eff(n) > prev_map[n][1] * _host_factor(n) * (1 + REGRESSION_PCT)
-            and eff(n) - prev_map[n][1] * _host_factor(n) > REGRESSION_ABS_S
+            if pair(n)[1] > 0.05
+            and pair(n)[0] > pair(n)[1] * _host_factor(n) * (1 + REGRESSION_PCT)
+            and pair(n)[0] - pair(n)[1] * _host_factor(n) > REGRESSION_ABS_S
         ),
         key=lambda r: -r["ratio"],
     )
@@ -362,6 +408,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "calib_spark_agg_sec": calib,
+        "calib_samples": calib_samples,
+        "calib_cold_sec": calib_cold,
+        "calib_spread": calib_spread,
         "value_per_calib": round(total / calib, 2) if calib else None,
         "n_queries": len(timings),
         "queries": timings,
@@ -371,6 +420,7 @@ def main() -> None:
         "per_query_prev_round": {n: f"r{prev_map[n][0]}" for n in deltas},
         "first_benched_this_round": first_benched,
         "deltas_vs_prev": deltas,
+        "delta_mode": delta_mode,
         "shared_total": shared_total,
         "prev_shared_total": prev_shared_total,
         "host_speed_ratio": host_ratio,

@@ -242,12 +242,28 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_mode: str = "portable",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact Jaccard (a < b, jaccard >= t).
 
     Bands of r = num_hashes/bands rows; docs sharing any band bucket are
     candidates. Verification keeps precision exact; recall is the usual
     1-(1-s^r)^b curve. Output = candidates ∩ {jaccard >= threshold}.
+
+    ``bucket_cap`` is the hot-bucket skew guard, the same salting
+    mechanism as ``embedding_cosine_pairs``: a duplicate FLOOD (n
+    identical docs) collides in EVERY band, so the uncapped band
+    self-join generates O(n²) candidates before verification. With a
+    cap, any (band, bucket) group larger than the cap is salted into
+    ceil(size/cap) sub-buckets by hash(id, band), bounding the join at
+    ~size·cap/2 per band. The salt is BAND-DEPENDENT, so a flood pair
+    split apart in one band gets a fresh co-salt chance in every other
+    band: within a flood of n docs at n_sub = n/cap sub-buckets, a pair
+    survives with p = 1-(1-cap/n)^bands instead of being missed
+    deterministically (measured in scripts/stress_hot_bucket.py).
+    Alternative at scale: run ``exact_dedup`` first, as
+    ``dedup_funnel_report`` does, which removes the flood before LSH
+    ever sees it.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -266,7 +282,26 @@ def minhash_lsh_pairs(
     )
     band_sig = sig.select(
         "id", F.posexplode(band_buckets).alias("band", "bucket")
-    ).localCheckpoint(eager=False)  # self-joined below
+    )
+    if bucket_cap is not None:
+        sizes_b = band_sig.groupBy("band", "bucket").agg(F.count("*").alias("_bc"))
+        n_sub = F.ceil(F.col("_bc") / F.lit(float(bucket_cap))).cast("long")
+        # hash(id, band) salting (works for string ids too); the band in
+        # the hash gives a pair split apart in one band an independent
+        # co-salt chance in every other band
+        band_sig = band_sig.join(sizes_b, on=["band", "bucket"]).select(
+            "id",
+            "band",
+            F.concat(
+                F.col("bucket"),
+                F.lit(":"),
+                F.pmod(
+                    F.abs(F.xxhash64(F.col("id").cast("string"), F.col("band"))),
+                    n_sub,
+                ).cast("string"),
+            ).alias("bucket"),
+        )
+    band_sig = band_sig.localCheckpoint(eager=False)  # self-joined below
     cands = (
         band_sig.alias("x")
         .join(band_sig.alias("y"), on=["band", "bucket"])

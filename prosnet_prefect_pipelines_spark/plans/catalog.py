@@ -20,6 +20,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 # SURVEY §2 operator ids covered by each query (for COVERAGE.md / the judge)
 COVERAGE: dict[str, list[str]] = {}
+# defining module of each query (for the git-diff touched-queries sweep)
+MODULES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None, covers: list[str] | None = None):
@@ -38,6 +40,7 @@ def register(name: str, oracle: str | None = None, covers: list[str] | None = No
         if oracle is not None:
             ORACLES[name] = oracle
         COVERAGE[name] = covers or []
+        MODULES[name] = fn.__module__
         return wrapped
 
     return deco
@@ -146,6 +149,8 @@ def _load_all() -> None:
         q_pipeline92,
         q_pipeline93,
         q_pipeline94,
+        q_pipeline95,
+        q_pipeline96,
         q_ranking,
         q_relational,
         q_render,

@@ -13,8 +13,13 @@ Exactness conventions used throughout (see catalog.py docstring):
   an array sorted by the group key — ((0+t1)+t2)+... is the identical
   IEEE sequence in both engines (the label_centroids trick);
 - ISO day-of-week derived by pure integer arithmetic from the epoch
-  day ((day + 3) % 7 + 1), sidestepping Spark-dayofweek-vs-DuckDB-isodow
-  convention drift entirely.
+  day (pmod(day + 3, 7) + 1 with a FLOOR-division epoch day on both
+  engines — Spark `div` truncates toward zero, so the day is computed
+  as (us - pmod(us, 86400000000)) div 86400000000; DuckDB's `//`
+  already floors but its `%` keeps the dividend sign, wrapped with
+  (+7)%7), sidestepping Spark-dayofweek-vs-DuckDB-isodow convention
+  drift and pre-1970 negative-epoch drift entirely (regression test:
+  tests/test_pipeline95.py).
 
 Scale notes: every query is one or two keyed aggregations (map-side
 combinable) over narrow projections; the only quadratic piece is
@@ -356,7 +361,7 @@ def q_anova_f_oneway(spark, sf_dir):
 _CHI2_CTE = """
 ev AS (
     SELECT event_type AS a,
-           CAST(((epoch_us(ts) // 86400000000) + 3) % 7 + 1 AS BIGINT) AS b
+           CAST((((epoch_us(ts) // 86400000000) + 3) % 7 + 7) % 7 + 1 AS BIGINT) AS b
     FROM events
 ),
 op AS (
@@ -423,7 +428,15 @@ def q_cramers_v_pairs(spark, sf_dir):
         F.lit("event_type_x_isodow").alias("pair"),
         F.col("event_type").alias("a"),
         (
-            (F.expr("ts_us div 86400000000") + 3) % 7 + 1
+            # floor-division epoch day (trunc `div` would round toward zero
+            # for pre-1970 timestamps and disagree with DuckDB's flooring
+            # `//`); subtracting pmod first makes the quotient exact.
+            F.pmod(
+                F.expr(
+                    "(ts_us - pmod(ts_us, 86400000000)) div 86400000000"
+                ) + 3,
+                F.lit(7),
+            ) + 1
         ).cast("long").cast("string").alias("b"),
     )
     op = spark.read.parquet(f"{sf_dir}/orders.parquet").select(

@@ -58,9 +58,85 @@ def first_diff(rows_a, rows_b):
     return None
 
 
+def touched_queries(base: str) -> list[str]:
+    """Queries to re-oracle because their defining plan module, or any
+    engine module it (transitively) imports, changed vs git ref ``base``
+    (r4 verdict item 2: the driver probe covered none of the 11 queries
+    round 4 actually touched — this makes 'modified -> re-oracled before
+    the round closes' a one-flag invocation).
+
+    Dependency edges come from `from prosnet_prefect_pipelines_spark...
+    import ...` statements, matched against package module basenames
+    (unique across the package), with a transitive closure so e.g. a
+    `similarity.py` edit reaches the dedup plans that import dedup.py.
+    """
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "prosnet_prefect_pipelines_spark")
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", base, "--", "prosnet_prefect_pipelines_spark"],
+        capture_output=True, text=True, cwd=root, check=True,
+    ).stdout.split()
+    changed = {os.path.splitext(os.path.basename(p))[0] for p in diff if p.endswith(".py")}
+    if not changed:
+        return []
+
+    # module basename -> set of package-module basenames it imports
+    sources: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                with open(os.path.join(dirpath, f)) as fh:
+                    sources[os.path.splitext(f)[0]] = fh.read()
+    known = set(sources)
+    deps: dict[str, set[str]] = {}
+    imp = re.compile(
+        r"^\s*from\s+(prosnet_prefect_pipelines_spark[\w.]*)\s+import\s+([\w, ()]+)",
+        re.M,
+    )
+    for mod, text in sources.items():
+        refs: set[str] = set()
+        for path, names in imp.findall(text):
+            refs.update(p for p in path.split(".") if p in known)
+            refs.update(n.strip() for n in names.replace("(", "").replace(")", "").split(","))
+        deps[mod] = {r for r in refs if r in known and r != mod}
+
+    # transitive closure: a module is dirty if it or anything it imports is
+    dirty = set(changed) & known
+    grew = True
+    while grew:
+        grew = False
+        for mod, refs in deps.items():
+            if mod not in dirty and refs & dirty:
+                dirty.add(mod)
+                grew = True
+
+    from prosnet_prefect_pipelines_spark.plans import catalog
+
+    catalog._load_all()
+    return sorted(
+        q for q, m in catalog.MODULES.items() if m.rsplit(".", 1)[-1] in dirty
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    argv = list(sys.argv[1:])
+    touched_base = None
+    for i, a in enumerate(argv):
+        if a == "--touched" or a.startswith("--touched="):
+            touched_base = a.split("=", 1)[1] if "=" in a else "HEAD"
+            argv.pop(i)
+            break
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = [a for a in argv if not os.path.isdir(a)]
+    if touched_base is not None:
+        only = touched_queries(touched_base)
+        print(f"# touched vs {touched_base}: {len(only)} queries: {' '.join(only)}")
+        if not only:
+            print("\n0 pass / 0 fail (nothing touched)")
+            return 0
 
     import __spark_entry__ as entry_mod
     from prosnet_prefect_pipelines_spark.session import get_spark

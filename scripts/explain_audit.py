@@ -1015,6 +1015,52 @@ AUDITS = {
     "minby_maxby_parity": [
         ("partial_", "min_by/max_by are one-pass partial aggregates"),
     ],
+    # --- batch 95 (r5) ---
+    "acf_lags_exact": [
+        ("partial_", "daily rollup combines map-side before the tiny lag join"),
+        ("BroadcastHashJoin", "lagged self-join on the days-sized series broadcasts"),
+    ],
+    "theil_sen_slope": [
+        ("partial_", "monthly rollup combines map-side; pairs are months^2 per key"),
+    ],
+    "anova_f_oneway": [
+        ("partial_", "sufficient statistics (n, sum, sum-sq) combine map-side"),
+        ("ReadSchema", "column pruning: only event_type and value read"),
+    ],
+    "cramers_v_pairs": [
+        ("partial_", "contingency cells combine map-side before window margins"),
+    ],
+    "woe_iv_report": [
+        ("partial_", "good/bad counts combine map-side"),
+        ("ReadSchema", "column pruning: only priority and status read"),
+    ],
+    "calibration_bins_report": [
+        ("partial_", "bin sums combine map-side"),
+        ("ReadSchema", "column pruning: only custkey and acctbal read"),
+    ],
+    # --- batch 96 (r5) ---
+    "kruskal_wallis_h": [
+        ("partial_", "per-(group,value) counts combine map-side"),
+        ("ReadSchema", "column pruning: only event_type and value read"),
+    ],
+    "mann_whitney_u": [
+        ("partial_", "rank-sum sufficient stats combine map-side"),
+        ("PushedFilters", "the two-group IN filter reaches the scan"),
+    ],
+    "spearman_rho_price_recency": [
+        ("partial_", "moment sums combine map-side"),
+        ("Window", "rank cumulation windows PARTITIONED by priority bucket"),
+    ],
+    "ordinal_gamma_somers": [
+        ("partial_", "contingency cells combine map-side"),
+    ],
+    "kendall_tau_b": [
+        ("partial_", "cells and marginals combine map-side"),
+    ],
+    "brown_forsythe_f": [
+        ("partial_", "median counts + z sufficient stats combine map-side"),
+        ("Window", "median cumulation windows PARTITIONED by group"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1211,7 +1257,36 @@ FORBIDDEN = {
     "merge_overlapping_intervals": ["Exchange SinglePartition"],
     "geo_pairs_within_radius": ["CartesianProduct"],
     "llm_corpus_pipeline_v3": ["CartesianProduct"],
+    # batch 95: all keyed-agg shapes; the ACF lag join and Theil-Sen
+    # month-pair join are equi joins on (i+lag)/(nation) — never products.
+    # (acf/anova/cramers/theil-sen reduce to single-row or k-row finals,
+    # so a final SinglePartition exchange is expected; only products are
+    # forbidden.)
+    "acf_lags_exact": ["CartesianProduct"],
+    "theil_sen_slope": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "anova_f_oneway": ["CartesianProduct"],
+    "woe_iv_report": ["CartesianProduct"],
+    "calibration_bins_report": ["Exchange SinglePartition", "CartesianProduct"],
+    # batch 96: keyed aggs + cell-sized cross joins (broadcast BNLJ is
+    # the intended 1-row/20-row combine); fact rows never join fact rows
+    "kruskal_wallis_h": ["CartesianProduct"],
+    "mann_whitney_u": ["CartesianProduct"],
+    "spearman_rho_price_recency": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "ordinal_gamma_somers": ["CartesianProduct"],
+    "kendall_tau_b": ["CartesianProduct"],
+    # brown_forsythe's final combine IS a 1-row broadcast cross join
+    # (tot x terms) — only a true product is forbidden
+    "brown_forsythe_f": ["CartesianProduct"],
 }
+
+
+try:  # generated catalog-tail assertions (see audit_generated.py header)
+    from audit_generated import GENERATED_FORBIDDEN
+except ImportError:
+    from scripts.audit_generated import GENERATED_FORBIDDEN
+for _name, _feats in GENERATED_FORBIDDEN.items():
+    # hand-written entries take precedence; generated ones fill the tail
+    FORBIDDEN.setdefault(_name, _feats)
 
 
 def main() -> None:
@@ -1231,7 +1306,12 @@ def main() -> None:
         "",
     ]
     failures = []
-    for name, checks in AUDITS.items():
+    # iterate the UNION of both tables: an entry with only negative
+    # (FORBIDDEN) assertions must still be checked (r5 fix — 13
+    # forbidden-only entries were silently skipped before)
+    all_names = list(AUDITS) + [k for k in FORBIDDEN if k not in AUDITS]
+    for name in all_names:
+        checks = AUDITS.get(name, [])
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted") \
             if hasattr(df._sc._jvm, "PythonSQLUtils") else ""

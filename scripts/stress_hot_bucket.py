@@ -1,4 +1,5 @@
-"""Hot-bucket stress for embedding_cosine_pairs' bucket_cap skew guard.
+"""Hot-bucket stress for the bucket_cap skew guards
+(embedding_cosine_pairs and minhash_lsh_pairs).
 
 The adversarial input for sign-LSH dedup is a near-duplicate FLOOD: many
 vectors sharing one signature bucket (duplicated embeddings, zero
@@ -43,6 +44,52 @@ def corpus(spark, n: int, flood: int, dim: int):
     )
 
 
+def doc_corpus(spark, n: int, flood: int):
+    """ids [0, flood) share ONE exact text (every band collides); the
+    rest are distinct pseudo-random token strings."""
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"w{i}_"), F.pmod(F.xxhash64("id", F.lit(i)), F.lit(5000)))
+            for i in range(12)
+        ],
+    )
+    return spark.range(n).select(
+        "id",
+        F.when(
+            F.col("id") < flood,
+            F.lit("the same flooded document text repeated verbatim body"),
+        )
+        .otherwise(uniq)
+        .alias("text"),
+    )
+
+
+def stress_minhash(spark) -> None:
+    """Duplicate-flood stress for minhash_lsh_pairs' band self-join: the
+    r4 verdict's 'one remaining quadratic trap in the dedup tier'."""
+    from prosnet_prefect_pipelines_spark.operators.dedup import minhash_lsh_pairs
+
+    n, flood = 12_000, 2_000
+    df = doc_corpus(spark, n, flood)
+    for cap in (None, 64):
+        t0 = time.time()
+        # threshold=0 keeps every verified candidate; the flood-pair
+        # count measures both the quadratic bound and the salted recall
+        pairs = minhash_lsh_pairs(
+            df, "id", "text", k=3, num_hashes=12, bands=4, threshold=0.0,
+            hash_mode="fast", bucket_cap=cap,
+        )
+        n_pairs = pairs.count()
+        n_flood = pairs.filter((F.col("a") < flood) & (F.col("b") < flood)).count()
+        print(
+            f"minhash cap={cap}: verified_pairs={n_pairs} flood_pairs={n_flood} "
+            f"(uncapped flood quadratic = {flood * (flood - 1) // 2}) "
+            f"wall={time.time() - t0:.1f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
     from prosnet_prefect_pipelines_spark.operators.dedup import (
         embedding_cosine_pairs,
@@ -50,6 +97,7 @@ def main() -> None:
     from prosnet_prefect_pipelines_spark.session import get_spark
 
     spark = get_spark("stress_hot_bucket")
+    stress_minhash(spark)
     dim, n, flood = 64, 30_000, 3_000
     df = corpus(spark, n, flood, dim)
 

@@ -384,3 +384,31 @@ def test_ann_recall_report_consistency(spark):
     r = q_ann_recall_report(spark, "/root/testdata/sf0.001").first()
     assert 0 <= r.n_hit <= r.n_exact
     assert r.recall_ppm == r.n_hit * 1000000 // r.n_exact
+
+
+def test_minhash_bucket_cap_bounds_flood(spark):
+    """Duplicate flood: 60 identical docs + 40 distinct. Uncapped, the
+    band self-join yields the full 60*59/2 flood quadratic; with
+    bucket_cap the candidate count is bounded and every returned pair
+    is still a true >=threshold pair (precision stays exact because
+    verification is unchanged)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "the same flooded text body repeated verbatim") for i in range(60)]
+    rows += [(100 + i, f"distinct document number {i} with words {i*7} {i*13}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    uncapped = D.minhash_lsh_pairs(
+        df, "id", "text", k=3, num_hashes=12, bands=4, threshold=0.9,
+        hash_mode="fast",
+    )
+    assert uncapped.count() == 60 * 59 // 2
+
+    capped = D.minhash_lsh_pairs(
+        df, "id", "text", k=3, num_hashes=12, bands=4, threshold=0.9,
+        hash_mode="fast", bucket_cap=8,
+    )
+    got = capped.collect()
+    # bounded: far below the flood quadratic, and every pair is real
+    assert 0 < len(got) < 60 * 59 // 2
+    assert all(r.a < 60 and r.b < 60 and r.jaccard == 1.0 for r in got)
