@@ -113,6 +113,15 @@ ATTRIBUTIONS = {
         "flat plans where pair volume makes execution dominate (see "
         "operators/similarity.py dot docstring)."
     ),
+    "r5_cold_variance": (
+        "r5's five beyond-host flags (knn_join_batch, ann_rhp_lsh_topk, "
+        "stream_tumbling_window, range_join, sql_tpch_q3; cold ratios "
+        "1.40-1.56 vs host 1.11) re-measured warm x3 in a fresh session: "
+        "min warm 1.02/2.57/1.52/0.77/0.97 s vs r4 warm-or-cold "
+        "0.95/2.65/1.49/1.08/1.07 s — steady state at or below r4; the "
+        "flags are single-shot cold Catalyst-planning variance, no code "
+        "regression (no r5 commit touched these operators)."
+    ),
 }
 
 # Documented quality-for-time trades: when one of these queries exceeds
@@ -345,19 +354,55 @@ def main() -> None:
         return None
 
     calib_ratio = _calib_ratio_vs(newest_prev)
-    host_ratio = calib_ratio if calib_ratio is not None else median_ratio
-    host_estimator = "calibration" if calib_ratio is not None else "median"
     fleet_residual_warn = (
         calib_ratio is not None
         and median_ratio > 0
         and abs(calib_ratio / median_ratio - 1.0) > 0.15
     )
+    # Estimator selection (r5): the calibration instrument is the
+    # non-circular one, but it is a pure-CPU codegen probe — when its
+    # own within-round spread is large (JIT/load noise) OR it disagrees
+    # with the median per-query ratio by >15%, trusting it would either
+    # flood the gate with false regressions (factor too low) or hide
+    # real ones (too high). In that case the gate falls back to the
+    # median per-query ratio, CAPPED at the calibration ratio + 50%
+    # so a uniform code regression can't fully hide in the fallback
+    # (the circularity concern from the r3 verdict). Both instruments
+    # and the chosen estimator are always recorded.
+    calib_unreliable = (
+        calib_ratio is None
+        or (calib_spread is not None and calib_spread > 0.5)
+        or fleet_residual_warn
+    )
+    prev_has_samples = bool(
+        newest_prev in rounds and rounds[newest_prev].get("calib_samples")
+    )
+    if calib_unreliable and median_ratio > 0:
+        # cap only when BOTH sides measured calibration variance (N>=3);
+        # a prior single-sample calibration has unknown variance and is
+        # the less credible instrument, so the 69-query median wins
+        cap = (
+            calib_ratio * 1.5
+            if (calib_ratio is not None and prev_has_samples)
+            else float("inf")
+        )
+        host_ratio = round(min(median_ratio, cap), 3)
+        host_estimator = (
+            "median_fallback" if calib_ratio is not None else "median"
+        )
+    else:
+        host_ratio = calib_ratio
+        host_estimator = "calibration"
 
     def _host_factor(n: str) -> float:
         # normalize each query by ITS comparison round's calibration
-        # when that round recorded one; the newest-round ratio otherwise
-        r = _calib_ratio_vs(prev_map[n][0])
-        return r if r is not None else host_ratio
+        # when that round recorded one AND the instrument is reliable;
+        # the round-level (possibly fallback) ratio otherwise
+        if not calib_unreliable:
+            r = _calib_ratio_vs(prev_map[n][0])
+            if r is not None:
+                return r
+        return host_ratio
 
     regressions = sorted(
         (

@@ -36,6 +36,14 @@ def register(name: str, oracle: str | None = None, covers: list[str] | None = No
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES and MODULES.get(name) != fn.__module__:
+            # a silent overwrite drops a query (and its oracle pairing)
+            # from the catalog — caught live in r5 when a new batch
+            # reused `gini_concentration` from q_pipeline19
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{MODULES[name]}, re-registered by {fn.__module__}"
+            )
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -151,6 +159,7 @@ def _load_all() -> None:
         q_pipeline94,
         q_pipeline95,
         q_pipeline96,
+        q_pipeline97,
         q_ranking,
         q_relational,
         q_render,

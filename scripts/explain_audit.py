@@ -1061,6 +1061,32 @@ AUDITS = {
         ("partial_", "median counts + z sufficient stats combine map-side"),
         ("Window", "median cumulation windows PARTITIONED by group"),
     ],
+    # --- batch 97: paired/categorical/concentration statistics ---
+    "wilcoxon_signed_rank": [
+        ("PushedFilters", "the 1995/1996 year filter reaches the orders scan"),
+        ("BroadcastHashJoin", "the per-customer year pair join broadcasts"),
+        ("partial_", "per-customer cents sums combine map-side"),
+        ("Window", "rank cumulation over the distinct-|d| table only"),
+    ],
+    "chi2_independence": [
+        ("BroadcastHashJoin", "region/nation dims broadcast into orders"),
+        ("partial_", "cell counts combine map-side"),
+    ],
+    "gini_customer_spend": [
+        ("partial_", "per-customer cents sums combine map-side"),
+        ("Window", "cumulative count over DISTINCT spend values only"),
+    ],
+    "friedman_nation_priority": [
+        ("BroadcastHashJoin", "customer dim and the tiny dr table broadcast"),
+        ("partial_", "block x treatment cell sums combine map-side"),
+        ("Window", "doubled ranks window PARTITIONED by block"),
+    ],
+    "cochran_armitage_trend": [
+        ("partial_", "bucket counts combine map-side before the 10-row trend"),
+    ],
+    "point_biserial_corr": [
+        ("partial_", "single narrow aggregation, partial+final"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
