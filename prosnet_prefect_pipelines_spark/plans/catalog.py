@@ -160,6 +160,7 @@ def _load_all() -> None:
         q_pipeline95,
         q_pipeline96,
         q_pipeline97,
+        q_pipeline98,
         q_ranking,
         q_relational,
         q_render,

@@ -1087,6 +1087,31 @@ AUDITS = {
     "point_biserial_corr": [
         ("partial_", "single narrow aggregation, partial+final"),
     ],
+    # --- batch 98: agreement & 2x2 epidemiology statistics ---
+    "mcnemar_paired_flips": [
+        ("PushedFilters", "the 1995/1996 year filter reaches the orders scan"),
+        ("BroadcastHashJoin", "per-customer year pair join broadcasts"),
+        ("partial_", "per-customer cents sums combine map-side"),
+    ],
+    "cohens_kappa_labels": [
+        ("partial_", "single narrow 2x2 aggregation, partial+final"),
+    ],
+    "odds_risk_by_region": [
+        ("BroadcastHashJoin", "region/nation dims broadcast into orders"),
+        ("partial_", "per-region cell counts combine map-side"),
+    ],
+    "mantel_haenszel_or": [
+        ("BroadcastHashJoin", "region/nation dims broadcast into orders"),
+        ("partial_", "per-stratum cell counts combine map-side"),
+    ],
+    "runs_test_daily": [
+        ("partial_", "daily counts combine map-side before the tiny window"),
+        ("Window", "lag/run windows over the ~2.4k-row daily series only"),
+    ],
+    "durbin_watson_daily": [
+        ("partial_", "daily cents sums combine map-side"),
+        ("Window", "lag window over the ~2.4k-row daily series only"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
