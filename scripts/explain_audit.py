@@ -1112,6 +1112,27 @@ AUDITS = {
         ("partial_", "daily cents sums combine map-side"),
         ("Window", "lag window over the ~2.4k-row daily series only"),
     ],
+    # --- batch 99: exact moments & shape statistics ---
+    "skewness_kurtosis_exact": [
+        ("partial_", "shifted power sums combine map-side; 1-row broadcast"),
+    ],
+    "jarque_bera_stat": [
+        ("partial_", "same shifted power-sum shape as skewness_kurtosis"),
+    ],
+    "bowley_quartile_skew": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "cumulative counts over the |V|-sized distinct table"),
+    ],
+    "yules_q_discount_return": [
+        ("partial_", "single narrow 2x2 aggregation, partial+final"),
+    ],
+    "trimmed_mean_orders": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "cumulative counts over the |V|-sized distinct table"),
+    ],
+    "grubbs_max_outlier": [
+        ("partial_", "sums and max-deviation both stream map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
