@@ -92,6 +92,10 @@ HEADLINE = [
     "sql_tpch_q21",           # waiting-supplier EXISTS/NOT EXISTS chain
     "kruskal_wallis_h",       # r5: doubled-rank KW (distinct-value window)
     "spearman_rho_price_recency",  # r5: partitioned rank correlation
+    "wilcoxon_signed_rank",   # r5: paired year join + distinct-|d| ranks
+    "mantel_haenszel_or",     # r5: stratified 2x2 with dim broadcasts
+    "skewness_kurtosis_exact",  # r5: two-pass shifted power sums
+    "trimmed_mean_orders",    # r5: partial tie-block tail arithmetic
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).

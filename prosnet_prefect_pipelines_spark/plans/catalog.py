@@ -162,6 +162,7 @@ def _load_all() -> None:
         q_pipeline97,
         q_pipeline98,
         q_pipeline99,
+        q_pipeline100,
         q_ranking,
         q_relational,
         q_render,

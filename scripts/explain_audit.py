@@ -1133,6 +1133,27 @@ AUDITS = {
     "grubbs_max_outlier": [
         ("partial_", "sums and max-deviation both stream map-side"),
     ],
+    # --- batch 100: lexical diversity & vocabulary statistics ---
+    "yules_k_vocab": [
+        ("partial_", "token frequencies combine map-side; |V|-table fold"),
+    ],
+    "simpson_vocab_diversity": [
+        ("partial_", "token frequencies combine map-side"),
+    ],
+    "ttr_hapax_profile": [
+        ("partial_", "token frequencies combine map-side"),
+    ],
+    "vocab_concentration": [
+        ("partial_", "token frequencies combine map-side"),
+    ],
+    "vocab_growth_deciles": [
+        ("BroadcastHashJoin", "doc-rank map broadcast into the token table"),
+        ("Window", "rank window over the |docs| distinct-id table only"),
+        ("partial_", "first-occurrence MIN combines map-side"),
+    ],
+    "token_length_moments": [
+        ("partial_", "length sums combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
