@@ -117,6 +117,14 @@ ATTRIBUTIONS = {
         "flat plans where pair volume makes execution dominate (see "
         "operators/similarity.py dot docstring)."
     ),
+    "pagerank_nations": (
+        "r5 warm 3.9-4.2 s (x4 re-measure) vs r4 warm 2.75 s on a host "
+        "whose CPU calibration says only ~1.07-1.11x slower. No r5 commit "
+        "touched operators/graph.py or the query; the cost is the "
+        "corpus-sized edge-mining joins (lineitem x orders x dims), which "
+        "scale with shuffle/IO speed the pure-CPU calibration probe does "
+        "not capture. Tracked, not chased: same plan, same row counts."
+    ),
     "r5_cold_variance": (
         "r5's five beyond-host flags (knn_join_batch, ann_rhp_lsh_topk, "
         "stream_tumbling_window, range_join, sql_tpch_q3; cold ratios "
