@@ -163,6 +163,7 @@ def _load_all() -> None:
         q_pipeline98,
         q_pipeline99,
         q_pipeline100,
+        q_pipeline101,
         q_ranking,
         q_relational,
         q_render,

@@ -1154,6 +1154,12 @@ AUDITS = {
     "token_length_moments": [
         ("partial_", "length sums combine map-side"),
     ],
+    # --- batch 101: streaming exact statistics (plan audited on the
+    # batch-side post-processing of the memory-sink state table) ---
+    "stream_moments_by_type": [],
+    "stream_kappa_2x2": [],
+    "stream_cochran_trend": [],
+    "stream_pbiserial": [],
 }
 
 # negative assertions: these operators must NOT degenerate to a
