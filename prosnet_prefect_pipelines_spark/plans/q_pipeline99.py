@@ -303,7 +303,7 @@ WITH v AS (
 SELECT CAST(q1 AS BIGINT) AS q1_cents, CAST(q2 AS BIGINT) AS q2_cents,
        CAST(q3 AS BIGINT) AS q3_cents,
        round(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
-             / CAST(q3 - q1 AS DOUBLE), 6) AS bowley_skew
+             / CAST(NULLIF(q3 - q1, 0) AS DOUBLE), 6) AS bowley_skew
 FROM quart
 """
 )
@@ -350,8 +350,12 @@ def q_bowley_quartile_skew(spark, sf_dir):
         F.col("q2").cast("long").alias("q2_cents"),
         F.col("q3").cast("long").alias("q3_cents"),
         F.round(
-            (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("double")
-            / (F.col("q3") - F.col("q1")).cast("double"),
+            F.try_divide(
+                (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("double"),
+                F.nullif(
+                    (F.col("q3") - F.col("q1")).cast("double"), F.lit(0.0)
+                ),
+            ),
             6,
         ).alias("bowley_skew"),
     )

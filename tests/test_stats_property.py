@@ -1,0 +1,177 @@
+"""Property tests: round-5 exact statistics vs independent pure-Python
+reference implementations on generated inputs.
+
+The batch-97/99 queries compute rank / order-statistic / moment values
+through distinct-value cumulative-count identities (tie blocks, doubled
+ranks, shifted power sums). Each property here recomputes the statistic
+the NAIVE way — sort the list, rank it, slice it — and requires
+agreement, pinning the identity algebra far beyond the hand examples.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_cents = st.integers(min_value=1, max_value=500)
+_cents_list = st.lists(_cents, min_size=2, max_size=25)
+
+
+def _write_orders_cents(spark, path, cents_list, year=1995):
+    rows = [
+        (i, i, "O", c / 100.0, dt.datetime(year, 6, 1), "3-MEDIUM")
+        for i, c in enumerate(cents_list, start=1)
+    ]
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def _avg_ranks(values):
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(st.lists(st.tuples(_cents, _cents), min_size=2, max_size=15))
+def test_wilcoxon_matches_naive_ranking(spark, tmp_path, pairs):
+    """w_plus_x2 from the distinct-|d| doubled-rank cumulation equals
+    2 * sum of naive average ranks of positive differences."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline97 import (
+        q_wilcoxon_signed_rank,
+    )
+
+    diffs = [b - a for a, b in pairs if b != a]
+    assume(diffs)
+    rows, ok = [], 0
+    for cust, (a, b) in enumerate(pairs, start=1):
+        ok += 1
+        rows.append(
+            (ok, cust, "O", a / 100.0, dt.datetime(1995, 6, 1), "3-MEDIUM")
+        )
+        ok += 1
+        rows.append(
+            (ok, cust, "O", b / 100.0, dt.datetime(1996, 6, 1), "3-MEDIUM")
+        )
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = q_wilcoxon_signed_rank(spark, str(tmp_path)).collect()[0]
+    ranks = _avg_ranks([abs(d) for d in diffs])
+    wp2 = round(2 * sum(r for r, d in zip(ranks, diffs) if d > 0))
+    assert got["n"] == len(diffs)
+    assert got["w_plus_x2"] == wp2
+    assert got["w_plus_x2"] + got["w_minus_x2"] == len(diffs) * (
+        len(diffs) + 1
+    )
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(_cents_list)
+def test_gini_matches_sorted_rank_formula(spark, tmp_path, cents):
+    """Tie-block positional identity == naive sorted row_number Gini."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline97 import (
+        q_gini_customer_spend,
+    )
+
+    _write_orders_cents(spark, tmp_path, cents)
+    got = q_gini_customer_spend(spark, str(tmp_path)).collect()[0]
+    s = sorted(cents)
+    n, tot = len(s), sum(s)
+    g = (2 * sum(i * x for i, x in enumerate(s, start=1)) - (n + 1) * tot) / (
+        n * tot
+    )
+    assert got["n"] == n and got["total_cents"] == tot
+    assert abs(got["gini"] - round(g, 6)) <= 1e-9
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(_cents_list)
+def test_trimmed_mean_matches_sorted_slice(spark, tmp_path, cents):
+    """Partial tie-block tail sums == naive sorted-slice trimmed mean."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline99 import (
+        q_trimmed_mean_orders,
+    )
+
+    _write_orders_cents(spark, tmp_path, cents)
+    got = q_trimmed_mean_orders(spark, str(tmp_path)).collect()[0]
+    s = sorted(cents)
+    k = len(s) // 10
+    mid = s[k : len(s) - k]
+    ref = sum(mid) / len(mid) / 100.0
+    assert got["trimmed_each"] == k
+    assert abs(got["trimmed_mean_dollars"] - round(ref, 6)) <= 1e-9
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(_cents_list)
+def test_bowley_quartiles_match_inverse_ecdf(spark, tmp_path, cents):
+    """Distinct-value cumulative quartiles == naive sorted type-1
+    quantiles q_p = s[ceil(p*n) - 1]."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline99 import (
+        q_bowley_quartile_skew,
+    )
+
+    _write_orders_cents(spark, tmp_path, cents)
+    got = q_bowley_quartile_skew(spark, str(tmp_path)).collect()[0]
+    s = sorted(cents)
+    n = len(s)
+    q1 = s[math.ceil(0.25 * n) - 1]
+    q2 = s[math.ceil(0.50 * n) - 1]
+    q3 = s[math.ceil(0.75 * n) - 1]
+    assert (got["q1_cents"], got["q2_cents"], got["q3_cents"]) == (q1, q2, q3)
+    if q3 != q1:
+        ref = (q3 + q1 - 2 * q2) / (q3 - q1)
+        assert abs(got["bowley_skew"] - round(ref, 6)) <= 1e-9
+    else:
+        assert got["bowley_skew"] is None
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(_cents_list)
+def test_moments_match_naive_central_moments(spark, tmp_path, cents):
+    """Shifted power-sum combination == naive two-pass central moments."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline99 import (
+        q_skewness_kurtosis_exact,
+    )
+
+    assume(len(set(cents)) >= 2)
+    _write_orders_cents(spark, tmp_path, cents)
+    got = q_skewness_kurtosis_exact(spark, str(tmp_path)).collect()[0]
+    n = len(cents)
+    mean = sum(cents) / n
+    m2 = sum((x - mean) ** 2 for x in cents) / n
+    m3 = sum((x - mean) ** 3 for x in cents) / n
+    m4 = sum((x - mean) ** 4 for x in cents) / n
+    assert got["n"] == n
+    assert got["skewness"] == round(got["skewness"], 6)
+    assert abs(got["skewness"] - m3 / m2**1.5) <= 1e-4
+    assert abs(got["excess_kurtosis"] - (m4 / m2**2 - 3)) <= 1e-4
