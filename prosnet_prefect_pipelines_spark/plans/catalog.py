@@ -164,6 +164,8 @@ def _load_all() -> None:
         q_pipeline99,
         q_pipeline100,
         q_pipeline101,
+        q_pipeline102,
+        q_pipeline103,
         q_ranking,
         q_relational,
         q_render,

@@ -184,7 +184,7 @@ def q_ttr_hapax_profile(spark, sf_dir):
     Guiraud's R = V/sqrt(N) — the vocabulary-richness panel; all from
     the exact integers N, V, V1, V2, with fixed double divisions.
 
-    Ref semantics: SURVEY §2 A2 (extension X-TTR)."""
+    Ref semantics: SURVEY §2 A2 (extension X-TTR-HAPAX)."""
     _, freq = _freq(spark, sf_dir)
     agg = freq.agg(
         F.sum("f").alias("n"),
@@ -292,7 +292,7 @@ def q_vocab_growth_deciles(spark, sf_dir):
     The rank window runs over the |docs| distinct-id table; the decile
     cumulation over 10 rows. First-occurrence is one token-keyed MIN.
 
-    Ref semantics: SURVEY §2 A2/O1 (extension X-HEAPS)."""
+    Ref semantics: SURVEY §2 A2/O1 (extension X-HEAPS-DECILES)."""
     tk, _ = _freq(spark, sf_dir)
     dranks = (
         tk.select("doc_id")

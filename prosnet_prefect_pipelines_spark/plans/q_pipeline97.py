@@ -190,7 +190,7 @@ def q_chi2_independence(spark, sf_dir):
     (region/nation are tiny); the statistic runs on the 25-cell
     contingency table, never on row pairs.
 
-    Ref semantics: SURVEY §2 A2/J1 (extension X-CHI2)."""
+    Ref semantics: SURVEY §2 A2/J1 (extension X-CHI2-CONT)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_orderpriority"
     )
@@ -303,7 +303,7 @@ def q_gini_customer_spend(spark, sf_dir):
     count over DISTINCT spend values. Products route through
     DECIMAL(38,0)/HUGEINT; ONE final double division.
 
-    Ref semantics: SURVEY §2 A2/O1 (extension X-GINI)."""
+    Ref semantics: SURVEY §2 A2/O1 (extension X-GINI-RANKSUM)."""
     spend = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .groupBy(F.col("o_custkey").alias("k"))

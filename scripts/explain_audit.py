@@ -1160,6 +1160,53 @@ AUDITS = {
     "stream_kappa_2x2": [],
     "stream_cochran_trend": [],
     "stream_pbiserial": [],
+    # --- batch 102: forensic data-quality analytics ---
+    "benford_first_digit_report": [
+        ("partial_", "9-group digit counts combine map-side"),
+        ("BroadcastHashJoin", "9-row Benford dim broadcast into the counts"),
+    ],
+    "benford_mad_nigrini": [
+        ("partial_", "digit counts combine map-side"),
+        ("BroadcastHashJoin", "9-row Benford dim broadcast into the counts"),
+    ],
+    "cents_uniformity_chi2": [
+        ("partial_", "100-cell counts combine map-side; 1-row rollup"),
+    ],
+    "round_price_spike": [
+        ("partial_", "conditional counts combine map-side, 5 groups"),
+    ],
+    "duplicate_amount_concentration": [
+        ("partial_", "amount-keyed counts combine map-side"),
+    ],
+    "amount_digit_entropy": [
+        ("partial_", "9- and 100-cell counts combine map-side"),
+    ],
+    # --- batch 103: time-series diagnostics (fact-table work is ONE
+    # month-keyed aggregation; all windows/joins run on the
+    # calendar-bounded monthly series) ---
+    "mann_kendall_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+    ],
+    "turning_points_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "lag/lead over the calendar-bounded series only"),
+    ],
+    "record_months_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "running extrema over the calendar-bounded series"),
+    ],
+    "revenue_drawdown_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "running max over the calendar-bounded series"),
+    ],
+    "monotone_runs_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "island ids over the calendar-bounded series"),
+    ],
+    "mean_crossings_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "lag over the calendar-bounded series"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1347,6 +1394,21 @@ FORBIDDEN = {
     "hist2d_bins": ["Exchange SinglePartition"],
     "state_dwell_times": ["Exchange SinglePartition"],
     "benford_digit_audit": ["CartesianProduct"],
+    # batch 102 (1-row broadcast cross joins are BNLJ, allowed)
+    "benford_first_digit_report": ["CartesianProduct"],
+    "benford_mad_nigrini": ["CartesianProduct"],
+    "cents_uniformity_chi2": ["CartesianProduct"],
+    "round_price_spike": ["CartesianProduct", "Exchange SinglePartition"],
+    "duplicate_amount_concentration": ["CartesianProduct"],
+    "amount_digit_entropy": ["CartesianProduct"],
+    # batch 103 (monthly-series pair join is a BNLJ on the tiny
+    # calendar-bounded side — allowed; never a CartesianProduct)
+    "mann_kendall_monthly": ["CartesianProduct"],
+    "turning_points_monthly": ["CartesianProduct"],
+    "record_months_monthly": ["CartesianProduct"],
+    "revenue_drawdown_monthly": ["CartesianProduct"],
+    "monotone_runs_monthly": ["CartesianProduct"],
+    "mean_crossings_monthly": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],

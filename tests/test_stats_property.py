@@ -175,3 +175,159 @@ def test_moments_match_naive_central_moments(spark, tmp_path, cents):
     assert got["skewness"] == round(got["skewness"], 6)
     assert abs(got["skewness"] - m3 / m2**1.5) <= 1e-4
     assert abs(got["excess_kurtosis"] - (m4 / m2**2 - 3)) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# batch 102/103 properties: forensic digit screens and time-series
+# diagnostics vs naive pure-Python loops.
+
+_series = st.lists(_cents, min_size=3, max_size=20)
+
+
+def _write_monthly_cents(spark, path, cents_list):
+    rows = [
+        (i, i, "O", c / 100.0,
+         dt.datetime(1996 + (i - 1) // 12, (i - 1) % 12 + 1, 5), "3-MEDIUM")
+        for i, c in enumerate(cents_list, start=1)
+    ]
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(_series)
+def test_mann_kendall_matches_naive_pairs(spark, tmp_path, cents):
+    """Pair-join S and tie-corrected variance == the O(n^2) loop."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline103 import (
+        q_mann_kendall_monthly,
+    )
+
+    _write_monthly_cents(spark, tmp_path, cents)
+    got = q_mann_kendall_monthly(spark, str(tmp_path)).collect()[0]
+    n = len(cents)
+    s = sum(
+        (cents[j] > cents[i]) - (cents[j] < cents[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(cents).values() if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    assert got["n_months"] == n and got["s_stat"] == s
+    assert abs(got["var_s_6"] - round(var, 6)) <= 1e-9
+    if var > 0:
+        z = (s - 1) / var**0.5 if s > 0 else ((s + 1) / var**0.5 if s < 0 else 0.0)
+        assert abs(got["z_6"] - round(z, 6)) <= 1e-9
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(_series)
+def test_series_diagnostics_match_naive_loops(spark, tmp_path, cents):
+    """Turning points, records, drawdown, monotone runs and mean
+    crossings all equal direct scans of the series."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline103 import (
+        q_mean_crossings_monthly,
+        q_monotone_runs_monthly,
+        q_record_months_monthly,
+        q_revenue_drawdown_monthly,
+        q_turning_points_monthly,
+    )
+
+    _write_monthly_cents(spark, tmp_path, cents)
+    sf = str(tmp_path)
+    n = len(cents)
+
+    tp = q_turning_points_monthly(spark, sf).collect()[0]
+    naive_tp = sum(
+        1
+        for i in range(1, n - 1)
+        if (cents[i] > cents[i - 1] and cents[i] > cents[i + 1])
+        or (cents[i] < cents[i - 1] and cents[i] < cents[i + 1])
+    )
+    assert tp["turning_points"] == naive_tp
+
+    rec = q_record_months_monthly(spark, sf).collect()[0]
+    hi = sum(1 for i in range(n) if i == 0 or cents[i] > max(cents[:i]))
+    lo = sum(1 for i in range(n) if i == 0 or cents[i] < min(cents[:i]))
+    assert (rec["record_highs"], rec["record_lows"]) == (hi, lo)
+
+    dd = q_revenue_drawdown_monthly(spark, sf).collect()[0]
+    peak, best, bk, bp = cents[0], -1, None, None
+    for i, x in enumerate(cents, start=1):
+        peak = max(peak, x)
+        if peak - x > best:
+            best, bk, bp = peak - x, i, peak
+    assert dd["max_drawdown_cents"] == best
+    assert dd["trough_month_key"] == 1996 * 12 + bk
+    assert dd["peak_cents"] == bp
+
+    mr = q_monotone_runs_monthly(spark, sf).collect()[0]
+    lu = ld = cu = cd = 0
+    for i in range(1, n):
+        cu = cu + 1 if cents[i] > cents[i - 1] else 0
+        cd = cd + 1 if cents[i] < cents[i - 1] else 0
+        lu, ld = max(lu, cu), max(ld, cd)
+    assert (mr["longest_up_steps"], mr["longest_down_steps"]) == (lu, ld)
+
+    mc = q_mean_crossings_monthly(spark, sf).collect()[0]
+    tot = sum(cents)
+    sgn = [(n * x > tot) - (n * x < tot) for x in cents]
+    cross = sum(
+        1 for a, b in zip(sgn, sgn[1:]) if a * b == -1
+    )
+    assert mc["crossings"] == cross
+    assert mc["n_above"] == sum(1 for v in sgn if v == 1)
+    assert mc["n_below"] == sum(1 for v in sgn if v == -1)
+    assert mc["n_equal"] == sum(1 for v in sgn if v == 0)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(st.lists(st.integers(min_value=100, max_value=99999), min_size=1, max_size=20))
+def test_benford_report_matches_counter(spark, tmp_path, cents):
+    """Per-digit observed counts == Counter of leading digits; chi2
+    terms recompute from the literal probabilities."""
+    from collections import Counter
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline102 import (
+        _BENFORD_P,
+        q_benford_first_digit_report,
+        q_cents_uniformity_chi2,
+    )
+
+    _write_orders_cents(spark, tmp_path, cents)
+    out = {
+        r["digit"]: r
+        for r in q_benford_first_digit_report(spark, str(tmp_path)).collect()
+    }
+    obs = Counter(int(str(c)[0]) for c in cents)
+    n = len(cents)
+    for d, p in _BENFORD_P:
+        assert out[d]["obs_count"] == obs.get(d, 0)
+        assert abs(out[d]["expected_6"] - round(n * p, 6)) <= 1e-9
+        assert (
+            abs(
+                out[d]["chi2_term_6"]
+                - round((obs.get(d, 0) - n * p) ** 2 / (n * p), 6)
+            )
+            <= 1e-9
+        )
+
+    uni = q_cents_uniformity_chi2(spark, str(tmp_path)).collect()[0]
+    cells = Counter(c % 100 for c in cents)
+    naive = sum(
+        (cells.get(ll, 0) - n / 100) ** 2 / (n / 100) for ll in range(100)
+    )
+    assert abs(uni["chi2_6"] - round(naive, 6)) <= 1e-6
+    assert uni["cells_present"] == len(cells)
