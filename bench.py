@@ -96,6 +96,8 @@ HEADLINE = [
     "mantel_haenszel_or",     # r5: stratified 2x2 with dim broadcasts
     "skewness_kurtosis_exact",  # r5: two-pass shifted power sums
     "trimmed_mean_orders",    # r5: partial tie-block tail arithmetic
+    "benford_first_digit_report",  # r5: fixed-9-group screen + literal dim
+    "mann_kendall_monthly",   # r5: month-agg + calendar-bounded pair join
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).

@@ -166,6 +166,7 @@ def _load_all() -> None:
         q_pipeline101,
         q_pipeline102,
         q_pipeline103,
+        q_pipeline104,
         q_ranking,
         q_relational,
         q_render,

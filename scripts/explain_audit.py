@@ -1207,6 +1207,32 @@ AUDITS = {
         ("partial_", "monthly cent sums combine map-side"),
         ("Window", "lag over the calendar-bounded series"),
     ],
+    # --- batch 104: fairness & inequality auditing (dims broadcast,
+    # orders-lineitem keyed on l_orderkey, <=|regions| output groups) ---
+    "demographic_parity_report": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "per-order flags then per-group counts combine map-side"),
+    ],
+    "equalized_odds_report": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "confusion cells combine map-side"),
+    ],
+    "predictive_parity_report": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "confusion cells combine map-side"),
+    ],
+    "disparate_impact_flag": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "per-group rates reduce map-side"),
+    ],
+    "theil_inequality_decomposition": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "per-customer spend sums combine map-side"),
+    ],
+    "group_rate_ztest": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "per-group counts combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1409,6 +1435,13 @@ FORBIDDEN = {
     "revenue_drawdown_monthly": ["CartesianProduct"],
     "monotone_runs_monthly": ["CartesianProduct"],
     "mean_crossings_monthly": ["CartesianProduct"],
+    # batch 104 (5-row group tables; 1-row broadcasts are BNLJ, allowed)
+    "demographic_parity_report": ["CartesianProduct"],
+    "equalized_odds_report": ["CartesianProduct"],
+    "predictive_parity_report": ["CartesianProduct"],
+    "disparate_impact_flag": ["CartesianProduct"],
+    "theil_inequality_decomposition": ["CartesianProduct"],
+    "group_rate_ztest": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],
