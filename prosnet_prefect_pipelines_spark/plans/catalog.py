@@ -167,6 +167,9 @@ def _load_all() -> None:
         q_pipeline102,
         q_pipeline103,
         q_pipeline104,
+        q_pipeline105,
+        q_pipeline106,
+        q_pipeline107,
         q_ranking,
         q_relational,
         q_render,

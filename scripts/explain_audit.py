@@ -1233,6 +1233,47 @@ AUDITS = {
         ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
         ("partial_", "per-group counts combine map-side"),
     ],
+    # --- batch 105: exact classifier evaluation (one lineitem
+    # aggregation keyed on l_orderkey; 11-row distinct-score tables) ---
+    "auc_exact_rank": [
+        ("partial_", "per-order score/label flags combine map-side"),
+        ("Window", "cumulative counts over the 11-row score table only"),
+    ],
+    "brier_murphy_decomposition": [
+        ("partial_", "per-order flags then 11-cell counts combine map-side"),
+    ],
+    "threshold_metrics_exact": [
+        ("partial_", "confusion cells combine map-side"),
+    ],
+    "cohens_d_order_value": [
+        ("partial_", "power sums combine map-side, 2-group rollup"),
+    ],
+    "cumulative_gains_by_score": [
+        ("partial_", "score-cell counts combine map-side"),
+        ("Window", "running sums over the 11-row score table only"),
+    ],
+    # --- batch 106: streaming model & data monitoring (plan audited
+    # on the batch-side post-processing of the memory-sink state) ---
+    "stream_auc_cells": [],
+    "stream_threshold_confusion": [],
+    "stream_psi_buckets": [],
+    "stream_brier_monitor": [],
+    # --- batch 107: ranking comparison & evaluation (top-k via
+    # TakeOrderedAndProject; windows over LIMIT-ed subsets only) ---
+    "map_at_10_exact": [
+        ("partial_", "per-order score flags combine map-side"),
+        ("TakeOrderedAndProject", "top-10 extraction is a streaming top-k"),
+    ],
+    "precision_recall_at_k": [
+        ("partial_", "per-order score flags combine map-side"),
+        ("TakeOrderedAndProject", "top-50 extraction is a streaming top-k"),
+    ],
+    "kendall_rank_distance": [
+        ("TakeOrderedAndProject", "top-100 extraction is a streaming top-k"),
+    ],
+    "rbo_truncated_10": [
+        ("TakeOrderedAndProject", "both top-10 lists are streaming top-ks"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1442,6 +1483,17 @@ FORBIDDEN = {
     "disparate_impact_flag": ["CartesianProduct"],
     "theil_inequality_decomposition": ["CartesianProduct"],
     "group_rate_ztest": ["CartesianProduct"],
+    # batch 105 (11-row score tables; 1-row broadcasts are BNLJ, allowed)
+    "auc_exact_rank": ["CartesianProduct"],
+    "brier_murphy_decomposition": ["CartesianProduct"],
+    "threshold_metrics_exact": ["CartesianProduct"],
+    "cohens_d_order_value": ["CartesianProduct"],
+    "cumulative_gains_by_score": ["CartesianProduct"],
+    # batch 107 (pair join quadratic only in top-k; dims broadcast)
+    "map_at_10_exact": ["CartesianProduct"],
+    "precision_recall_at_k": ["CartesianProduct"],
+    "kendall_rank_distance": ["CartesianProduct"],
+    "rbo_truncated_10": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],
