@@ -170,6 +170,7 @@ def _load_all() -> None:
         q_pipeline105,
         q_pipeline106,
         q_pipeline107,
+        q_pipeline108,
         q_ranking,
         q_relational,
         q_render,

@@ -1274,6 +1274,26 @@ AUDITS = {
     "rbo_truncated_10": [
         ("TakeOrderedAndProject", "both top-10 lists are streaming top-ks"),
     ],
+    # --- batch 108: conformal prediction & forecast scoring (split =
+    # narrow scan predicate; 5-row model broadcast; the global
+    # nearest-rank window runs over the calibration split only) ---
+    "conformal_split_coverage": [
+        ("BroadcastHashJoin", "5-row priority-mean model broadcast"),
+        ("partial_", "coverage counts combine map-side"),
+    ],
+    "quantile_calibration_report": [
+        ("BroadcastHashJoin", "5-row priority-mean model broadcast"),
+        ("partial_", "per-level coverage counts combine map-side"),
+    ],
+    "winkler_interval_score": [
+        ("BroadcastHashJoin", "5-row priority-mean model broadcast"),
+        ("partial_", "scaled Winkler terms combine map-side"),
+    ],
+    "pinball_loss_q90": [
+        ("BroadcastHashJoin", "5-row q90 forecast broadcast into test"),
+        ("partial_", "scaled pinball terms combine map-side"),
+        ("Window", "group-quantile window partitioned by priority"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1494,6 +1514,11 @@ FORBIDDEN = {
     "precision_recall_at_k": ["CartesianProduct"],
     "kendall_rank_distance": ["CartesianProduct"],
     "rbo_truncated_10": ["CartesianProduct"],
+    # batch 108 (1-row q-hat broadcasts are BNLJ, allowed)
+    "conformal_split_coverage": ["CartesianProduct"],
+    "quantile_calibration_report": ["CartesianProduct"],
+    "winkler_interval_score": ["CartesianProduct"],
+    "pinball_loss_q90": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],

@@ -331,3 +331,42 @@ def test_benford_report_matches_counter(spark, tmp_path, cents):
     )
     assert abs(uni["chi2_6"] - round(naive, 6)) <= 1e-6
     assert uni["cells_present"] == len(cells)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10), st.booleans()),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_auc_rank_identity_matches_naive_pairs(spark, tmp_path, items):
+    """Doubled-rank AUC == naive (wins + ties/2) / (n1*n0) pair count
+    — the tie-averaging case most AUC implementations get wrong."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline105 import (
+        q_auc_exact_rank,
+    )
+
+    assume(any(y for _, y in items) and any(not y for _, y in items))
+    rows = [
+        (i, s / 100.0, "R" if y else "N")
+        for i, (s, y) in enumerate(items, start=1)
+    ]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_discount", "l_returnflag"])
+    pq.write_table(pa.Table.from_pandas(df), f"{tmp_path}/lineitem.parquet")
+
+    got = q_auc_exact_rank(spark, str(tmp_path)).collect()[0]
+    pos = [s for s, y in items if y]
+    neg = [s for s, y in items if not y]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert abs(got["auc_6"] - round(auc, 6)) <= 1e-9
