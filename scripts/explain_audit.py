@@ -1294,6 +1294,24 @@ AUDITS = {
         ("partial_", "scaled pinball terms combine map-side"),
         ("Window", "group-quantile window partitioned by priority"),
     ],
+    # --- batch 109: sequential testing & forecast baselines (all
+    # recurrences on the calendar-bounded monthly series) ---
+    "sprt_monthly_decision": [
+        ("partial_", "per-order return flags combine map-side"),
+        ("Window", "cumulative LLR over the calendar-bounded series"),
+    ],
+    "page_hinkley_monthly": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "running min over the calendar-bounded series"),
+    ],
+    "beta_binomial_by_region": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "per-region counts combine map-side"),
+    ],
+    "forecast_error_mase": [
+        ("partial_", "monthly cent sums combine map-side"),
+        ("Window", "lag-1/lag-12 over the calendar-bounded series"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1519,6 +1537,11 @@ FORBIDDEN = {
     "quantile_calibration_report": ["CartesianProduct"],
     "winkler_interval_score": ["CartesianProduct"],
     "pinball_loss_q90": ["CartesianProduct"],
+    # batch 109 (monthly-series windows; tiny broadcasts are BNLJ)
+    "sprt_monthly_decision": ["CartesianProduct"],
+    "page_hinkley_monthly": ["CartesianProduct"],
+    "beta_binomial_by_region": ["CartesianProduct"],
+    "forecast_error_mase": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],
