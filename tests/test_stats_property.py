@@ -370,3 +370,60 @@ def test_auc_rank_identity_matches_naive_pairs(spark, tmp_path, items):
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
     assert abs(got["auc_6"] - round(auc, 6)) <= 1e-9
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_kendall_distance_matches_naive_pairs(spark, tmp_path, items):
+    """Query ranks == naive rank assignment; discordant == O(n^2) loop."""
+    import datetime as _dt
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline107 import (
+        q_kendall_rank_distance,
+    )
+
+    rows = [
+        (i, 1, "O", cents / 100.0, _dt.datetime(1996, 3, 1), "3-MEDIUM")
+        for i, (_, cents) in enumerate(items, start=1)
+    ]
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li = pd.DataFrame(
+        [(i, s / 100.0, "N") for i, (s, _) in enumerate(items, start=1)],
+        columns=["l_orderkey", "l_discount", "l_returnflag"],
+    )
+    pq.write_table(pa.Table.from_pandas(li), f"{tmp_path}/lineitem.parquet")
+
+    got = q_kendall_rank_distance(spark, str(tmp_path)).collect()[0]
+    n = len(items)
+    # naive ranks with the query's deterministic tie-breaks
+    by_s = sorted(range(n), key=lambda i: (-items[i][0], i + 1))
+    by_v = sorted(range(n), key=lambda i: (-items[i][1], i + 1))
+    ra = {i + 1: p + 1 for p, i in enumerate(by_s)}
+    rb = {i + 1: p + 1 for p, i in enumerate(by_v)}
+    disc = sum(
+        1
+        for a in range(1, n + 1)
+        for b in range(a + 1, n + 1)
+        if (rb[b] - rb[a]) * (ra[b] - ra[a]) < 0
+    )
+    assert got["n_pairs"] == n * (n - 1) // 2
+    assert got["discordant"] == disc
