@@ -1312,6 +1312,23 @@ AUDITS = {
         ("partial_", "monthly cent sums combine map-side"),
         ("Window", "lag-1/lag-12 over the calendar-bounded series"),
     ],
+    # --- batch 110: exact distribution distances (distinct-value
+    # cumulations; the O(n^2) pair sums are prefix identities) ---
+    "wasserstein1_returns": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "cumulative ECDF over the |V| distinct-value table"),
+    ],
+    "cvm_two_sample": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "cumulative ECDF over the |V| distinct-value table"),
+    ],
+    "energy_distance_returns": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "prefix counts+sums over the |V| table — no pair join"),
+    ],
+    "tvd_decile_bins": [
+        ("partial_", "10-bin counts combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1542,6 +1559,11 @@ FORBIDDEN = {
     "page_hinkley_monthly": ["CartesianProduct"],
     "beta_binomial_by_region": ["CartesianProduct"],
     "forecast_error_mase": ["CartesianProduct"],
+    # batch 110 (prefix identities — pair joins must NOT appear)
+    "wasserstein1_returns": ["CartesianProduct"],
+    "cvm_two_sample": ["CartesianProduct"],
+    "energy_distance_returns": ["CartesianProduct"],
+    "tvd_decile_bins": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],

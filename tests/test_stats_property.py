@@ -427,3 +427,62 @@ def test_kendall_distance_matches_naive_pairs(spark, tmp_path, items):
     )
     assert got["n_pairs"] == n * (n - 1) // 2
     assert got["discordant"] == disc
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=300), st.booleans()),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_distribution_distances_match_naive(spark, tmp_path, items):
+    """ECDF-gap Wasserstein and prefix-identity energy distance equal
+    brute-force O(n^2) computations."""
+    import datetime as _dt
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline110 import (
+        q_energy_distance_returns,
+        q_wasserstein1_returns,
+    )
+
+    xs = [c for c, y in items if y]
+    ys = [c for c, y in items if not y]
+    assume(xs and ys)
+    orows = [
+        (i, 1, "O", c / 100.0, _dt.datetime(1996, 3, 1), "3-MEDIUM")
+        for i, (c, _) in enumerate(items, start=1)
+    ]
+    lrows = [
+        (i, 0.0, "R" if y else "N") for i, (_, y) in enumerate(items, start=1)
+    ]
+    spark.createDataFrame(
+        orows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lrows, "l_orderkey long, l_discount double, l_returnflag string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    n1, n2 = len(xs), len(ys)
+    # naive W1: integrate |F1 - F2| over the pooled grid
+    grid = sorted(set(xs) | set(ys))
+    w1 = 0
+    for a, b in zip(grid, grid[1:]):
+        cc1 = sum(1 for v in xs if v <= a)
+        cc2 = sum(1 for v in ys if v <= a)
+        w1 += abs(cc1 * n2 - cc2 * n1) * (b - a)
+    got_w = q_wasserstein1_returns(spark, str(tmp_path)).collect()[0]
+    assert (got_w["n_returned"], got_w["n_kept"]) == (n1, n2)
+    assert abs(got_w["wasserstein1_dollars_6"] - round(w1 / (n1 * n2) / 100.0, 6)) <= 1e-9
+
+    sxy = sum(abs(a - b) for a in xs for b in ys)
+    sxx = sum(abs(a - b) for i, a in enumerate(xs) for b in xs[i + 1:])
+    syy = sum(abs(a - b) for i, a in enumerate(ys) for b in ys[i + 1:])
+    e = 2 * sxy / (n1 * n2) - 2 * sxx / (n1 * n1) - 2 * syy / (n2 * n2)
+    got_e = q_energy_distance_returns(spark, str(tmp_path)).collect()[0]
+    assert abs(got_e["energy_distance_dollars_6"] - round(e / 100.0, 6)) <= 1e-9
