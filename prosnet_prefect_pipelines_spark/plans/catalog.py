@@ -173,6 +173,7 @@ def _load_all() -> None:
         q_pipeline108,
         q_pipeline109,
         q_pipeline110,
+        q_pipeline111,
         q_ranking,
         q_relational,
         q_render,

@@ -1329,6 +1329,24 @@ AUDITS = {
     "tvd_decile_bins": [
         ("partial_", "10-bin counts combine map-side"),
     ],
+    # --- batch 111: privacy risk metrics round 2 (one (QI, sensitive)
+    # keyed count; everything then rolls up the group/cell tables) ---
+    "l_diversity_report": [
+        ("BroadcastHashJoin", "customer dim broadcast into orders"),
+        ("partial_", "QI-cell counts combine map-side"),
+    ],
+    "t_closeness_report": [
+        ("BroadcastHashJoin", "customer dim broadcast into orders"),
+        ("partial_", "QI-cell counts combine map-side"),
+    ],
+    "uniqueness_risk_report": [
+        ("BroadcastHashJoin", "customer dim broadcast into orders"),
+        ("partial_", "QI-cell counts combine map-side"),
+    ],
+    "homogeneity_attack_screen": [
+        ("BroadcastHashJoin", "customer dim broadcast into orders"),
+        ("partial_", "QI-cell counts combine map-side"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1564,6 +1582,11 @@ FORBIDDEN = {
     "cvm_two_sample": ["CartesianProduct"],
     "energy_distance_returns": ["CartesianProduct"],
     "tvd_decile_bins": ["CartesianProduct"],
+    # batch 111 (5-row sensitive-dist broadcasts are BNLJ, allowed)
+    "l_diversity_report": ["CartesianProduct"],
+    "t_closeness_report": ["CartesianProduct"],
+    "uniqueness_risk_report": ["CartesianProduct"],
+    "homogeneity_attack_screen": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],
