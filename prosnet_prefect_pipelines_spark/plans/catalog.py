@@ -174,6 +174,7 @@ def _load_all() -> None:
         q_pipeline109,
         q_pipeline110,
         q_pipeline111,
+        q_pipeline112,
         q_ranking,
         q_relational,
         q_render,

@@ -1347,6 +1347,19 @@ AUDITS = {
         ("BroadcastHashJoin", "customer dim broadcast into orders"),
         ("partial_", "QI-cell counts combine map-side"),
     ],
+    # --- batch 112: covariate balance & ordinal effect sizes ---
+    "smd_balance_panel": [
+        ("BroadcastHashJoin", "customer/nation/region dims broadcast"),
+        ("partial_", "power sums combine map-side, 5-group rollup"),
+    ],
+    "qte_decile_gaps": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "cumulative ECDF over the |V| distinct-value table"),
+    ],
+    "cliffs_delta_returns": [
+        ("partial_", "distinct-value counts combine map-side"),
+        ("Window", "prefix counts over the |V| table — no pair join"),
+    ],
 }
 
 # negative assertions: these operators must NOT degenerate to a
@@ -1587,6 +1600,10 @@ FORBIDDEN = {
     "t_closeness_report": ["CartesianProduct"],
     "uniqueness_risk_report": ["CartesianProduct"],
     "homogeneity_attack_screen": ["CartesianProduct"],
+    # batch 112 (prefix identities; 9-row decile dim broadcast)
+    "smd_balance_panel": ["CartesianProduct"],
+    "qte_decile_gaps": ["CartesianProduct"],
+    "cliffs_delta_returns": ["CartesianProduct"],
     # batches 71-78
     "fifo_allocation": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "phrase_search_positional": ["CartesianProduct", "BroadcastNestedLoopJoin"],
