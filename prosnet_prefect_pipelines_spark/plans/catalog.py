@@ -22,6 +22,10 @@ ORACLES: dict[str, str] = {}
 COVERAGE: dict[str, list[str]] = {}
 # defining module of each query (for the git-diff touched-queries sweep)
 MODULES: dict[str, str] = {}
+# defining function qualname — distinguishes two same-named @register
+# calls INSIDE one module (r5 advice: the module-only guard let those
+# silently overwrite) from an idempotent module re-import
+_QUALNAMES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None, covers: list[str] | None = None):
@@ -36,15 +40,24 @@ def register(name: str, oracle: str | None = None, covers: list[str] | None = No
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        if name in QUERIES and MODULES.get(name) != fn.__module__:
+        if name in QUERIES and (
+            MODULES.get(name) != fn.__module__
+            or _QUALNAMES.get(name) != fn.__qualname__
+        ):
             # a silent overwrite drops a query (and its oracle pairing)
             # from the catalog — caught live in r5 when a new batch
-            # reused `gini_concentration` from q_pipeline19
+            # reused `gini_concentration` from q_pipeline19. Comparing
+            # (module, qualname) instead of module alone also catches two
+            # same-named @register calls inside ONE module (r5 advice),
+            # while an importlib-reload of the same function stays
+            # idempotent.
             raise ValueError(
                 f"duplicate query name {name!r}: already registered by "
-                f"{MODULES[name]}, re-registered by {fn.__module__}"
+                f"{MODULES[name]}.{_QUALNAMES.get(name)}, re-registered "
+                f"by {fn.__module__}.{fn.__qualname__}"
             )
         QUERIES[name] = wrapped
+        _QUALNAMES[name] = fn.__qualname__
         if oracle is not None:
             ORACLES[name] = oracle
         COVERAGE[name] = covers or []

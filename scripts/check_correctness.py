@@ -65,12 +65,15 @@ def touched_queries(base: str) -> list[str]:
     round 4 actually touched — this makes 'modified -> re-oracled before
     the round closes' a one-flag invocation).
 
-    Dependency edges come from `from prosnet_prefect_pipelines_spark...
-    import ...` statements, matched against package module basenames
-    (unique across the package), with a transitive closure so e.g. a
+    Dependency edges come from ast-parsed import statements (both
+    ``import pkg.mod`` and ``from pkg[.mod] import names``, including
+    multi-line parenthesized lists — the r5 advice found the previous
+    line-regex missed those, silently dropping changed modules from the
+    --touched sweep), matched against package module basenames (unique
+    across the package), with a transitive closure so e.g. a
     `similarity.py` edit reaches the dedup plans that import dedup.py.
     """
-    import re
+    import ast
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -92,15 +95,29 @@ def touched_queries(base: str) -> list[str]:
                     sources[os.path.splitext(f)[0]] = fh.read()
     known = set(sources)
     deps: dict[str, set[str]] = {}
-    imp = re.compile(
-        r"^\s*from\s+(prosnet_prefect_pipelines_spark[\w.]*)\s+import\s+([\w, ()]+)",
-        re.M,
-    )
+    pkg_name = "prosnet_prefect_pipelines_spark"
     for mod, text in sources.items():
         refs: set[str] = set()
-        for path, names in imp.findall(text):
-            refs.update(p for p in path.split(".") if p in known)
-            refs.update(n.strip() for n in names.replace("(", "").replace(")", "").split(","))
+        try:
+            tree = ast.parse(text)
+        except SyntaxError:
+            deps[mod] = set()
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                # `import pkg.sub.mod [as x]`
+                for alias in node.names:
+                    parts = alias.name.split(".")
+                    if parts[0] == pkg_name:
+                        refs.update(p for p in parts if p in known)
+            elif isinstance(node, ast.ImportFrom):
+                # `from pkg[.sub] import a, b, (c, d)` — ast flattens
+                # parenthesized/multi-line lists for free. Relative
+                # imports (level>0) are intra-package by definition.
+                path = node.module or ""
+                if node.level > 0 or path.split(".")[0] == pkg_name:
+                    refs.update(p for p in path.split(".") if p in known)
+                    refs.update(a.name for a in node.names)
         deps[mod] = {r for r in refs if r in known and r != mod}
 
     # transitive closure: a module is dirty if it or anything it imports is
@@ -121,12 +138,45 @@ def touched_queries(base: str) -> list[str]:
     )
 
 
+N_SHARDS = 4
+
+
+def shard_queries(round_no: int) -> list[str]:
+    """Rotating sf0.1 sweep shard (r5 verdict item 5): the full catalog
+    is only swept at sf0.01 each round; the 77 bench headliners get
+    sf0.1. This selects the ~1/N_SHARDS of NON-headliner queries whose
+    stable name-hash lands on this round's shard, so N_SHARDS
+    consecutive rounds cover the whole catalog at the bench scale and a
+    planner-behavior change at sf0.1 (AQE threshold, broadcast flip)
+    can't hide in an old query for more than N_SHARDS rounds."""
+    import hashlib as _hl
+
+    import bench as _bench
+    from prosnet_prefect_pipelines_spark.plans import catalog
+
+    catalog._load_all()
+    headliners = set(_bench.HEADLINE)
+    return sorted(
+        q
+        for q in catalog.QUERIES
+        if q not in headliners
+        and int(_hl.md5(q.encode()).hexdigest(), 16) % N_SHARDS
+        == round_no % N_SHARDS
+    )
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     touched_base = None
+    shard_round = None
     for i, a in enumerate(argv):
         if a == "--touched" or a.startswith("--touched="):
             touched_base = a.split("=", 1)[1] if "=" in a else "HEAD"
+            argv.pop(i)
+            break
+    for i, a in enumerate(argv):
+        if a.startswith("--shard="):
+            shard_round = int(a.split("=", 1)[1])
             argv.pop(i)
             break
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
@@ -137,6 +187,12 @@ def main() -> int:
         if not only:
             print("\n0 pass / 0 fail (nothing touched)")
             return 0
+    if shard_round is not None:
+        only = shard_queries(shard_round)
+        print(
+            f"# shard {shard_round % N_SHARDS}/{N_SHARDS} (round {shard_round}): "
+            f"{len(only)} non-headliner queries"
+        )
 
     import __spark_entry__ as entry_mod
     from prosnet_prefect_pipelines_spark.session import get_spark
