@@ -575,26 +575,36 @@ def dup_span_stats(
     Training Data Makes Language Models Better" suffix-array pass).
 
     Plan: one explode to (id, span) with multiplicity, a (id, span)
-    pre-aggregation (map-side combinable), then a span-keyed aggregation
-    counting distinct holder documents, and a final per-document rollup.
-    All shuffles key on span/document — work is linear in corpus token
-    count; at 100 TB the span strings would be replaced by xxhash64
-    fingerprints to shrink the shuffle payload (identical grouping
-    semantics, collision odds ~2^-64).
+    pre-aggregation (map-side combinable), then a span-partitioned
+    count window attaching each span's holder-document count, and a
+    final per-document rollup. The holder count is a WINDOW, not a
+    groupBy+self-join: the earlier join formulation referenced the
+    exploded `per` subtree twice and Catalyst planned it twice (no
+    ReusedExchange fired — the two consumers needed different
+    partitionings), so the corpus was exploded and pre-aggregated
+    twice per run. The window keeps one subtree and one fewer
+    exchange (3 vs 4); measured at sf0.1 warm it cut ~25-30% off the
+    catalog's slowest warm query. Per-span row volume over the s
+    exchange is identical to the join plan's, so hot-span skew
+    exposure is unchanged; at 100 TB the (id, span) pre-aggregation
+    bounds each window partition to the span's distinct-holder count.
     """
     # group on the 64-bit span fingerprint, not the span text: the
     # output never carries span strings, so shuffling 8-byte keys
     # instead of ~k-word strings shrinks the exchange payload
     # (collision odds ~2^-64 per pair — the xxhash64 convention)
+    from pyspark.sql import Window
+
     spans = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("_raw"),
     ).select("id", F.xxhash64("_raw").alias("s"))
     per = spans.groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))
-    holders = per.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
     return (
-        per.join(holders, on="s")
-        .groupBy("id")
+        per.groupBy("id")
         .agg(
             F.sum("c").alias("n_spans"),
             F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)).alias(
