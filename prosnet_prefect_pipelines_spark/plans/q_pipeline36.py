@@ -157,16 +157,43 @@ def q_watermark_lag_profile(spark, sf_dir):
         F.col("event_id")
         + F.when(F.col("event_id") % 10 == 0, F.lit(_JITTER)).otherwise(F.lit(0)),
     )
-    w = Window.orderBy("arrival_key", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # |V|-bound convention (r5 verdict item 4): a running max is an
+    # associative scan, so decompose it instead of sorting the whole
+    # stream on one partition (the original global window): (1) a
+    # BLOCK-partitioned running max inside fixed arrival-key blocks,
+    # (2) a prefix max over the per-block maxima (an unpartitioned
+    # window, but over the post-aggregation blocks table — N/65536
+    # rows), (3) hwm = greatest(prior-blocks prefix, local running
+    # max). Identical to the sequential replay; the single-partition
+    # stage is bounded by the block count, tunable via _BLOCK.
+    _BLOCK = 65536
+    arr = arr.withColumn("blk", F.floor(F.col("arrival_key") / _BLOCK))
+    wloc = (
+        Window.partitionBy("blk")
+        .orderBy("arrival_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lag = arr.select(
-        "event_id",
-        "ts",
-        (
-            F.unix_micros(F.max("ts").over(w).cast("timestamp"))
-            - F.unix_micros(F.col("ts").cast("timestamp"))
-        ).alias("lateness_us"),
+    blocks = arr.groupBy("blk").agg(F.max("ts").alias("blk_max"))
+    wpre = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.select(
+        "blk", F.max("blk_max").over(wpre).alias("prev_hwm")
+    )
+    lag = (
+        arr.withColumn("local_hwm", F.max("ts").over(wloc))
+        .join(F.broadcast(prefix), "blk")
+        .select(
+            "event_id",
+            "ts",
+            (
+                F.unix_micros(
+                    F.greatest(
+                        F.col("local_hwm"),
+                        F.coalesce(F.col("prev_hwm"), F.col("local_hwm")),
+                    ).cast("timestamp")
+                )
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("lateness_us"),
+        )
     )
     return lag.groupBy(
         F.date_trunc("hour", "ts").cast("string").alias("hour")

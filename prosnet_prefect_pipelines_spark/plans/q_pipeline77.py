@@ -287,10 +287,47 @@ def q_equi_depth_histogram(spark, sf_dir):
     pts = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    w = Window.orderBy("cents")
-    b = pts.withColumn("bucket", F.ntile(10).over(w))
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+    # |V|-bound convention (r5 verdict item 4): the original ntile
+    # window sorted ALL rows on one partition. ntile's output is fully
+    # determined by per-distinct-value counts: bucket i (1-based, base
+    # = N div 10, rem = N mod 10) spans row positions
+    # [(i-1)*base + min(i-1, rem) + 1, i*base + min(i, rem)], and a
+    # value v (occupying cumulative positions [tot(v)-cnt(v)+1,
+    # tot(v)]) contributes to every bucket its range intersects — so
+    # lo/hi per bucket are min/max v over the intersecting values.
+    # The cumulative window runs over |V| distinct prices; the
+    # 10-row bucket-bounds table broadcasts into a range join.
+    per_v = pts.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    vals = per_v.select(
+        "cents",
+        (F.sum("cnt").over(w) - F.col("cnt") + 1).alias("lo_pos"),
+        F.sum("cnt").over(w).alias("hi_pos"),
+    )
+    n_tot = per_v.agg(F.sum("cnt").alias("N"))
+    buckets = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(F.broadcast(n_tot))
+        .select(
+            "bucket",
+            (
+                (F.col("bucket") - 1) * F.expr("N div 10")
+                + F.least(F.col("bucket") - 1, F.col("N") % 10)
+                + 1
+            ).alias("b_lo"),
+            (
+                F.col("bucket") * F.expr("N div 10")
+                + F.least(F.col("bucket").cast("long"), F.col("N") % 10)
+            ).alias("b_hi"),
+        )
+    )
+    joined = vals.join(
+        F.broadcast(buckets),
+        (F.col("lo_pos") <= F.col("b_hi")) & (F.col("hi_pos") >= F.col("b_lo")),
+    )
+    return joined.groupBy("bucket").agg(
+        (F.first("b_hi") - F.first("b_lo") + 1).cast("long").alias("n"),
         F.min("cents").cast("long").alias("lo_cents"),
         F.max("cents").cast("long").alias("hi_cents"),
     ).select(F.col("bucket").cast("int").alias("bucket"), "n", "lo_cents", "hi_cents")

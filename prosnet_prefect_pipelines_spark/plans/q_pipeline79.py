@@ -84,21 +84,26 @@ def q_ks_statistic_exact(spark, sf_dir):
     of each tied value. One merged-order window pass; the distribution-
     drift gate that needs no binning choices (vs PSI's fixed bins)."""
     s = _samples(spark, sf_dir)
-    n = s.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    # |V|-bound convention (r5 verdict item 4): aggregate to the
+    # per-distinct-value count table FIRST, so the unpartitioned
+    # cumulative window runs over |V| distinct prices, never raw order
+    # rows (the original formulation windowed the raw table). The ECDF
+    # step at each distinct value equals the old last-tie-row (c1, c2)
+    # exactly; where |V| is data-sized the pre-bucketed drift gates
+    # (psi_drift / q_pipeline110's TVD) are the scale path.
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("a2"),
+    )
+    n = per_v.agg(
+        F.sum("a1").alias("n1"),
+        F.sum("a2").alias("n2"),
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wv = Window.partitionBy("v")
-    wvr = Window.partitionBy("v").orderBy("grp")
-    merged = s.select(
-        "v",
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w).alias("c1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).over(w).alias("c2"),
-        F.count(F.lit(1)).over(wv).alias("dup"),
-        F.row_number().over(wvr).alias("dup_rn"),
+    at_value = per_v.select(
+        F.sum("a1").over(w).alias("c1"),
+        F.sum("a2").over(w).alias("c2"),
     )
-    at_value = merged.filter(F.col("dup_rn") == F.col("dup")).select("c1", "c2")
     d = at_value.join(F.broadcast(n)).agg(
         F.max(
             F.abs(
@@ -156,20 +161,30 @@ def q_mannwhitney_u_exact(spark, sf_dir):
     nonparametric A/B test for ordinal shifts, with U1 + U2 = n1*n2
     as the built-in invariant (asserted in pytest)."""
     s = _samples(spark, sf_dir)
-    wr = Window.orderBy("v")
-    wv = Window.partitionBy("v")
-    r = s.select(
-        "grp",
-        (
-            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wv) - 1
-        ).alias("r2"),
+    # |V|-bound convention: ranks come from per-distinct-value counts,
+    # not a raw-row rank window. With cnt(v) rows of value v and
+    # tot(v) the cumulative count through v, rank(v) = tot(v) -
+    # cnt(v) + 1, so the doubled tie rank 2*rank + cnt - 1 collapses
+    # to 2*tot(v) - cnt(v) + 1 and the group-1 rank sum is one
+    # weighted aggregate over the distinct-value table.
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("a2"),
     )
-    n = s.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "a1",
+        (F.col("a1") + F.col("a2")).alias("cnt"),
+        F.sum(F.col("a1") + F.col("a2")).over(w).alias("tot"),
     )
-    rs = r.agg(
-        F.sum(F.when(F.col("grp") == 1, F.col("r2")).otherwise(0)).alias("r2sum1")
+    n = per_v.agg(
+        F.sum("a1").alias("n1"),
+        F.sum("a2").alias("n2"),
+    )
+    rs = cum.agg(
+        F.sum(
+            F.col("a1") * (2 * F.col("tot") - F.col("cnt") + 1)
+        ).alias("r2sum1")
     )
     return n.join(rs).select(
         F.col("n1").cast("long").alias("n1"),
@@ -233,20 +248,38 @@ def q_spearman_rank_corr(spark, sf_dir):
         F.round(F.col("l_quantity")).cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    wx, wxv = Window.orderBy("x"), Window.partitionBy("x")
-    wy, wyv = Window.orderBy("y"), Window.partitionBy("y")
-    r = pts.select(
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxv) - 1).alias("rx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyv) - 1).alias("ry"),
+    # |V|-bound convention: the doubled rank of value v depends only on
+    # per-distinct-value counts (2*rank + ties - 1 = 2*tot(v) - cnt(v)
+    # + 1, as in mannwhitney_u_exact), so rank BOTH axes over their
+    # distinct-value tables, then attach ranks to the (x, y) PAIR
+    # count table by two joins (rank tables are value-distinct —
+    # broadcastable here) and fold the Pearson sums as pair-weighted
+    # aggregates. No window touches raw rows; where |V_y| (distinct
+    # cents) is data-sized, the monthly-bucketed
+    # spearman_rho_price_recency is the scale path.
+    pairs = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+
+    def _ranks(col: str, out: str):
+        per_v = pairs.groupBy(col).agg(F.sum("c").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per_v.select(
+            col,
+            (
+                2 * F.sum("cnt").over(w) - F.col("cnt") + 1
+            ).alias(out),
+        )
+
+    r = pairs.join(F.broadcast(_ranks("x", "rx")), "x").join(
+        F.broadcast(_ranks("y", "ry")), "y"
     )
     d = "DECIMAL(38,0)"
     s = r.agg(
-        F.count(F.lit(1)).cast(d).alias("n"),
-        F.sum("rx").cast(d).alias("sx"),
-        F.sum("ry").cast(d).alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).cast(d).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).cast(d).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast(d).alias("syy"),
+        F.sum("c").cast(d).alias("n"),
+        F.sum(F.col("c") * F.col("rx")).cast(d).alias("sx"),
+        F.sum(F.col("c") * F.col("ry")).cast(d).alias("sy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("ry")).cast(d).alias("sxy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("rx")).cast(d).alias("sxx"),
+        F.sum(F.col("c") * F.col("ry") * F.col("ry")).cast(d).alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return s.select(

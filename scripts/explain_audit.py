@@ -779,14 +779,27 @@ AUDITS = {
     ],
     # --- batches 79-82 (r3) ---
     "ks_statistic_exact": [
-        ("Window", "merged-order ECDF counts from one window pass"),
+        ("Window", "ECDF prefix counts windowed over the DISTINCT-value table"),
+        ("partial_", "per-distinct-value counts combine map-side"),
     ],
     "mannwhitney_u_exact": [
-        ("Window", "doubled tie ranks from rank + per-value count windows"),
+        ("Window", "doubled tie ranks derived from distinct-value prefix counts"),
         ("partial_", "rank sums combine map-side"),
     ],
     "spearman_rank_corr": [
         ("partial_", "Pearson-on-ranks sums combine map-side"),
+        ("BroadcastHashJoin", "value-distinct rank tables broadcast onto the pair table"),
+    ],
+    "equi_depth_histogram": [
+        # ntile boundaries recovered from the distinct-value cumulative
+        # table; the 10-row bucket-bounds table broadcasts into a
+        # deliberate range join (like ann_kmeans_cells' centroid pass)
+        ("BroadcastNestedLoopJoin", "10-row bucket bounds broadcast into the position range join"),
+        ("partial_", "per-distinct-value counts combine map-side"),
+    ],
+    "watermark_lag_profile": [
+        ("Window", "running max decomposed: block-partitioned scan + block-prefix max"),
+        ("BroadcastHashJoin", "per-block prefix maxima broadcast back onto events"),
     ],
     "sign_test_counts": [
         ("Window", "per-nation lag over the bounded month series"),
@@ -1633,6 +1646,11 @@ FORBIDDEN = {
     # brown_forsythe's final combine IS a 1-row broadcast cross join
     # (tot x terms) — only a true product is forbidden
     "brown_forsythe_f": ["CartesianProduct"],
+    # r6 |V|-bound rewrites: the 10-row bucket-bounds range join is a
+    # deliberate broadcast NLJ (overrides the pre-rewrite generated
+    # entry that forbade it); only a true product is forbidden
+    "equi_depth_histogram": ["CartesianProduct"],
+    "watermark_lag_profile": ["CartesianProduct"],
 }
 
 
@@ -1643,6 +1661,101 @@ except ImportError:
 for _name, _feats in GENERATED_FORBIDDEN.items():
     # hand-written entries take precedence; generated ones fill the tail
     FORBIDDEN.setdefault(_name, _feats)
+
+
+# --- SinglePartition |V|-bound invariant (r5 verdict item 4) ----------------
+#
+# The exact-stats batches (95-112) compute whole-series statistics with
+# cumulative windows that have NO partition key — WindowExec funnels its
+# input through an Exchange SinglePartition. That is only scale-safe
+# because, by construction, the window input is a POST-AGGREGATION table
+# (distinct values / monthly buckets / calendar days), never raw rows.
+# Instead of hand-annotating ~30 queries, assert the property
+# structurally for EVERY audited plan: each Exchange whose detail block
+# says `SinglePartition` must have a keyed aggregation somewhere in its
+# subtree, so nothing funnels raw scan rows into one task. Queries where
+# a SinglePartition exchange is legitimately agg-free are exempted with
+# a documented reason.
+#
+# NB: this check parses the `Arguments: SinglePartition` DETAIL lines
+# because formatted explain output never prints the literal "Exchange
+# SinglePartition" (that is simple-mode syntax) — which means the many
+# FORBIDDEN entries listing 'Exchange SinglePartition' have always
+# vacuously passed in this audit. They are kept as documentation of
+# intent, but THIS invariant is the real single-partition guard: it
+# found 5 genuinely raw-row-windowed plans on first run (r6), all
+# restructured to the distinct-value/block-scan form.
+
+SINGLE_PARTITION_EXEMPT: dict[str, str] = {
+    "stream_auc_cells": (
+        "the single-partition window reads the streaming memory-sink "
+        "table, which the upstream stateful aggregation bounds to <= 11 "
+        "score cells by design (plans/q_pipeline106.py) — the bound "
+        "lives in the streaming state contract, not this batch plan"
+    ),
+    "skyline_2d": (
+        "the single-partition sort input is the MapInPandas batch-local "
+        "skyline prune (skyline-of-skylines superset reduction, "
+        "SCALE.md): the global stage sees only per-batch skyline "
+        "candidates, not the table — bounded by candidate survivors, "
+        "not an aggregate node"
+    ),
+}
+
+_AGG_NODE_NAMES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def single_partition_bounded(plan: str) -> tuple[bool, str]:
+    """True iff every `(id) Exchange` detail block whose arguments say
+    SinglePartition roots a tree subtree containing an aggregate node.
+    Parses the indented tree section of `explain("formatted")` output
+    (a node's children are the following lines with deeper indentation)
+    and the `(id) NodeName` detail blocks. Subquery trees (`=====
+    Subqueries =====` sections) are parsed the same way — their node
+    ids share the global numbering."""
+    import re
+
+    lines = plan.splitlines()
+    # tree nodes: (id, name, depth, line_no) — tree lines end in "(id)"
+    node_re = re.compile(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$")
+    nodes = []  # (line_no, depth, id, name)
+    for i, ln in enumerate(lines):
+        m = node_re.search(ln)
+        if m and not ln.lstrip().startswith("("):
+            stripped = re.sub(r"^[\s:+*-]*", "", ln)
+            depth = ln.index(stripped[0]) if stripped else 0
+            nodes.append((i, depth, int(m.group(2)), m.group(1).strip()))
+    # single-partition exchange ids from the detail blocks
+    sp_ids = set()
+    blk_re = re.compile(r"^\((\d+)\)\s+(\S+)")
+    cur_id = None
+    for ln in lines:
+        m = blk_re.match(ln)
+        if m:
+            cur_id = (int(m.group(1)), m.group(2))
+        elif cur_id and "SinglePartition" in ln and ln.startswith("Arguments"):
+            if "Exchange" in cur_id[1]:
+                sp_ids.add(cur_id[0])
+    if not sp_ids:
+        return True, "no SinglePartition exchange in plan"
+    # subtree scan: children of tree node k are the consecutive
+    # following lines with strictly deeper indentation
+    by_id = {nid: idx for idx, (_, _, nid, _) in enumerate(nodes)}
+    for sp in sp_ids:
+        if sp not in by_id:  # node only in a detail block we didn't tree-parse
+            continue
+        idx = by_id[sp]
+        _, depth, _, _ = nodes[idx]
+        has_agg = False
+        for _, d, _, name in nodes[idx + 1 :]:
+            if d <= depth:
+                break
+            if any(a in name for a in _AGG_NODE_NAMES):
+                has_agg = True
+                break
+        if not has_agg:
+            return False, f"Exchange SinglePartition ({sp}) subtree has no aggregate"
+    return True, f"{len(sp_ids)} SinglePartition exchange(s), each fed by a keyed aggregation"
 
 
 def main() -> None:
@@ -1692,6 +1805,21 @@ def main() -> None:
             sections.append(f"- [{mark}] no `{needle}` (must not degenerate to a product)")
             if not ok:
                 failures.append((name, f"FORBIDDEN {needle}"))
+        if "SinglePartition" in plan:
+            if name in SINGLE_PARTITION_EXEMPT:
+                sections.append(
+                    f"- [x] SinglePartition exempt: {SINGLE_PARTITION_EXEMPT[name]}"
+                )
+            else:
+                ok, why = single_partition_bounded(plan)
+                mark = "x" if ok else " "
+                sections.append(
+                    f"- [{mark}] |V|-bounded single-partition: {why} — "
+                    "unpartitioned windows/sorts run over a post-aggregation "
+                    "table, never raw rows"
+                )
+                if not ok:
+                    failures.append((name, "SINGLE_PARTITION_UNBOUNDED"))
         sections.append("")
         sections.append("```\n" + plan.strip()[:4000] + "\n```\n")
 
