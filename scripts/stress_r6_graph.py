@@ -122,11 +122,21 @@ def main() -> None:
             ).cast("string"),
         ).alias("dst"),
     )
-    # forward DAG edges between consecutive cycles (never backward: SCCs
-    # stay the cycles; the SCC-DAG is a 1M-long chain of color classes)
-    dag = spark.range(int(n_cyc_nodes / cyc) - 1).select(
-        F.concat(F.lit("s"), (F.col("id") * cyc).cast("string")).alias("src"),
-        F.concat(F.lit("s"), ((F.col("id") + 1) * cyc).cast("string")).alias("dst"),
+    # forward DAG edges arranged as a BINARY TREE over cycles (cycle
+    # i -> cycle 2i, 2i+1; never backward, so SCCs stay the cycles).
+    # Tree shape keeps the SCC-DAG diameter ~log2(1M) = 20: Orzan's
+    # forward/backward fixpoints are O(DAG diameter) rounds, so a
+    # chain-shaped DAG would need ~1M iterations by construction —
+    # the r2 stress used log-diameter cross edges for the same reason.
+    n_cycles = int(n_cyc_nodes / cyc)
+    dag = (
+        spark.range(1, n_cycles)
+        .select(
+            F.concat(
+                F.lit("s"), ((F.col("id") / 2).cast("long") * cyc).cast("string")
+            ).alias("src"),
+            F.concat(F.lit("s"), (F.col("id") * cyc).cast("string")).alias("dst"),
+        )
     )
     before = shuffle_stats(spark)
     t0 = time.time()
