@@ -309,8 +309,18 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    # verify ONLY the candidates — this is the point of LSH: the exact
-    # Jaccard join is restricted to bucket-colliding pairs, never all pairs
+    return jaccard_verify(cands, sh, threshold)
+
+
+def jaccard_verify(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """(a, b) candidate pairs -> (a, b, jaccard) with EXACT shingle
+    Jaccard >= threshold.
+
+    Verify ONLY the candidates — this is the point of LSH: the exact
+    Jaccard join is restricted to bucket-colliding pairs, never all
+    pairs. ``sh`` is a (id, shingle) table covering every id that can
+    appear in ``cands`` (either side); pair orientation is free (Jaccard
+    is symmetric), so callers may pass (stream, static) pairs unsorted."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cands.join(sh.select(F.col("id").alias("a"), "shingle"), on="a")
@@ -328,6 +338,87 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_band_buckets(
+    text: Column, k: int = 3, num_hashes: int = 12, bands: int = 4
+) -> Column:
+    """array<string> of LSH band buckets for one document, as a PURE
+    per-row expression — no explode, no groupBy, no shuffle.
+
+    Same hash family and band layout as ``minhash_signatures`` +
+    ``minhash_lsh_pairs`` (portable mode), so buckets computed here
+    collide exactly with an index built by the aggregation path: the
+    min over a document's shingle hashes is order- and
+    multiplicity-insensitive, hence ``array_min(transform(...))`` over
+    the raw shingle array equals the DISTINCT-shingle ``min()``
+    aggregate. This is the map-side/streaming variant: a streaming doc
+    is fingerprinted without any stateful aggregation, which is what
+    makes a stream-static LSH probe legal in append mode (used by
+    ``streaming/neardup.py``)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sids = F.transform(word_shingles(text, k), portable_id)
+
+    # closure factory, NOT `lambda s, j=j: ...` — a two-parameter lambda
+    # makes PySpark pick the (element, index) arity of transform() and
+    # bind j to the per-element INDEX column, silently collapsing all
+    # num_hashes expressions into one index-dependent hash
+    def _mh(j: int):
+        return lambda s: (F.lit(2 * j + 1) * s + F.lit(97 * j + 13)) % F.lit(PRIME)
+
+    mins = [F.array_min(F.transform(sids, _mh(j))) for j in range(num_hashes)]
+    return F.array(
+        *[
+            F.concat_ws("_", *[mins[b * r + i].cast("string") for i in range(r)])
+            for b in range(bands)
+        ]
+    )
+
+
+def salted_band_index(
+    band_sig: DataFrame, bucket_cap: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(salted index, bucket size table) for a PROBE-side LSH join.
+
+    Splits every (band, bucket) group larger than ``bucket_cap`` into
+    ceil(size/cap) sub-buckets by xxhash64(id, band) — the identical
+    salting mechanism as ``minhash_lsh_pairs(bucket_cap=...)`` — and
+    returns the per-(band, bucket) ``n_sub`` table the probe side needs
+    to replicate each probe across ALL sub-buckets. Unlike the
+    self-join case, probing every sub-bucket keeps recall EXACT: the
+    cap buys parallelism (a duplicate-flood bucket becomes n_sub
+    independently-joinable partitions instead of one straggler task),
+    not candidate reduction, so an oracle never has to model the salt.
+    With ``bucket_cap=None`` the index passes through with n_sub = 1."""
+    if bucket_cap is None:
+        sizes = (
+            band_sig.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .select("band", "bucket", F.lit(1).cast("long").alias("n_sub"))
+        )
+        return band_sig.withColumn(
+            "bucket", F.concat(F.col("bucket"), F.lit(":0"))
+        ), sizes
+    sizes = band_sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bc"))
+    sizes = sizes.select(
+        "band",
+        "bucket",
+        F.ceil(F.col("_bc") / F.lit(float(bucket_cap))).cast("long").alias("n_sub"),
+    )
+    salted = band_sig.join(sizes, on=["band", "bucket"]).select(
+        "id",
+        "band",
+        F.concat(
+            F.col("bucket"),
+            F.lit(":"),
+            F.pmod(
+                F.abs(F.xxhash64(F.col("id").cast("string"), F.col("band"))),
+                F.col("n_sub"),
+            ).cast("string"),
+        ).alias("bucket"),
+    )
+    return salted, sizes
 
 
 def embedding_cosine_pairs(

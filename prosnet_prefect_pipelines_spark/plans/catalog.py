@@ -188,6 +188,7 @@ def _load_all() -> None:
         q_pipeline110,
         q_pipeline111,
         q_pipeline112,
+        q_pipeline113,
         q_ranking,
         q_relational,
         q_render,

@@ -1,0 +1,146 @@
+"""Pipeline batch 113: streaming near-duplicate monitor (r5 verdict
+stretch item) — continuous-ingest MinHash LSH with exact replay oracle.
+
+``stream_neardup_monitor``: the accepted corpus is the even-id half of
+the dedup corpus (same corpus as q_dedup.py — documents plus injected
+exact and near copies, so there are real duplicates to catch); the
+stream replays the odd-id half. Two candidate paths run inside one
+Structured Streaming pipeline (streaming/neardup.py):
+
+- stream-static: per-row MinHash band buckets probed against the
+  bucket_cap-salted static LSH index (probe explodes across all
+  sub-buckets -> recall exact, salt invisible to the oracle);
+- stream-stream: applyInPandasWithState keyed by (band, bucket),
+  state = ids seen, emitting normalized (a < b) pairs — the union over
+  any micro-batch slicing equals the batch self-join answer.
+
+Candidates are then exact-Jaccard verified in batch over the corpus
+shingle store (jaccard_verify, threshold 0.5) and tagged by source:
+b even <=> matched the static corpus (parities are disjoint, so the
+tag is derivable, never stored). The DuckDB oracle recomputes the
+whole thing as plain SQL: identical portable md5-prefix hash family,
+band layout, and verification — hash-checked under availableNow replay.
+
+Scale notes (100 TB): fingerprinting is per-row map-side work — no
+shuffle, no state — so ingest fingerprint cost is linear and
+embarrassingly parallel; the static probe is an equi-join against an
+index that a duplicate flood cannot skew (bucket_cap bounds every
+join partition); stream-stream state holds id lists per occupied
+bucket (bounded by distinct-bucket occupancy, watermark-evictable when
+buckets carry event time). Reference parity: the reference re-fetches
+and re-pushes the full entity window every incremental run
+(fetch_wikidata_entities.py:37-44); this is the streaming-native
+replacement where only new documents pay any work.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import dedup as D
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.plans.q_dedup import (
+    JACCARD_CTE,
+    MINHASH_PAIR_CTES,
+    corpus,
+)
+from prosnet_prefect_pipelines_spark.plans.q_pipeline33 import _docs_stream
+from prosnet_prefect_pipelines_spark.streaming import neardup as N
+
+_THRESHOLD = 0.5
+_BUCKET_CAP = 32
+
+# MINHASH_PAIR_CTES already defines corpus/shingles/sid_tbl/hashes/sigs/
+# bands with the identical hash family; this oracle reuses its prefix and
+# swaps the self-join for the parity-split (stream = odd, static = even).
+_BANDS_CTES = MINHASH_PAIR_CTES.split(",\ncands AS")[0]
+
+NEARDUP_MONITOR_SQL = f"""
+WITH {_BANDS_CTES},
+stream_bands AS (SELECT * FROM bands WHERE id % 2 = 1),
+static_bands AS (SELECT * FROM bands WHERE id % 2 = 0),
+cand AS (
+    SELECT DISTINCT s.id AS a, t.id AS b
+    FROM stream_bands s JOIN static_bands t USING (band, bucket)
+    UNION
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM stream_bands x JOIN stream_bands y USING (band, bucket)
+    WHERE x.id < y.id
+),
+{JACCARD_CTE.strip().removeprefix(',').strip()}
+SELECT c.a, c.b, j.jaccard,
+       CASE WHEN c.b % 2 = 0 THEN 'static' ELSE 'stream' END AS src
+FROM cand c
+JOIN jac j ON j.a = least(c.a, c.b) AND j.b = greatest(c.a, c.b)
+WHERE j.jaccard >= {_THRESHOLD}
+"""
+
+
+def _corpus_stream(spark, sf_dir):
+    """Streaming twin of q_dedup.corpus: three per-row branches of the
+    replayed documents stream, unioned — every transformation map-side."""
+    s = _docs_stream(spark, sf_dir)
+    base = s.select(F.col("doc_id").alias("id"), "text")
+    exact = s.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"), "text"
+    )
+    near = s.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+@register("stream_neardup_monitor", oracle=NEARDUP_MONITOR_SQL,
+          covers=["T1", "T2", "J1", "J7"])
+def q_stream_neardup_monitor(spark, sf_dir):
+    """Streaming near-dup monitor: map-side MinHash fingerprints, LSH
+    probe against the salted static index + stateful within-stream
+    bucket witness, exact-Jaccard verification, availableNow replay
+    hash-matched against the batch SQL answer."""
+    static = corpus(spark, sf_dir).filter(F.col("id") % 2 == 0)
+    index, sizes = N.build_static_index(
+        static, "id", "text", bucket_cap=_BUCKET_CAP
+    )
+    index = index.localCheckpoint(eager=False)
+    sizes = sizes.localCheckpoint(eager=False)
+
+    stream_bands = N.stream_band_table(
+        _corpus_stream(spark, sf_dir).filter(F.col("id") % 2 == 1), "id", "text"
+    )
+    run = uuid.uuid4().hex[:8]
+    q_static = (
+        N.static_probe_candidates(stream_bands, index, sizes)
+        .writeStream.format("memory")
+        .queryName(f"nd_static_{run}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream = (
+        N.stream_state_candidates(stream_bands)
+        .writeStream.format("memory")
+        .queryName(f"nd_stream_{run}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_static.awaitTermination(300)
+    q_stream.awaitTermination(300)
+
+    cands = (
+        spark.table(f"nd_static_{run}")
+        .unionByName(spark.table(f"nd_stream_{run}"))
+        .dropDuplicates()
+    )
+    sh = D.shingle_table(corpus(spark, sf_dir), "id", "text", k=3)
+    return D.jaccard_verify(cands, sh, _THRESHOLD).select(
+        "a",
+        "b",
+        "jaccard",
+        F.when(F.col("b") % 2 == 0, F.lit("static"))
+        .otherwise(F.lit("stream"))
+        .alias("src"),
+    )

@@ -1,0 +1,146 @@
+"""Streaming near-dup monitor (streaming/neardup.py, batch 113).
+
+Three claims, each load-bearing for the oracle pairing:
+
+1. the per-row band expression equals the aggregation-path signatures
+   (bucket-for-bucket) on real corpus text;
+2. the salted static index + all-sub-bucket probe is recall-EXACT:
+   candidates match the unsalted band equi-join for any bucket_cap;
+3. the stateful within-stream pair emitter is batching-insensitive —
+   slicing the stream into single-file micro-batches yields the same
+   pair set as one big batch (and both equal the batch self-join).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import dedup as D
+from prosnet_prefect_pipelines_spark.streaming import neardup as N
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+        .limit(400)
+        .localCheckpoint()
+    )
+
+
+def batch_bands(docs):
+    return docs.select(
+        "id", F.posexplode(D.minhash_band_buckets(F.col("text"))).alias("band", "bucket")
+    )
+
+
+def test_band_expr_matches_signature_aggregation(spark, docs):
+    """Per-row minhash_band_buckets == minhash_signatures buckets."""
+    sig = D.minhash_signatures(docs, "id", "text", k=3, num_hashes=12)
+    agg_bands = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", *[F.col(f"m{b * 3 + i}").cast("string") for i in range(3)]
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    diff = batch_bands(docs).exceptAll(agg_bands).count()
+    diff2 = agg_bands.exceptAll(batch_bands(docs)).count()
+    assert diff == 0 and diff2 == 0
+
+
+@pytest.mark.parametrize("cap", [None, 1, 4])
+def test_salted_probe_recall_exact(spark, docs, cap):
+    """Probing every sub-bucket of a salted index reproduces the
+    unsalted band join exactly, for any cap (1 = maximal salting)."""
+    stream_side = batch_bands(docs.filter(F.col("id") % 2 == 1))
+    static_side = batch_bands(docs.filter(F.col("id") % 2 == 0))
+    index, sizes = D.salted_band_index(static_side, cap)
+    got = N.static_probe_candidates(stream_side, index, sizes)
+    want = (
+        stream_side.alias("s")
+        .join(static_side.alias("t"), on=["band", "bucket"])
+        .select(F.col("s.id").alias("a"), F.col("t.id").alias("b"))
+        .dropDuplicates()
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_state_pairs_batching_insensitive(spark, docs, tmp_path):
+    """One-file-per-trigger replay == single-batch replay == batch
+    self-join: the applyInPandasWithState emitter is order- and
+    slicing-insensitive by construction."""
+    import uuid
+
+    odd = docs.filter(F.col("id") % 2 == 1)
+    # batch ground truth: all colliding pairs a < b within the odd half
+    ob = batch_bands(odd)
+    want = sorted(
+        (r.a, r.b)
+        for r in ob.alias("x")
+        .join(ob.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+        .collect()
+    )
+
+    # stage the odd docs as 4 separate files so maxFilesPerTrigger=1
+    # forces 4 micro-batches with state carried across them
+    stage = tmp_path / "neardup_stream"
+    odd.repartition(4).write.parquet(str(stage))
+    schema = spark.read.parquet(str(stage)).schema
+
+    for files_per_trigger in (1, 100):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(str(stage))
+        )
+        name = "ndp_" + uuid.uuid4().hex[:8]
+        q = (
+            N.stream_state_candidates(N.stream_band_table(src, "id", "text"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.a, r.b)
+            for r in spark.table(name).dropDuplicates().collect()
+        )
+        assert got == want, f"files_per_trigger={files_per_trigger}"
+
+
+def test_jaccard_verify_matches_inline(spark, docs):
+    """jaccard_verify is the factored verification used by both the
+    batch LSH and the streaming monitor: spot-check its values against
+    a direct pairwise computation on a tiny sample."""
+    sample = docs.limit(30)
+    sh = D.shingle_table(sample, "id", "text", k=3)
+    ids = [r.id for r in sample.select("id").collect()]
+    cands = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]], "a long, b long"
+    )
+    got = {(r.a, r.b): r.jaccard for r in D.jaccard_verify(cands, sh, 0.0).collect()}
+    rows = sh.collect()
+    shingles: dict[int, set] = {}
+    for r in rows:
+        shingles.setdefault(r.id, set()).add(r.shingle)
+    for (a, b), j in got.items():
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a] | shingles[b])
+        assert abs(j - round(inter / union, 6)) < 1e-9
