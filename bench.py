@@ -98,6 +98,7 @@ HEADLINE = [
     "trimmed_mean_orders",    # r5: partial tie-block tail arithmetic
     "benford_first_digit_report",  # r5: fixed-9-group screen + literal dim
     "mann_kendall_monthly",   # r5: month-agg + calendar-bounded pair join
+    "stream_neardup_monitor", # r6: streaming MinHash LSH monitor (availableNow)
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).

@@ -1173,6 +1173,12 @@ AUDITS = {
     "stream_kappa_2x2": [],
     "stream_cochran_trend": [],
     "stream_pbiserial": [],
+    # --- batch 113: streaming near-dup monitor (the streaming side is
+    # stateful/append-mode; the audited batch plan is the exact-Jaccard
+    # verification over the replayed candidate tables) ---
+    "stream_neardup_monitor": [
+        ("partial_", "per-pair common-shingle counts combine map-side"),
+    ],
     # --- batch 102: forensic data-quality analytics ---
     "benford_first_digit_report": [
         ("partial_", "9-group digit counts combine map-side"),
