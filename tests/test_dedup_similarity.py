@@ -412,3 +412,52 @@ def test_minhash_bucket_cap_bounds_flood(spark):
     # bounded: far below the flood quadratic, and every pair is real
     assert 0 < len(got) < 60 * 59 // 2
     assert all(r.a < 60 and r.b < 60 and r.jaccard == 1.0 for r in got)
+
+
+def test_minhash_band_buckets_matches_python_reference(spark):
+    """The per-row band expression == a pure-Python minhash reference
+    (shingling, portable md5-prefix ids, (2j+1)s+97j+13 mod P mins,
+    3-row band concatenation) on arbitrary texts — including the
+    n < k whole-text fallback and duplicate-shingle multiplicity."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from prosnet_prefect_pipelines_spark.operators.dedup import (
+        PRIME,
+        minhash_band_buckets,
+    )
+
+    def py_buckets(text: str, k=3, num_hashes=12, bands=4):
+        w = text.strip().split()
+        if len(w) >= k:
+            sh = [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+        else:
+            sh = [" ".join(w)]
+        sids = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh]
+        mins = [
+            min(((2 * j + 1) * s + 97 * j + 13) % PRIME for s in sids)
+            for j in range(num_hashes)
+        ]
+        r = num_hashes // bands
+        return [
+            "_".join(str(mins[b * r + i]) for i in range(r)) for b in range(bands)
+        ]
+
+    samples = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "the quick brown fox jumps over the lazy dog",
+        "dup dup dup dup dup",
+        "  padded   with   runs\tof\nwhitespace  ",
+        "ümlaut ünïcode 漢字 mixé " * 5,
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    got = {
+        r.i: list(r.bk)
+        for r in df.select("i", minhash_band_buckets(F.col("s")).alias("bk")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == py_buckets(s), repr(s)
