@@ -356,9 +356,33 @@ def minhash_band_buckets(
     is fingerprinted without any stateful aggregation, which is what
     makes a stream-static LSH probe legal in append mode (used by
     ``streaming/neardup.py``)."""
+    return minhash_band_buckets_from_sids(
+        shingle_sids(text, k), num_hashes, bands
+    )
+
+
+def shingle_sids(text: Column, k: int = 3) -> Column:
+    """array<long> of portable shingle ids for one document (per-row)."""
+    return F.transform(word_shingles(text, k), portable_id)
+
+
+def minhash_band_buckets_from_sids(
+    sids: Column, num_hashes: int = 12, bands: int = 4
+) -> Column:
+    """Band buckets from an ALREADY-COMPUTED shingle-id array.
+
+    Callers on a hot path should project ``shingle_sids`` into its own
+    column first and pass that attribute here (see
+    ``streaming/neardup.py``): this Column embeds ``sids`` once per
+    min-hash, so an inline sids expression is analyzed AND executed
+    num_hashes times over — with the session's whole-stage-codegen-off
+    policy there is no runtime subexpression elimination, which made
+    the one-Column form pay 12x the md5 work (and a plan-analysis tax
+    measured in tens of seconds at sf0.1). A projection barrier keeps
+    the md5 pass single: post-SPARK-36718 CollapseProject refuses to
+    inline a multi-referenced non-cheap alias."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sids = F.transform(word_shingles(text, k), portable_id)
 
     # closure factory, NOT `lambda s, j=j: ...` — a two-parameter lambda
     # makes PySpark pick the (element, index) arity of transform() and

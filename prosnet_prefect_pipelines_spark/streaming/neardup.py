@@ -49,8 +49,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from prosnet_prefect_pipelines_spark.operators.dedup import (
-    minhash_band_buckets,
+    minhash_band_buckets_from_sids,
     salted_band_index,
+    shingle_sids,
 )
 
 PAIR_SCHEMA = "a long, b long"
@@ -66,11 +67,19 @@ def stream_band_table(
     bands: int = 4,
 ) -> DataFrame:
     """streaming (id, text) -> streaming (id, band, bucket): one row per
-    LSH band, computed entirely map-side (legal in append mode)."""
+    LSH band, computed entirely map-side (legal in append mode).
+
+    Two projections, not one: the shingle-id array materializes behind
+    its own alias so the 12 min-hash expressions share ONE md5 pass
+    (see minhash_band_buckets_from_sids on why the inline form pays
+    12x under the codegen-off session policy)."""
     return stream_df.select(
         F.col(id_col).alias("id"),
+        shingle_sids(F.col(text_col), k).alias("_sids"),
+    ).select(
+        "id",
         F.posexplode(
-            minhash_band_buckets(F.col(text_col), k, num_hashes, bands)
+            minhash_band_buckets_from_sids(F.col("_sids"), num_hashes, bands)
         ).alias("band", "bucket"),
     )
 
@@ -169,8 +178,13 @@ def build_static_index(
     with the same per-row bucket expression the stream uses — identical
     hash family as minhash_signatures, so batch- and stream-built
     indexes are interchangeable."""
-    bands_col = minhash_band_buckets(F.col(text_col), k, num_hashes, bands)
     band_sig = static_df.select(
-        F.col(id_col).alias("id"), F.posexplode(bands_col).alias("band", "bucket")
+        F.col(id_col).alias("id"),
+        shingle_sids(F.col(text_col), k).alias("_sids"),
+    ).select(
+        "id",
+        F.posexplode(
+            minhash_band_buckets_from_sids(F.col("_sids"), num_hashes, bands)
+        ).alias("band", "bucket"),
     )
     return salted_band_index(band_sig, bucket_cap)
