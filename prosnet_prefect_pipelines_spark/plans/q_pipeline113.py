@@ -144,3 +144,116 @@ def q_stream_neardup_monitor(spark, sf_dir):
         .otherwise(F.lit("stream"))
         .alias("src"),
     )
+
+
+def _corpus_bands(spark, sf_dir, half=None):
+    """(id, band, bucket) over the dedup corpus, per-row two-step
+    projection (one md5 pass). half: None=all, 0=even ids, 1=odd ids."""
+    c = corpus(spark, sf_dir)
+    if half is not None:
+        c = c.filter(F.col("id") % 2 == half)
+    return c.select(
+        "id", D.shingle_sids(F.col("text")).alias("_sids")
+    ).select(
+        "id",
+        F.posexplode(
+            D.minhash_band_buckets_from_sids(F.col("_sids"))
+        ).alias("band", "bucket"),
+    )
+
+
+SKEW_REPORT_SQL = f"""
+WITH {_BANDS_CTES},
+sz AS (
+    SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM bands GROUP BY band, bucket
+),
+rk AS (
+    SELECT band, sz,
+           row_number() OVER (PARTITION BY band ORDER BY sz, bucket) AS rn,
+           COUNT(*) OVER (PARTITION BY band) AS nb
+    FROM sz
+)
+SELECT band,
+       CAST(MAX(nb) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * nb) AS BIGINT) THEN sz END) AS BIGINT) AS p50_bucket,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * nb) AS BIGINT) THEN sz END) AS BIGINT) AS p90_bucket,
+       CAST(SUM(CASE WHEN sz > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       CAST(SUM(CASE WHEN sz > {_BUCKET_CAP} THEN sz ELSE 0 END) AS BIGINT) AS members_over_cap
+FROM rk GROUP BY band
+"""
+
+
+@register("neardup_bucket_skew_report", oracle=SKEW_REPORT_SQL, covers=["A2", "O1"])
+def q_neardup_bucket_skew_report(spark, sf_dir):
+    """Per-band LSH bucket-occupancy skew: the operational telemetry
+    that decides WHEN bucket_cap is needed (operators/dedup.py
+    minhash_lsh_pairs docstring). n_over_cap / members_over_cap count
+    buckets beyond the monitor's cap of 32 — the duplicate-flood mass a
+    self-join would pay quadratically; p50/p90/max are exact
+    nearest-rank statistics over the bucket-size distribution
+    ((sz, bucket) tie-break, identical in both engines). One shuffle to
+    bucket sizes, one |buckets|-sized window per band."""
+    from pyspark.sql.window import Window
+
+    sz = (
+        _corpus_bands(spark, sf_dir)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    w = Window.partitionBy("band").orderBy("sz", "bucket")
+    rk = sz.select(
+        "band",
+        "sz",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("band")).alias("nb"),
+    )
+    cap = _BUCKET_CAP
+    return rk.groupBy("band").agg(
+        F.max("nb").cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("nb")).cast("long"), F.col("sz"))
+        ).cast("long").alias("p50_bucket"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("nb")).cast("long"), F.col("sz"))
+        ).cast("long").alias("p90_bucket"),
+        F.sum(F.when(F.col("sz") > cap, 1).otherwise(0)).cast("long").alias("n_over_cap"),
+        F.sum(F.when(F.col("sz") > cap, F.col("sz")).otherwise(0)).cast("long").alias("members_over_cap"),
+    )
+
+
+INDEX_MERGE_SQL = f"""
+WITH {_BANDS_CTES},
+sz AS (
+    SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM bands GROUP BY band, bucket
+)
+SELECT band, sz AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM sz GROUP BY band, sz
+"""
+
+
+@register("neardup_index_merge", oracle=INDEX_MERGE_SQL, covers=["A2", "O5"])
+def q_neardup_index_merge(spark, sf_dir):
+    """Incremental index maintenance == full rebuild: the band index
+    over day-0 (even ids) UNION ALL the day-1 delta (odd ids) must
+    produce the identical bucket-occupancy histogram as one rebuild
+    over everything — the property that makes the monitor's static
+    index maintainable per-partition with no global recompute (bucket
+    ids are pure per-row functions, never corpus statistics). The
+    oracle computes the histogram from the single full-corpus build;
+    a hash match proves merge == rebuild."""
+    merged = _corpus_bands(spark, sf_dir, half=0).unionByName(
+        _corpus_bands(spark, sf_dir, half=1)
+    )
+    return (
+        merged.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("band", F.col("sz").alias("bucket_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .select("band", "bucket_size", "n_buckets")
+    )

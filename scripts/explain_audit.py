@@ -1179,6 +1179,14 @@ AUDITS = {
     "stream_neardup_monitor": [
         ("partial_", "per-pair common-shingle counts combine map-side"),
     ],
+    "neardup_bucket_skew_report": [
+        ("partial_", "bucket sizes combine map-side before the band window"),
+        ("Window", "rank window over the |buckets| size table, keyed by band"),
+    ],
+    "neardup_index_merge": [
+        ("partial_", "bucket sizes and the occupancy histogram combine map-side"),
+        ("Union", "day-0 index and day-1 delta merge as a bag union"),
+    ],
     # --- batch 102: forensic data-quality analytics ---
     "benford_first_digit_report": [
         ("partial_", "9-group digit counts combine map-side"),
