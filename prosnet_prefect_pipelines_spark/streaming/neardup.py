@@ -14,13 +14,17 @@ Structured Streaming pipeline:
    EXACT while a hot bucket becomes n_sub parallel join tasks instead
    of one straggler (``operators/dedup.salted_band_index``).
 2. **Against earlier stream documents** via ``applyInPandasWithState``
-   keyed by (band, bucket): state = the sorted id list of every stream
-   doc seen in that bucket, each micro-batch emits (new x state) +
-   (new x new) candidate pairs. Pairs are normalized (a < b), so the
-   union over any micro-batch slicing of the input equals the batch
-   self-join answer — which is what makes an exact DuckDB oracle
-   possible under availableNow replay (the Dataflow-model claim,
-   verified by hash in plans/q_pipeline113.py).
+   keyed by a HASH SUPERGROUP of (band, bucket) — most buckets are
+   singletons, so keying by the bucket itself would pay one
+   pandas/Arrow round-trip per ~1-row group; the supergroup amortizes
+   that while a vectorized merge inside the group keeps per-bucket
+   semantics exact. State = (bucket key, id) membership arrays; each
+   micro-batch emits (new x state) + (new x new) candidate pairs per
+   bucket. Pairs are normalized (a < b), so the union over any
+   micro-batch slicing of the input equals the batch self-join
+   answer — which is what makes an exact DuckDB oracle possible under
+   availableNow replay (the Dataflow-model claim, verified by hash in
+   plans/q_pipeline113.py).
 
 Both paths emit CANDIDATES only; exact-Jaccard verification runs
 downstream (``operators/dedup.jaccard_verify``) against the corpus
@@ -55,7 +59,7 @@ from prosnet_prefect_pipelines_spark.operators.dedup import (
 )
 
 PAIR_SCHEMA = "a long, b long"
-STATE_SCHEMA = "ids array<long>"
+STATE_SCHEMA = "bkeys array<string>, ids array<long>"
 
 
 def stream_band_table(
@@ -124,39 +128,82 @@ def static_probe_candidates(
 def _bucket_pairs(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-(band, bucket) stateful pair emitter: candidates = every new
-    id against every id already in state, plus all pairs among the new
-    ids, normalized a < b — order- and batching-insensitive by
-    construction. State grows by |new ids| per batch (ids only, never
-    text or signatures)."""
-    seen: list[int] = list(state.get[0]) if state.exists else []
-    new: list[int] = []
-    for pdf in pdfs:
-        if len(pdf):
-            new.extend(int(x) for x in pdf["id"])
-    new = sorted(set(new) - set(seen))
-    a_out: list[int] = []
-    b_out: list[int] = []
-    for i, y in enumerate(new):
-        for x in seen:
-            lo, hi = (x, y) if x < y else (y, x)
-            a_out.append(lo)
-            b_out.append(hi)
-        for x in new[:i]:
-            a_out.append(x)
-            b_out.append(y)
-    state.update((seen + new,))
-    yield pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
-                        "b": pd.Series(b_out, dtype="int64")})
+    """Per-SUPERGROUP stateful pair emitter. The group key is a hash
+    shard of (band, bucket), NOT the bucket itself: most LSH buckets
+    are singletons, and one pandas/Arrow round-trip per singleton
+    bucket is the dominant cost at scale (millions of ~1-row groups).
+    A supergroup amortizes that overhead across ~|buckets|/n_groups
+    buckets while keeping the SAME per-bucket semantics — pairs are
+    only emitted between rows sharing the exact (band, bucket), via a
+    vectorized merge on the bucket key inside the group.
+
+    candidates = (new x state) + (new x new), both per bucket key,
+    normalized a < b — order- and batching-insensitive, so the union
+    over any micro-batch slicing equals the batch self-join. State =
+    parallel (bkey, id) arrays; grows by |new memberships| per batch
+    (ids only, never text or signatures)."""
+    if state.exists:
+        bkeys, ids = state.get
+        seen = pd.DataFrame({"bkey": list(bkeys), "id": list(ids)})
+    else:
+        seen = pd.DataFrame({"bkey": pd.Series([], dtype=object),
+                             "id": pd.Series([], dtype="int64")})
+    chunks = [pdf[["bkey", "id"]] for pdf in pdfs if len(pdf)]
+    new = (
+        pd.concat(chunks, ignore_index=True).drop_duplicates()
+        if chunks
+        else seen.iloc[0:0]
+    )
+    if len(seen):
+        new = new.merge(seen, on=["bkey", "id"], how="left", indicator=True)
+        new = new[new["_merge"] == "left_only"][["bkey", "id"]]
+    new = new.sort_values(["bkey", "id"], kind="mergesort").reset_index(drop=True)
+
+    outs = []
+    if len(new) and len(seen):
+        cross = new.merge(seen, on="bkey", suffixes=("_n", "_s"))
+        if len(cross):
+            outs.append(pd.DataFrame({
+                "a": cross[["id_n", "id_s"]].min(axis=1),
+                "b": cross[["id_n", "id_s"]].max(axis=1),
+            }))
+    if len(new) > 1:
+        within = new.merge(new, on="bkey", suffixes=("_x", "_y"))
+        within = within[within["id_x"] < within["id_y"]]
+        if len(within):
+            outs.append(
+                within[["id_x", "id_y"]].rename(columns={"id_x": "a", "id_y": "b"})
+            )
+    state.update((
+        list(seen["bkey"]) + list(new["bkey"]),
+        [int(x) for x in seen["id"]] + [int(x) for x in new["id"]],
+    ))
+    if outs:
+        out = pd.concat(outs, ignore_index=True)
+        yield pd.DataFrame({"a": out["a"].astype("int64"),
+                            "b": out["b"].astype("int64")})
+    else:
+        yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                            "b": pd.Series([], dtype="int64")})
 
 
-def stream_state_candidates(stream_bands: DataFrame) -> DataFrame:
-    """Within-stream candidate pairs via incremental LSH state: group
-    the streaming band table by (band, bucket) and let _bucket_pairs
-    accumulate ids across micro-batches. Output may repeat a pair
-    across bands — dedupe downstream (the state is per-band, so
-    cross-band dedup can't happen inside the operator)."""
-    return stream_bands.groupBy("band", "bucket").applyInPandasWithState(
+def stream_state_candidates(stream_bands: DataFrame, n_groups: int = 256) -> DataFrame:
+    """Within-stream candidate pairs via incremental LSH state: shard
+    the streaming band table into ``n_groups`` hash supergroups of the
+    (band, bucket) key and let _bucket_pairs accumulate ids per bucket
+    across micro-batches. n_groups sizes the pandas/Arrow amortization:
+    state per group ~ total bucket memberships / n_groups; scale it
+    with cluster parallelism, not data. Output may repeat a pair across
+    bands — dedupe downstream (state is per-band, so cross-band dedup
+    can't happen inside the operator)."""
+    keyed = stream_bands.select(
+        F.concat_ws("|", F.col("band").cast("string"), F.col("bucket")).alias("bkey"),
+        "id",
+        F.pmod(F.xxhash64(F.col("band"), F.col("bucket")), F.lit(n_groups)).alias(
+            "skey"
+        ),
+    )
+    return keyed.groupBy("skey").applyInPandasWithState(
         _bucket_pairs,
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
