@@ -144,3 +144,71 @@ def test_jaccard_verify_matches_inline(spark, docs):
         inter = len(shingles[a] & shingles[b])
         union = len(shingles[a] | shingles[b])
         assert abs(j - round(inter / union, 6)) < 1e-9
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _bucket_pairs directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_bucket_pairs_slicing_invariance_property():
+    """Pure-function property: for random (bucket, id) membership tables
+    and ANY random slicing into micro-batches, the union of emitted
+    pairs equals the batch per-bucket self-join — and state carries the
+    full membership forward."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from prosnet_prefect_pipelines_spark.streaming.neardup import _bucket_pairs
+
+    rng = random.Random(42)
+    for trial in range(25):
+        n = rng.randint(0, 40)
+        rows = [
+            (f"b{rng.randint(0, 6)}", rng.randint(0, 30)) for _ in range(n)
+        ]
+        rows = list(dict.fromkeys(rows))  # distinct memberships
+        want = set()
+        by_bucket: dict = {}
+        for bk, i in rows:
+            by_bucket.setdefault(bk, set()).add(i)
+        for members in by_bucket.values():
+            for x, y in itertools.combinations(sorted(members), 2):
+                want.add((x, y))
+
+        # random slicing into 1..5 micro-batches (order shuffled)
+        rng.shuffle(rows)
+        n_batches = rng.randint(1, 5)
+        cuts = sorted(rng.randint(0, len(rows)) for _ in range(n_batches - 1))
+        batches, prev = [], 0
+        for c in cuts + [len(rows)]:
+            batches.append(rows[prev:c])
+            prev = c
+
+        state = _FakeState()
+        got = set()
+        for batch in batches:
+            pdf = pd.DataFrame(
+                {"bkey": [r[0] for r in batch],
+                 "id": pd.Series([r[1] for r in batch], dtype="int64")}
+            )
+            for out in _bucket_pairs(("k",), iter([pdf]), state):
+                got.update(zip(out["a"].tolist(), out["b"].tolist()))
+        assert got == want, f"trial {trial}"
+        bkeys, ids = state.get
+        assert sorted(zip(bkeys, ids)) == sorted(rows)
