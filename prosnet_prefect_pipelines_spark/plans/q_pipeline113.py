@@ -26,16 +26,15 @@ shuffle, no state — so ingest fingerprint cost is linear and
 embarrassingly parallel; the static probe is an equi-join against an
 index that a duplicate flood cannot skew (bucket_cap bounds every
 join partition); stream-stream state holds id lists per occupied
-bucket (bounded by distinct-bucket occupancy, watermark-evictable when
-buckets carry event time). Reference parity: the reference re-fetches
-and re-pushes the full entity window every incremental run
-(fetch_wikidata_entities.py:37-44); this is the streaming-native
-replacement where only new documents pay any work.
+bucket (bounded by distinct-bucket occupancy, TTL-evictable via
+stream_state_candidates(ttl_ms=...)). Reference parity: the reference
+re-fetches and re-pushes the full entity window every incremental run
+(prosnet-prefect-pipelines wikidata_index.py:155-180 incremental
+{{INCREMENTAL_DATE}} template rewrite + prefect.yaml:121); this is the
+streaming-native replacement where only new documents pay any work.
 """
 
 from __future__ import annotations
-
-import uuid
 
 from pyspark.sql import functions as F
 
@@ -99,10 +98,23 @@ def q_stream_neardup_monitor(spark, sf_dir):
     """Streaming near-dup monitor: map-side MinHash fingerprints, LSH
     probe against the salted static index + stateful within-stream
     bucket witness, exact-Jaccard verification, availableNow replay
-    hash-matched against the batch SQL answer."""
+    hash-matched against the batch SQL answer.
+
+    ONE streaming query (r6 verdict item 1): the stateful witness runs
+    with emit_bands=True, so every micro-batch's output carries both
+    the within-stream pairs (bkey NULL) AND the new band memberships
+    (b NULL); a foreachBatch sink splits them and runs the stream-static
+    probe as a batch join on the SAME micro-batch — documents are
+    fingerprinted once, not once per .start(). State dedup makes the
+    membership passthrough exactly-once across batches, which is
+    probe-equivalent to probing raw stream_bands (re-arrivals were
+    already probed when first seen; candidates are distinct-ed anyway)."""
+    import shutil
+    import tempfile
+
     static = corpus(spark, sf_dir).filter(F.col("id") % 2 == 0)
     index, sizes = N.build_static_index(
-        static, "id", "text", bucket_cap=_BUCKET_CAP
+        static, "id", "text", bucket_cap=_BUCKET_CAP, materialize=True
     )
     index = index.localCheckpoint(eager=False)
     sizes = sizes.localCheckpoint(eager=False)
@@ -110,40 +122,41 @@ def q_stream_neardup_monitor(spark, sf_dir):
     stream_bands = N.stream_band_table(
         _corpus_stream(spark, sf_dir).filter(F.col("id") % 2 == 1), "id", "text"
     )
-    run = uuid.uuid4().hex[:8]
-    q_static = (
-        N.static_probe_candidates(stream_bands, index, sizes)
-        .writeStream.format("memory")
-        .queryName(f"nd_static_{run}")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_stream = (
-        N.stream_state_candidates(stream_bands)
-        .writeStream.format("memory")
-        .queryName(f"nd_stream_{run}")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_static.awaitTermination(300)
-    q_stream.awaitTermination(300)
+    out_dir = tempfile.mkdtemp(prefix="nd_monitor_")
 
-    cands = (
-        spark.table(f"nd_static_{run}")
-        .unionByName(spark.table(f"nd_stream_{run}"))
-        .dropDuplicates()
+    def _sink(batch_df, _batch_id):
+        pairs = batch_df.filter(F.col("bkey").isNull()).select("a", "b")
+        probes = batch_df.filter(F.col("bkey").isNotNull()).select(
+            F.col("a").alias("id"),
+            F.split(F.col("bkey"), r"\|", 2).getItem(0).cast("int").alias("band"),
+            F.split(F.col("bkey"), r"\|", 2).getItem(1).alias("bucket"),
+        )
+        static_cands = N.static_probe_candidates(probes, index, sizes)
+        pairs.unionByName(static_cands).write.mode("append").parquet(out_dir)
+
+    q = (
+        N.stream_state_candidates(stream_bands, emit_bands=True)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_neardup_monitor replay timed out (300 s)")
+
+    cands = spark.read.schema("a long, b long").parquet(out_dir).dropDuplicates()
     sh = D.shingle_table(corpus(spark, sf_dir), "id", "text", k=3)
-    return D.jaccard_verify(cands, sh, _THRESHOLD).select(
+    result = D.jaccard_verify(cands, sh, _THRESHOLD).select(
         "a",
         "b",
         "jaccard",
         F.when(F.col("b") % 2 == 0, F.lit("static"))
         .otherwise(F.lit("stream"))
         .alias("src"),
-    )
+    ).localCheckpoint()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
 
 
 def _corpus_bands(spark, sf_dir, half=None):

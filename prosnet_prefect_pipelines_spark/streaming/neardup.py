@@ -37,17 +37,29 @@ order) or cap the bucket, exactly as documented on minhash_lsh_pairs.
 
 Reference parity: the reference's incremental runs re-fetch and re-push
 the FULL entity window every time (prosnet-prefect-pipelines
-fetch_wikidata_entities.py:37-44 date-template rewrite); this monitor is
-the streaming-native upgrade the 100 TB training-data pipeline needs —
-only new documents pay fingerprinting, and dedup against the accepted
-corpus is an index probe, not a re-scan.
+wikidata_index.py:155-180 create_sparql_queries' {{INCREMENTAL_DATE}}
+template rewrite, scheduled with incremental_date: 2 in prefect.yaml:121);
+this monitor is the streaming-native upgrade the 100 TB training-data
+pipeline needs — only new documents pay fingerprinting, and dedup against
+the accepted corpus is an index probe, not a re-scan.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 import pandas as pd
+
+# emit_bands frames legitimately carry all-NA columns (b for band rows,
+# bkey for pair rows); pandas warns when pyspark's Arrow serializer
+# concatenates them with empty frames from other groups. Dtypes are
+# pinned explicitly on every yielded frame, so the future behavior
+# change is a no-op here.
+warnings.filterwarnings(
+    "ignore",
+    message="The behavior of DataFrame concatenation with empty or all-NA entries",
+)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -59,6 +71,11 @@ from prosnet_prefect_pipelines_spark.operators.dedup import (
 )
 
 PAIR_SCHEMA = "a long, b long"
+# Passthrough mode (emit_bands=True): pair rows carry bkey NULL; each NEW
+# membership is re-emitted once as (a=id, b=NULL, bkey) so a downstream
+# foreachBatch can run the stream-static probe on the SAME micro-batch
+# without a second streaming query re-executing the fingerprint scan.
+PAIR_BAND_SCHEMA = "a long, b long, bkey string"
 STATE_SCHEMA = "bkeys array<string>, ids array<long>"
 
 
@@ -125,8 +142,16 @@ def static_probe_candidates(
     )
 
 
-def _bucket_pairs(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                         "b": pd.Series([], dtype="int64")})
+
+
+def _bucket_pairs_impl(
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    emit_bands: bool,
+    ttl_ms: int | None,
 ) -> Iterator[pd.DataFrame]:
     """Per-SUPERGROUP stateful pair emitter. The group key is a hash
     shard of (band, bucket), NOT the bucket itself: most LSH buckets
@@ -141,10 +166,30 @@ def _bucket_pairs(
     normalized a < b — order- and batching-insensitive, so the union
     over any micro-batch slicing equals the batch self-join. State =
     parallel (bkey, id) arrays; grows by |new memberships| per batch
-    (ids only, never text or signatures)."""
+    (ids only, never text or signatures).
+
+    ttl_ms (production knob): with ProcessingTimeTimeout the runtime
+    invokes this function with an empty batch and hasTimedOut=True once
+    the group has seen no data for ttl_ms; the witness state is dropped
+    so continuous ingest holds only the trailing-window memberships
+    (pairs across an eviction boundary are no longer witnessed — the
+    deliberate window/recall trade, see SCALE.md). emit_bands: also
+    re-emit each NEW membership as (id, NULL, bkey) so one streaming
+    query feeds both the stateful witness and a foreachBatch
+    stream-static probe (fingerprints computed once, not per-query)."""
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()
+        if emit_bands:
+            yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                "b": pd.Series([], dtype="int64"),
+                                "bkey": pd.Series([], dtype=object)})
+        else:
+            yield _empty_pairs()
+        return
     if state.exists:
         bkeys, ids = state.get
-        seen = pd.DataFrame({"bkey": list(bkeys), "id": list(ids)})
+        seen = pd.DataFrame({"bkey": pd.Series(list(bkeys), dtype=object),
+                             "id": pd.Series(list(ids), dtype="int64")})
     else:
         seen = pd.DataFrame({"bkey": pd.Series([], dtype=object),
                              "id": pd.Series([], dtype="int64")})
@@ -178,24 +223,70 @@ def _bucket_pairs(
         list(seen["bkey"]) + list(new["bkey"]),
         [int(x) for x in seen["id"]] + [int(x) for x in new["id"]],
     ))
-    if outs:
-        out = pd.concat(outs, ignore_index=True)
-        yield pd.DataFrame({"a": out["a"].astype("int64"),
-                            "b": out["b"].astype("int64")})
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
+    pairs = (
+        pd.concat(outs, ignore_index=True)[["a", "b"]].astype("int64")
+        if outs
+        else _empty_pairs()
+    )
+    if emit_bands:
+        pairs["bkey"] = pd.Series([None] * len(pairs), dtype=object)
+        bands = pd.DataFrame({
+            "a": new["id"].astype("int64"),
+            "b": pd.array([None] * len(new), dtype="Int64"),
+            "bkey": new["bkey"].astype(object),
+        })
+        yield pd.concat([pairs, bands], ignore_index=True)
     else:
-        yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                            "b": pd.Series([], dtype="int64")})
+        yield pairs
 
 
-def stream_state_candidates(stream_bands: DataFrame, n_groups: int = 256) -> DataFrame:
+def _bucket_pairs(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """NoTimeout pairs-only emitter (the exact-replay-oracle shape);
+    see _bucket_pairs_impl."""
+    yield from _bucket_pairs_impl(pdfs, state, emit_bands=False, ttl_ms=None)
+
+
+def _make_bucket_pairs(emit_bands: bool, ttl_ms: int | None):
+    def fn(key, pdfs, state):
+        yield from _bucket_pairs_impl(pdfs, state, emit_bands, ttl_ms)
+    return fn
+
+
+def stream_state_candidates(
+    stream_bands: DataFrame,
+    n_groups: int = 256,
+    emit_bands: bool = False,
+    ttl_ms: int | None = None,
+) -> DataFrame:
     """Within-stream candidate pairs via incremental LSH state: shard
     the streaming band table into ``n_groups`` hash supergroups of the
-    (band, bucket) key and let _bucket_pairs accumulate ids per bucket
-    across micro-batches. n_groups sizes the pandas/Arrow amortization:
-    state per group ~ total bucket memberships / n_groups; scale it
-    with cluster parallelism, not data. Output may repeat a pair across
-    bands — dedupe downstream (state is per-band, so cross-band dedup
-    can't happen inside the operator)."""
+    (band, bucket) key and let the stateful emitter accumulate ids per
+    bucket across micro-batches. n_groups sizes the pandas/Arrow
+    amortization: state per group ~ total bucket memberships /
+    n_groups; scale it with cluster parallelism, not data. Output may
+    repeat a pair across bands — dedupe downstream (state is per-band,
+    so cross-band dedup can't happen inside the operator).
+
+    emit_bands=True additionally re-emits each NEW (id, band, bucket)
+    membership as a (a=id, b=NULL, bkey) row, letting ONE streaming
+    query drive both the witness and a foreachBatch static probe.
+    ttl_ms bounds witness state for continuous ingest: groups idle for
+    ttl_ms of processing time are evicted (ProcessingTimeTimeout); the
+    default NoTimeout keeps the exact replay-oracle semantics.
+
+    WARNING — ttl_ms is for CONTINUOUS triggers only (the production
+    monitor mode). Under trigger(availableNow=True) a ProcessingTime-
+    Timeout query NEVER terminates: FlatMapGroupsInPandasWithStateExec's
+    shouldRunAnotherBatch is unconditionally true for processing-time
+    timeouts (processing time always advances, so another timeout could
+    always fire), and Spark loops 'no new data but cleaning up state'
+    batches forever — even after every group's state is removed
+    (measured: state hit 0 rows, batchId kept climbing past 100).
+    Bounded replays/oracles must use the default NoTimeout."""
     keyed = stream_bands.select(
         F.concat_ws("|", F.col("band").cast("string"), F.col("bucket")).alias("bkey"),
         "id",
@@ -204,11 +295,16 @@ def stream_state_candidates(stream_bands: DataFrame, n_groups: int = 256) -> Dat
         ),
     )
     return keyed.groupBy("skey").applyInPandasWithState(
-        _bucket_pairs,
-        outputStructType=PAIR_SCHEMA,
+        _bucket_pairs if not emit_bands and ttl_ms is None
+        else _make_bucket_pairs(emit_bands, ttl_ms),
+        outputStructType=PAIR_BAND_SCHEMA if emit_bands else PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
@@ -220,11 +316,17 @@ def build_static_index(
     num_hashes: int = 12,
     bands: int = 4,
     bucket_cap: int | None = None,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(salted LSH index, n_sub table) over the accepted corpus, built
     with the same per-row bucket expression the stream uses — identical
     hash family as minhash_signatures, so batch- and stream-built
-    indexes are interchangeable."""
+    indexes are interchangeable.
+
+    materialize=True localCheckpoints the band table before salting:
+    the index and the n_sub table both derive from it, so without a
+    barrier the shingle+minhash pass over the corpus (the dominant
+    build cost) runs once per consumer instead of once."""
     band_sig = static_df.select(
         F.col(id_col).alias("id"),
         shingle_sids(F.col(text_col), k).alias("_sids"),
@@ -234,4 +336,6 @@ def build_static_index(
             minhash_band_buckets_from_sids(F.col("_sids"), num_hashes, bands)
         ).alias("band", "bucket"),
     )
+    if materialize:
+        band_sig = band_sig.localCheckpoint()
     return salted_band_index(band_sig, bucket_cap)

@@ -166,6 +166,40 @@ def main() -> None:
             f"(band, bucket) keys (~{n_buckets // 256:,} buckets/group/pandas call "
             f"instead of one Arrow round-trip per bucket)"
         )
+
+        # 5. FUSED monitor (r7): one query pays fingerprinting once —
+        # stateful witness with emit_bands=True, static probe run per
+        # micro-batch inside foreachBatch on the passthrough memberships
+        out_dir = f"/tmp/stress_neardup_fused_{uuid.uuid4().hex[:8]}"
+
+        def _sink(batch_df, _bid):
+            pairs = batch_df.filter(F.col("bkey").isNull()).select("a", "b")
+            probes = batch_df.filter(F.col("bkey").isNotNull()).select(
+                F.col("a").alias("id"),
+                F.split(F.col("bkey"), r"\|", 2).getItem(0).cast("int").alias("band"),
+                F.split(F.col("bkey"), r"\|", 2).getItem(1).alias("bucket"),
+            )
+            pairs.unionByName(
+                N.static_probe_candidates(probes, index, sizes)
+            ).write.mode("append").parquet(out_dir)
+
+        t0 = time.time()
+        q3 = (
+            N.stream_state_candidates(bands, emit_bands=True)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q3.awaitTermination(1800)
+        n_fused = spark.read.schema("a long, b long").parquet(out_dir).count()
+        t_fused = time.time() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        print(
+            f"FUSED monitor (witness + foreachBatch probe, fingerprint once): "
+            f"{n_fused:,} candidate emissions in {t_fused:.1f}s "
+            f"(vs {t_probe + t_state:.1f}s for the two-query r6 shape)"
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

@@ -149,8 +149,11 @@ def test_jaccard_verify_matches_inline(spark, docs):
 class _FakeState:
     """Minimal GroupState stand-in for driving _bucket_pairs directly."""
 
-    def __init__(self):
+    def __init__(self, timed_out=False):
         self._v = None
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
 
     @property
     def exists(self):
@@ -162,6 +165,13 @@ class _FakeState:
 
     def update(self, v):
         self._v = v
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
 
 
 def test_bucket_pairs_slicing_invariance_property():
@@ -212,3 +222,199 @@ def test_bucket_pairs_slicing_invariance_property():
         assert got == want, f"trial {trial}"
         bkeys, ids = state.get
         assert sorted(zip(bkeys, ids)) == sorted(rows)
+
+
+def test_bucket_pairs_emit_bands_passthrough():
+    """emit_bands=True re-emits each NEW membership exactly once (as
+    (id, NULL, bkey) rows) across batches, alongside the same pairs the
+    plain emitter yields — the contract the fused monitor's foreachBatch
+    static probe depends on."""
+    import pandas as pd
+
+    from prosnet_prefect_pipelines_spark.streaming.neardup import (
+        _bucket_pairs_impl,
+    )
+
+    state = _FakeState()
+    batches = [
+        [("b0", 1), ("b0", 2)],
+        [("b0", 2), ("b1", 3)],  # (b0, 2) re-arrives: must NOT re-emit
+        [("b0", 4)],
+    ]
+    pairs, bands = set(), []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"bkey": [r[0] for r in batch],
+             "id": pd.Series([r[1] for r in batch], dtype="int64")}
+        )
+        for out in _bucket_pairs_impl(
+            iter([pdf]), state, emit_bands=True, ttl_ms=None
+        ):
+            p = out[out["bkey"].isna()]
+            pairs.update(zip(p["a"].tolist(), p["b"].tolist()))
+            b = out[out["bkey"].notna()]
+            assert b["b"].isna().all()
+            bands.extend(zip(b["a"].tolist(), b["bkey"].tolist()))
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    assert sorted(bands) == [(1, "b0"), (2, "b0"), (3, "b1"), (4, "b0")]
+    assert len(bands) == len(set(bands)), "membership re-emitted"
+
+
+def test_bucket_pairs_ttl_eviction():
+    """ttl_ms: timeout invocation drops the witness state (pairs across
+    the eviction boundary are no longer emitted) and every data
+    invocation re-arms the processing-time timeout."""
+    import pandas as pd
+
+    from prosnet_prefect_pipelines_spark.streaming.neardup import (
+        _bucket_pairs_impl,
+    )
+
+    def feed(state, rows):
+        pdf = pd.DataFrame(
+            {"bkey": [r[0] for r in rows],
+             "id": pd.Series([r[1] for r in rows], dtype="int64")}
+        )
+        got = set()
+        for out in _bucket_pairs_impl(iter([pdf]), state, False, ttl_ms=60000):
+            got.update(zip(out["a"].tolist(), out["b"].tolist()))
+        return got
+
+    state = _FakeState()
+    assert feed(state, [("b0", 1)]) == set()
+    assert state.timeout_ms == 60000, "timeout not armed"
+    assert feed(state, [("b0", 2)]) == {(1, 2)}
+
+    # runtime fires the timeout: empty batch, hasTimedOut=True
+    state.hasTimedOut = True
+    outs = list(_bucket_pairs_impl(iter([]), state, False, ttl_ms=60000))
+    assert state.removed and not state.exists
+    assert all(len(o) == 0 for o in outs)
+
+    # post-eviction arrival: no pair with pre-eviction ids
+    state.hasTimedOut = False
+    state.removed = False
+    assert feed(state, [("b0", 3)]) == set()
+    assert feed(state, [("b0", 4)]) == {(3, 4)}
+
+
+def test_emit_bands_stream_equals_plain_plus_band_table(spark, docs, tmp_path):
+    """End-to-end fused shape: under a 4-micro-batch replay,
+    emit_bands=True yields exactly the plain emitter's pair set (bkey
+    NULL rows) plus the full batch band table once (bkey rows) — so the
+    foreachBatch static probe sees every membership exactly once."""
+    import uuid
+
+    odd = docs.filter(F.col("id") % 2 == 1)
+    stage = tmp_path / "neardup_fused"
+    odd.repartition(4).write.parquet(str(stage))
+    schema = spark.read.parquet(str(stage)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    name = "ndf_" + uuid.uuid4().hex[:8]
+    q = (
+        N.stream_state_candidates(N.stream_band_table(src, "id", "text"),
+                                  emit_bands=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.table(name).localCheckpoint()
+
+    ob = batch_bands(odd)
+    want_pairs = sorted(
+        (r.a, r.b)
+        for r in ob.alias("x")
+        .join(ob.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+        .collect()
+    )
+    got_pairs = sorted(
+        (r.a, r.b)
+        for r in out.filter(F.col("bkey").isNull())
+        .select("a", "b").dropDuplicates().collect()
+    )
+    assert got_pairs == want_pairs
+
+    got_bands = sorted(
+        (r.a, r.bkey)
+        for r in out.filter(F.col("bkey").isNotNull()).select("a", "bkey").collect()
+    )
+    want_bands = sorted(
+        (r.id, f"{r.band}|{r.bucket}") for r in ob.collect()
+    )
+    assert got_bands == want_bands  # exactly once each, no dupes
+
+
+def test_ttl_variant_streaming_eviction(spark, docs, tmp_path):
+    """End-to-end TTL eviction through the real runtime (continuous
+    trigger — ProcessingTimeTimeout never terminates under availableNow,
+    see stream_state_candidates WARNING): phase-A docs populate witness
+    state; after the TTL fires, lastProgress shows the state rows
+    dropping to 0; phase-B re-sends the SAME texts under new ids — had
+    state survived, cross-phase (A, B) pairs would be emitted, so their
+    absence (alongside present B-B pairs proving B was processed) is
+    direct evidence the witness memberships were evicted."""
+    import time
+    import uuid
+
+    sample = docs.filter(F.col("id") % 2 == 1).limit(20).localCheckpoint()
+    stage = tmp_path / "neardup_ttl"
+    stage.mkdir()
+    schema = sample.schema
+    sample.coalesce(1).write.mode("append").parquet(str(stage))
+
+    src = spark.readStream.schema(schema).parquet(str(stage))
+    name = "ndt_" + uuid.uuid4().hex[:8]
+    q = (
+        N.stream_state_candidates(N.stream_band_table(src, "id", "text"),
+                                  n_groups=8, ttl_ms=3000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def _state_rows():
+        lp = q.lastProgress
+        if not lp or not lp.get("stateOperators"):
+            return None
+        return lp["stateOperators"][0]["numRowsTotal"]
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not (_state_rows() or 0) > 0:
+            time.sleep(1)
+        assert (_state_rows() or 0) > 0, "witness state never populated"
+
+        while time.time() < deadline and _state_rows() != 0:
+            time.sleep(1)
+        assert _state_rows() == 0, "TTL never evicted the witness state"
+
+        # phase B: identical texts, ids shifted — would pair with phase A
+        # on every band if state had survived eviction; each text sent
+        # TWICE (two id offsets) so B-B pairs are guaranteed to exist
+        sample.select((F.col("id") + 500000).alias("id"), "text").unionByName(
+            sample.select((F.col("id") + 600000).alias("id"), "text")
+        ).coalesce(1).write.mode("append").parquet(str(stage))
+        while time.time() < deadline and spark.table(name).where(
+            (F.col("a") >= 500000) & (F.col("b") >= 500000)
+        ).count() == 0:
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    out = spark.table(name).localCheckpoint()
+    n_bb = out.where((F.col("a") >= 500000) & (F.col("b") >= 500000)).count()
+    n_cross = out.where((F.col("a") < 500000) & (F.col("b") >= 500000)).count()
+    assert n_bb > 0, "phase B never processed"
+    assert n_cross == 0, "pre-eviction memberships paired with phase B"
