@@ -99,6 +99,7 @@ HEADLINE = [
     "benford_first_digit_report",  # r5: fixed-9-group screen + literal dim
     "mann_kendall_monthly",   # r5: month-agg + calendar-bounded pair join
     "stream_neardup_monitor", # r6: streaming MinHash LSH monitor (availableNow)
+    "stream_entity_resolution", # r7: incremental sameAs components (availableNow)
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).

@@ -26,6 +26,11 @@ MODULES: dict[str, str] = {}
 # calls INSIDE one module (r5 advice: the module-only guard let those
 # silently overwrite) from an idempotent module re-import
 _QUALNAMES: dict[str, str] = {}
+# defining line — catches the remaining hole (r6 advice): two functions
+# with the SAME name defined twice in one module share module AND
+# qualname, so only the source position tells a true duplicate from a
+# reload of identical code
+_LINES: dict[str, int] = {}
 
 
 def register(name: str, oracle: str | None = None, covers: list[str] | None = None):
@@ -43,21 +48,25 @@ def register(name: str, oracle: str | None = None, covers: list[str] | None = No
         if name in QUERIES and (
             MODULES.get(name) != fn.__module__
             or _QUALNAMES.get(name) != fn.__qualname__
+            or _LINES.get(name) != fn.__code__.co_firstlineno
         ):
             # a silent overwrite drops a query (and its oracle pairing)
             # from the catalog — caught live in r5 when a new batch
             # reused `gini_concentration` from q_pipeline19. Comparing
-            # (module, qualname) instead of module alone also catches two
-            # same-named @register calls inside ONE module (r5 advice),
-            # while an importlib-reload of the same function stays
-            # idempotent.
+            # (module, qualname, lineno) instead of module alone also
+            # catches two same-named @register calls inside ONE module
+            # (r5/r6 advice) even when the shadowing function reuses the
+            # same function name (identical qualname), while an
+            # importlib-reload of the same code stays idempotent.
             raise ValueError(
                 f"duplicate query name {name!r}: already registered by "
-                f"{MODULES[name]}.{_QUALNAMES.get(name)}, re-registered "
-                f"by {fn.__module__}.{fn.__qualname__}"
+                f"{MODULES[name]}.{_QUALNAMES.get(name)}:{_LINES.get(name)}, "
+                f"re-registered by {fn.__module__}.{fn.__qualname__}:"
+                f"{fn.__code__.co_firstlineno}"
             )
         QUERIES[name] = wrapped
         _QUALNAMES[name] = fn.__qualname__
+        _LINES[name] = fn.__code__.co_firstlineno
         if oracle is not None:
             ORACLES[name] = oracle
         COVERAGE[name] = covers or []
@@ -189,6 +198,7 @@ def _load_all() -> None:
         q_pipeline111,
         q_pipeline112,
         q_pipeline113,
+        q_pipeline114,
         q_ranking,
         q_relational,
         q_render,

@@ -35,6 +35,19 @@ def resolve_same_as(
     ``existing_proxies``: columns ``proxy, entity`` (pfp:proxy_for rows).
     """
     comps = connected_components(sameas_edges, "src", "dst")
+    return resolve_from_components(entities, comps, existing_proxies)
+
+
+def resolve_from_components(
+    entities: DataFrame,
+    comps: DataFrame,
+    existing_proxies: DataFrame,
+) -> DataFrame:
+    """resolve_same_as with the component labeling precomputed —
+    ``comps``: columns ``node, comp`` (min-member labels). Shared by the
+    batch path (components from connected_components) and the streaming
+    monitor (components accumulated incrementally by
+    streaming/resolve.IncrementalResolver)."""
     labeled = entities.join(
         comps.withColumnRenamed("node", "entity"), on="entity", how="left"
     ).withColumn("comp", F.coalesce(F.col("comp"), F.col("entity")))
