@@ -58,6 +58,35 @@ def first_diff(rows_a, rows_b):
     return None
 
 
+def module_refs(text: str, known: set[str], pkg_name: str) -> set[str]:
+    """Package-module basenames referenced by ``text``'s import
+    statements: handles ``import pkg.sub.mod [as x]``, ``from pkg[.sub]
+    import a, b``, multi-line parenthesized lists (ast flattens them),
+    and relative imports (level>0 — intra-package by definition).
+    Factored out of touched_queries for direct regression testing (the
+    r5 advice found a line-regex predecessor silently missing the
+    parenthesized forms)."""
+    import ast
+
+    refs: set[str] = set()
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return refs
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                parts = alias.name.split(".")
+                if parts[0] == pkg_name:
+                    refs.update(p for p in parts if p in known)
+        elif isinstance(node, ast.ImportFrom):
+            path = node.module or ""
+            if node.level > 0 or path.split(".")[0] == pkg_name:
+                refs.update(p for p in path.split(".") if p in known)
+                refs.update(a.name for a in node.names)
+    return {r for r in refs if r in known}
+
+
 def touched_queries(base: str) -> list[str]:
     """Queries to re-oracle because their defining plan module, or any
     engine module it (transitively) imports, changed vs git ref ``base``
@@ -73,7 +102,6 @@ def touched_queries(base: str) -> list[str]:
     across the package), with a transitive closure so e.g. a
     `similarity.py` edit reaches the dedup plans that import dedup.py.
     """
-    import ast
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -94,31 +122,11 @@ def touched_queries(base: str) -> list[str]:
                 with open(os.path.join(dirpath, f)) as fh:
                     sources[os.path.splitext(f)[0]] = fh.read()
     known = set(sources)
-    deps: dict[str, set[str]] = {}
     pkg_name = "prosnet_prefect_pipelines_spark"
-    for mod, text in sources.items():
-        refs: set[str] = set()
-        try:
-            tree = ast.parse(text)
-        except SyntaxError:
-            deps[mod] = set()
-            continue
-        for node in ast.walk(tree):
-            if isinstance(node, ast.Import):
-                # `import pkg.sub.mod [as x]`
-                for alias in node.names:
-                    parts = alias.name.split(".")
-                    if parts[0] == pkg_name:
-                        refs.update(p for p in parts if p in known)
-            elif isinstance(node, ast.ImportFrom):
-                # `from pkg[.sub] import a, b, (c, d)` — ast flattens
-                # parenthesized/multi-line lists for free. Relative
-                # imports (level>0) are intra-package by definition.
-                path = node.module or ""
-                if node.level > 0 or path.split(".")[0] == pkg_name:
-                    refs.update(p for p in path.split(".") if p in known)
-                    refs.update(a.name for a in node.names)
-        deps[mod] = {r for r in refs if r in known and r != mod}
+    deps: dict[str, set[str]] = {
+        mod: module_refs(text, known, pkg_name) - {mod}
+        for mod, text in sources.items()
+    }
 
     # transitive closure: a module is dirty if it or anything it imports is
     dirty = set(changed) & known
