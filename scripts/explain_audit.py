@@ -1179,6 +1179,12 @@ AUDITS = {
     "stream_neardup_monitor": [
         ("partial_", "per-pair common-shingle counts combine map-side"),
     ],
+    # --- batch 114: streaming entity resolution (the streaming side is
+    # foreachBatch contraction; the audited batch plan is the final
+    # proxy resolution over the accumulated component mapping) ---
+    "stream_entity_resolution": [
+        ("partial_", "existing-proxy min per component combines map-side"),
+    ],
     "neardup_bucket_skew_report": [
         ("partial_", "bucket sizes combine map-side before the band window"),
         ("Window", "rank window over the |buckets| size table, keyed by band"),
@@ -1394,6 +1400,7 @@ AUDITS = {
 FORBIDDEN = {
     "range_join": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     "asof_join": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "stream_entity_resolution": ["CartesianProduct"],
     # a SinglePartition exchange = an accidental global sort/collect point
     "dedup_ngram_jaccard": ["Exchange SinglePartition", "CartesianProduct"],
     "person_index_docs": ["Exchange SinglePartition"],
@@ -1413,8 +1420,12 @@ FORBIDDEN = {
     "tfidf_terms": ["CartesianProduct"],
     "pagerank_nations": ["CartesianProduct", "Exchange SinglePartition"],
     "ngram_stats": ["Exchange SinglePartition"],
-    "dedup_incremental": ["CartesianProduct", "Exchange SinglePartition"],
-    "funnel_conversion": ["CartesianProduct", "Exchange SinglePartition"],
+    # NOTE r7: the real Arguments-matcher showed these plans DO have a
+    # single-partition exchange — a final tiny rollup fed by a keyed
+    # aggregation (|V|-bounded invariant green in PLANS.md), so the
+    # blanket needle (written when it could never fire) was wrong here.
+    "dedup_incremental": ["CartesianProduct"],
+    "funnel_conversion": ["CartesianProduct"],
     "scd2_user_state": ["Exchange SinglePartition"],
     "cohort_retention": ["CartesianProduct", "Exchange SinglePartition"],
     "value_histogram": ["Exchange SinglePartition"],
@@ -1422,7 +1433,7 @@ FORBIDDEN = {
     # narrow derive->regex pass: no shuffle at all
     "url_canonicalize": ["Exchange"],
     "quality_classifier": ["Exchange"],
-    "url_domain_stats": ["Exchange SinglePartition", "CartesianProduct"],
+    "url_domain_stats": ["CartesianProduct"],
     "unigram_lm_score": ["Exchange SinglePartition", "CartesianProduct"],
     "sequence_context_pairs": ["Exchange SinglePartition"],
     "triangle_count": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -1441,7 +1452,7 @@ FORBIDDEN = {
     "kcore_nodes": ["CartesianProduct"],
     "clustering_coefficient": ["CartesianProduct"],
     "forget_keys": ["CartesianProduct"],
-    "join_cardinality_estimate": ["CartesianProduct", "Exchange SinglePartition"],
+    "join_cardinality_estimate": ["CartesianProduct"],
     "embedding_outliers": ["CartesianProduct", "Exchange SinglePartition"],
     "doc_chunking": ["Exchange"],
     "quantile_transform": ["Exchange SinglePartition"],
@@ -1474,7 +1485,7 @@ FORBIDDEN = {
     "link_prediction_split": ["CartesianProduct", "BroadcastNestedLoopJoin",
                               "Exchange SinglePartition"],
     "neighbor_feature_agg": ["CartesianProduct", "Exchange SinglePartition"],
-    "ab_test_chi2": ["Exchange SinglePartition"],
+    "ab_test_chi2": ["CartesianProduct"],
     "basket_triples": ["CartesianProduct", "BroadcastNestedLoopJoin",
                        "Exchange SinglePartition"],
     "geo_grid_join": ["CartesianProduct", "BroadcastNestedLoopJoin",
@@ -1499,7 +1510,7 @@ FORBIDDEN = {
     "sql_tpch_q7": ["CartesianProduct"],
     "sql_tpch_q8": ["CartesianProduct"],
     "sql_tpch_q13": ["CartesianProduct"],
-    "sql_tpch_q14": ["CartesianProduct", "Exchange SinglePartition"],
+    "sql_tpch_q14": ["CartesianProduct"],
     "sql_tpch_q17": ["CartesianProduct"],
     "sql_tpch_q18": ["CartesianProduct"],
     "sql_tpch_q19": ["CartesianProduct"],
@@ -1563,7 +1574,7 @@ FORBIDDEN = {
     "sql_tpch_q20": ["CartesianProduct"],
     "sql_tpch_q21": ["CartesianProduct"],
     "rfm_segmentation": ["CartesianProduct"],
-    "bitemporal_asof": ["CartesianProduct", "Exchange SinglePartition"],
+    "bitemporal_asof": ["CartesianProduct"],
     "diff_in_diff_report": ["SortMergeJoin"],
     # batches 63-70
     "duplicate_payment_candidates": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -1693,10 +1704,15 @@ for _name, _feats in GENERATED_FORBIDDEN.items():
 #
 # NB: this check parses the `Arguments: SinglePartition` DETAIL lines
 # because formatted explain output never prints the literal "Exchange
-# SinglePartition" (that is simple-mode syntax) — which means the many
-# FORBIDDEN entries listing 'Exchange SinglePartition' have always
-# vacuously passed in this audit. They are kept as documentation of
-# intent, but THIS invariant is the real single-partition guard: it
+# SinglePartition" (that is simple-mode syntax). r6 found the FORBIDDEN
+# entries listing that literal had always vacuously passed; r7 ported
+# the FORBIDDEN check itself to the same Arguments-based matcher
+# (plan_feature_hit above) and RE-SCOUTED audit_generated.py with it,
+# so a 'Exchange SinglePartition' needle now fires for real and is only
+# asserted on queries whose plans genuinely have no such exchange at
+# either scouted scale. This invariant remains the complementary guard
+# for plans where a single-partition exchange IS expected: it must be
+# fed by a keyed aggregation (|V|-bounded), never raw scan rows. It
 # found 5 genuinely raw-row-windowed plans on first run (r6), all
 # restructured to the distinct-value/block-scan form.
 
@@ -1717,6 +1733,51 @@ SINGLE_PARTITION_EXEMPT: dict[str, str] = {
 }
 
 _AGG_NODE_NAMES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _exchange_arg_ids(plan: str, token: str) -> set[int]:
+    """Node ids of `(id) Exchange*` detail blocks whose `Arguments:`
+    line mentions ``token`` (e.g. SinglePartition, hashpartitioning).
+    This is THE way to detect exchange partitioning in formatted
+    explain output: the simple-mode literals like
+    'Exchange SinglePartition' never appear there (detail blocks print
+    '(7) Exchange' + 'Arguments: SinglePartition, ...'), so substring
+    needles built from them are dead letters (r6 verdict item 5)."""
+    import re
+
+    ids: set[int] = set()
+    blk_re = re.compile(r"^\((\d+)\)\s+(\S+)")
+    cur_id = None
+    for ln in plan.splitlines():
+        m = blk_re.match(ln)
+        if m:
+            cur_id = (int(m.group(1)), m.group(2))
+        elif cur_id and token in ln and ln.startswith("Arguments"):
+            if "Exchange" in cur_id[1]:
+                ids.add(cur_id[0])
+    return ids
+
+
+# FORBIDDEN needles that cannot be tested as plain substrings of the
+# formatted plan — each maps to a real matcher (r6 verdict item 5: the
+# old substring test for these was vacuous and ~200 generated entries
+# carried them as false coverage; audit_generated.py was re-scouted
+# with these matchers so every needle can actually fire).
+_ARG_MATCHED_NEEDLES = {
+    "Exchange SinglePartition": "SinglePartition",
+    "Exchange hashpartitioning": "hashpartitioning",
+    "Exchange rangepartitioning": "rangepartitioning",
+}
+
+
+def plan_feature_hit(plan: str, needle: str) -> bool:
+    """True iff the plan exhibits ``needle``: Arguments-based exchange
+    matching for the needles the formatted output never prints
+    literally, plain substring otherwise."""
+    token = _ARG_MATCHED_NEEDLES.get(needle)
+    if token is not None:
+        return bool(_exchange_arg_ids(plan, token))
+    return needle in plan
 
 
 def single_partition_bounded(plan: str) -> tuple[bool, str]:
@@ -1740,16 +1801,7 @@ def single_partition_bounded(plan: str) -> tuple[bool, str]:
             depth = ln.index(stripped[0]) if stripped else 0
             nodes.append((i, depth, int(m.group(2)), m.group(1).strip()))
     # single-partition exchange ids from the detail blocks
-    sp_ids = set()
-    blk_re = re.compile(r"^\((\d+)\)\s+(\S+)")
-    cur_id = None
-    for ln in lines:
-        m = blk_re.match(ln)
-        if m:
-            cur_id = (int(m.group(1)), m.group(2))
-        elif cur_id and "SinglePartition" in ln and ln.startswith("Arguments"):
-            if "Exchange" in cur_id[1]:
-                sp_ids.add(cur_id[0])
+    sp_ids = _exchange_arg_ids(plan, "SinglePartition")
     if not sp_ids:
         return True, "no SinglePartition exchange in plan"
     # subtree scan: children of tree node k are the consecutive
@@ -1814,7 +1866,7 @@ def main() -> None:
             if not ok:
                 failures.append((name, needle))
         for needle in FORBIDDEN.get(name, []):
-            ok = needle not in plan
+            ok = not plan_feature_hit(plan, needle)
             mark = "x" if ok else " "
             sections.append(f"- [{mark}] no `{needle}` (must not degenerate to a product)")
             if not ok:

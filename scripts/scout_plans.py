@@ -62,7 +62,10 @@ def main() -> None:
             with redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
-            out[name] = {f: (f in plan) for f in FEATURES}
+            # plan_feature_hit: Arguments-based matching for the
+            # exchange-partitioning needles formatted explain never
+            # prints literally (r7 — plain substring was vacuous)
+            out[name] = {f: ea.plan_feature_hit(plan, f) for f in FEATURES}
             print(name, json.dumps(out[name]), flush=True)
         except Exception as exc:  # noqa: BLE001 — scout, report and move on
             print(name, f"ERROR {type(exc).__name__}: {exc}", flush=True)
