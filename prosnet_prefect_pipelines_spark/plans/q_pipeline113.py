@@ -109,7 +109,6 @@ def q_stream_neardup_monitor(spark, sf_dir):
     membership passthrough exactly-once across batches, which is
     probe-equivalent to probing raw stream_bands (re-arrivals were
     already probed when first seen; candidates are distinct-ed anyway)."""
-    import shutil
     import tempfile
 
     static = corpus(spark, sf_dir).filter(F.col("id") % 2 == 0)
@@ -145,18 +144,20 @@ def q_stream_neardup_monitor(spark, sf_dir):
         q.stop()
         raise RuntimeError("stream_neardup_monitor replay timed out (300 s)")
 
+    # returned LAZY (out_dir retained for the plan's lifetime — a few KB
+    # of /tmp per replay): the exact-Jaccard verification stays visible
+    # in the audited physical plan and executes at collect time, same as
+    # every other catalog query
     cands = spark.read.schema("a long, b long").parquet(out_dir).dropDuplicates()
     sh = D.shingle_table(corpus(spark, sf_dir), "id", "text", k=3)
-    result = D.jaccard_verify(cands, sh, _THRESHOLD).select(
+    return D.jaccard_verify(cands, sh, _THRESHOLD).select(
         "a",
         "b",
         "jaccard",
         F.when(F.col("b") % 2 == 0, F.lit("static"))
         .otherwise(F.lit("stream"))
         .alias("src"),
-    ).localCheckpoint()
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return result
+    )
 
 
 def _corpus_bands(spark, sf_dir, half=None):
