@@ -77,6 +77,14 @@ PAIR_SCHEMA = "a long, b long"
 # without a second streaming query re-executing the fingerprint scan.
 PAIR_BAND_SCHEMA = "a long, b long, bkey string"
 STATE_SCHEMA = "bkeys array<string>, ids array<long>"
+# event_ttl_ms mode: each membership carries its own event time (epoch
+# ms) so EXPIRED memberships can be swept inside DATA invocations — the
+# group-level EventTimeTimeout only fires for shards that receive no
+# data at all, and with hash supergroups a shard is almost never fully
+# idle (measured: A-C pairs survived a 30-day watermark advance because
+# identical texts kept landing in A's shards). Per-membership sweep is
+# the real eviction; the timeout is just the idle-shard reaper.
+STATE_TS_SCHEMA = "bkeys array<string>, ids array<long>, tss array<long>"
 
 
 def stream_band_table(
@@ -86,6 +94,7 @@ def stream_band_table(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """streaming (id, text) -> streaming (id, band, bucket): one row per
     LSH band, computed entirely map-side (legal in append mode).
@@ -93,15 +102,22 @@ def stream_band_table(
     Two projections, not one: the shingle-id array materializes behind
     its own alias so the 12 min-hash expressions share ONE md5 pass
     (see minhash_band_buckets_from_sids on why the inline form pays
-    12x under the codegen-off session policy)."""
+    12x under the codegen-off session policy).
+
+    event_time_col: carried through as ``ts`` when the witness state
+    should be event-time-evicted (stream_state_candidates
+    event_ttl_ms)."""
+    extra = [F.col(event_time_col).alias("ts")] if event_time_col else []
     return stream_df.select(
         F.col(id_col).alias("id"),
         shingle_sids(F.col(text_col), k).alias("_sids"),
+        *extra,
     ).select(
         "id",
         F.posexplode(
             minhash_band_buckets_from_sids(F.col("_sids"), num_hashes, bands)
         ).alias("band", "bucket"),
+        *([F.col("ts")] if event_time_col else []),
     )
 
 
@@ -152,6 +168,7 @@ def _bucket_pairs_impl(
     state: GroupState,
     emit_bands: bool,
     ttl_ms: int | None,
+    event_ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Per-SUPERGROUP stateful pair emitter. The group key is a hash
     shard of (band, bucket), NOT the bucket itself: most LSH buckets
@@ -173,11 +190,16 @@ def _bucket_pairs_impl(
     the group has seen no data for ttl_ms; the witness state is dropped
     so continuous ingest holds only the trailing-window memberships
     (pairs across an eviction boundary are no longer witnessed — the
-    deliberate window/recall trade, see SCALE.md). emit_bands: also
-    re-emit each NEW membership as (id, NULL, bkey) so one streaming
-    query feeds both the stateful witness and a foreachBatch
+    deliberate window/recall trade, see SCALE.md). event_ttl_ms: the
+    EVENT-time twin — the timeout is re-armed to (max batch event time
+    + event_ttl_ms) and fires when the WATERMARK passes it, so eviction
+    follows the data's own clock and, unlike processing-time timeouts,
+    composes with trigger(availableNow) replays (the watermark stops
+    advancing when the data ends, so the query terminates). emit_bands:
+    also re-emit each NEW membership as (id, NULL, bkey) so one
+    streaming query feeds both the stateful witness and a foreachBatch
     stream-static probe (fingerprints computed once, not per-query)."""
-    if ttl_ms is not None and state.hasTimedOut:
+    if (ttl_ms is not None or event_ttl_ms is not None) and state.hasTimedOut:
         state.remove()
         if emit_bands:
             yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -186,22 +208,56 @@ def _bucket_pairs_impl(
         else:
             yield _empty_pairs()
         return
+    event = event_ttl_ms is not None
     if state.exists:
-        bkeys, ids = state.get
-        seen = pd.DataFrame({"bkey": pd.Series(list(bkeys), dtype=object),
-                             "id": pd.Series(list(ids), dtype="int64")})
+        vals = state.get
+        seen = pd.DataFrame({"bkey": pd.Series(list(vals[0]), dtype=object),
+                             "id": pd.Series(list(vals[1]), dtype="int64")})
+        if event:
+            seen["ts"] = pd.Series(
+                list(vals[2]) if len(vals) > 2 else [], dtype="int64"
+            )
     else:
         seen = pd.DataFrame({"bkey": pd.Series([], dtype=object),
                              "id": pd.Series([], dtype="int64")})
-    chunks = [pdf[["bkey", "id"]] for pdf in pdfs if len(pdf)]
-    new = (
-        pd.concat(chunks, ignore_index=True).drop_duplicates()
-        if chunks
-        else seen.iloc[0:0]
-    )
+        if event:
+            seen["ts"] = pd.Series([], dtype="int64")
+    if event:
+        # sweep EXPIRED memberships before pairing: the group timeout
+        # only fires for fully-idle shards, so in-shard expiry is the
+        # real eviction (see STATE_TS_SCHEMA note). Watermark is 0 on
+        # the first batch -> nothing expires.
+        cutoff = state.getCurrentWatermarkMs() - event_ttl_ms
+        if len(seen):
+            seen = seen[seen["ts"] >= cutoff].reset_index(drop=True)
+
+    cols = ["bkey", "id"] + (["ts"] if event else [])
+    chunks = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        c = pdf[cols].copy()
+        if event:
+            c["ts"] = (c["ts"].astype("datetime64[ns]").astype("int64")
+                       // 1_000_000)
+        chunks.append(c)
+    if chunks:
+        new = pd.concat(chunks, ignore_index=True)
+        if event:
+            # one ts per membership: the earliest in this batch (a
+            # re-arrival of a LIVE membership is dropped below and does
+            # not extend its window; a re-arrival after expiry re-enters
+            # as a fresh membership)
+            new = (new.sort_values(["bkey", "id", "ts"], kind="mergesort")
+                   .drop_duplicates(["bkey", "id"]))
+        else:
+            new = new.drop_duplicates()
+    else:
+        new = seen.iloc[0:0]
     if len(seen):
-        new = new.merge(seen, on=["bkey", "id"], how="left", indicator=True)
-        new = new[new["_merge"] == "left_only"][["bkey", "id"]]
+        new = new.merge(seen[["bkey", "id"]], on=["bkey", "id"],
+                        how="left", indicator=True)
+        new = new[new["_merge"] == "left_only"][cols]
     new = new.sort_values(["bkey", "id"], kind="mergesort").reset_index(drop=True)
 
     outs = []
@@ -219,12 +275,31 @@ def _bucket_pairs_impl(
             outs.append(
                 within[["id_x", "id_y"]].rename(columns={"id_x": "a", "id_y": "b"})
             )
-    state.update((
-        list(seen["bkey"]) + list(new["bkey"]),
-        [int(x) for x in seen["id"]] + [int(x) for x in new["id"]],
-    ))
-    if ttl_ms is not None:
-        state.setTimeoutDuration(ttl_ms)
+    if event:
+        live_ts = [int(x) for x in seen["ts"]] + [int(x) for x in new["ts"]]
+        if not live_ts:
+            # everything expired and nothing arrived: drop the shard
+            state.remove()
+        else:
+            state.update((
+                list(seen["bkey"]) + list(new["bkey"]),
+                [int(x) for x in seen["id"]] + [int(x) for x in new["id"]],
+                live_ts,
+            ))
+            # idle-shard reaper: fires only if NO data reaches this
+            # shard after the watermark passes every live membership's
+            # expiry; must be strictly ahead of the current watermark
+            state.setTimeoutTimestamp(
+                max(max(live_ts) + event_ttl_ms,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+    else:
+        state.update((
+            list(seen["bkey"]) + list(new["bkey"]),
+            [int(x) for x in seen["id"]] + [int(x) for x in new["id"]],
+        ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
     pairs = (
         pd.concat(outs, ignore_index=True)[["a", "b"]].astype("int64")
         if outs
@@ -250,9 +325,12 @@ def _bucket_pairs(
     yield from _bucket_pairs_impl(pdfs, state, emit_bands=False, ttl_ms=None)
 
 
-def _make_bucket_pairs(emit_bands: bool, ttl_ms: int | None):
+def _make_bucket_pairs(
+    emit_bands: bool, ttl_ms: int | None, event_ttl_ms: int | None = None
+):
     def fn(key, pdfs, state):
-        yield from _bucket_pairs_impl(pdfs, state, emit_bands, ttl_ms)
+        yield from _bucket_pairs_impl(pdfs, state, emit_bands, ttl_ms,
+                                      event_ttl_ms)
     return fn
 
 
@@ -261,6 +339,8 @@ def stream_state_candidates(
     n_groups: int = 256,
     emit_bands: bool = False,
     ttl_ms: int | None = None,
+    event_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Within-stream candidate pairs via incremental LSH state: shard
     the streaming band table into ``n_groups`` hash supergroups of the
@@ -277,6 +357,11 @@ def stream_state_candidates(
     ttl_ms bounds witness state for continuous ingest: groups idle for
     ttl_ms of processing time are evicted (ProcessingTimeTimeout); the
     default NoTimeout keeps the exact replay-oracle semantics.
+    event_ttl_ms is the event-time twin: stream_bands must carry a
+    ``ts`` column (stream_band_table(event_time_col=...)); a watermark
+    (``watermark_delay`` behind max event time) drives eviction of
+    buckets whose latest membership is older than event_ttl_ms. Exactly
+    one of ttl_ms / event_ttl_ms may be set.
 
     WARNING — ttl_ms is for CONTINUOUS triggers only (the production
     monitor mode). Under trigger(availableNow=True) a ProcessingTime-
@@ -286,25 +371,34 @@ def stream_state_candidates(
     always fire), and Spark loops 'no new data but cleaning up state'
     batches forever — even after every group's state is removed
     (measured: state hit 0 rows, batchId kept climbing past 100).
-    Bounded replays/oracles must use the default NoTimeout."""
+    event_ttl_ms does NOT have this problem — the watermark stops
+    advancing when the data ends, so availableNow replays terminate —
+    making it the TTL to use when bounded replays must also evict."""
+    if ttl_ms is not None and event_ttl_ms is not None:
+        raise ValueError("set at most one of ttl_ms / event_ttl_ms")
+    extra = [F.col("ts")] if event_ttl_ms is not None else []
     keyed = stream_bands.select(
         F.concat_ws("|", F.col("band").cast("string"), F.col("bucket")).alias("bkey"),
         "id",
         F.pmod(F.xxhash64(F.col("band"), F.col("bucket")), F.lit(n_groups)).alias(
             "skey"
         ),
+        *extra,
     )
+    if event_ttl_ms is not None:
+        keyed = keyed.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif ttl_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return keyed.groupBy("skey").applyInPandasWithState(
-        _bucket_pairs if not emit_bands and ttl_ms is None
-        else _make_bucket_pairs(emit_bands, ttl_ms),
+        _bucket_pairs if not emit_bands and timeout is GroupStateTimeout.NoTimeout
+        else _make_bucket_pairs(emit_bands, ttl_ms, event_ttl_ms),
         outputStructType=PAIR_BAND_SCHEMA if emit_bands else PAIR_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=STATE_TS_SCHEMA if event_ttl_ms is not None else STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if ttl_ms is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout,
     )
 
 

@@ -418,3 +418,107 @@ def test_ttl_variant_streaming_eviction(spark, docs, tmp_path):
     n_cross = out.where((F.col("a") < 500000) & (F.col("b") >= 500000)).count()
     assert n_bb > 0, "phase B never processed"
     assert n_cross == 0, "pre-eviction memberships paired with phase B"
+
+
+def test_event_ttl_eviction_under_available_now(spark, docs, tmp_path):
+    """event_ttl_ms: the EVENT-time TTL composes with availableNow
+    (unlike processing-time — the watermark stops advancing when data
+    ends, so the replay terminates) and evicts per MEMBERSHIP inside
+    still-active shards (the group timeout alone cannot: a shard
+    receiving any data is never timed out, and with hash supergroups
+    identical texts keep landing in the same shards). Three phases of
+    identical texts at day 0 / day 30 / day 60 with a 1 h TTL: A-B pairs
+    exist (one-batch watermark lag), A-C pairs must NOT (A expired long
+    before C), B-C pairs exist (B still live at watermark day 30)."""
+    import time
+    import uuid
+
+    sample = docs.filter(F.col("id") % 2 == 1).limit(12).localCheckpoint()
+    stage = tmp_path / "neardup_event_ttl"
+    stage.mkdir()
+    for off, day in ((0, "2024-01-01"), (500_000, "2024-01-31"),
+                     (600_000, "2024-03-01")):
+        sample.select(
+            (F.col("id") + off).alias("id"), "text",
+            F.lit(f"{day} 00:00:00").cast("timestamp").alias("evt"),
+        ).coalesce(1).write.mode("append").parquet(str(stage))
+        time.sleep(1.1)  # file-source batches follow modification time
+
+    schema = spark.read.parquet(str(stage)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    name = "ndev_" + uuid.uuid4().hex[:8]
+    q = (
+        N.stream_state_candidates(
+            N.stream_band_table(src, "id", "text", event_time_col="evt"),
+            n_groups=8,
+            event_ttl_ms=3_600_000,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "event-time TTL replay did not terminate"
+    pairs = {(r.a, r.b) for r in spark.table(name).collect()}
+    n_ab = sum(1 for a, b in pairs if a < 500_000 and 500_000 <= b < 600_000)
+    n_ac = sum(1 for a, b in pairs if a < 500_000 and b >= 600_000)
+    n_bc = sum(1 for a, b in pairs if 500_000 <= a < 600_000 and b >= 600_000)
+    assert n_ab > 0, "phase B never paired with live phase A"
+    assert n_bc > 0, "phase C never paired with live phase B"
+    assert n_ac == 0, "expired phase-A memberships paired with phase C"
+
+
+def test_bucket_pairs_event_ttl_membership_sweep():
+    """Pure-function check of the per-membership event-time sweep:
+    memberships older than watermark - ttl are dropped before pairing
+    (no pairs across the expiry boundary), live ones persist, and the
+    re-armed timeout tracks the newest live membership."""
+    import pandas as pd
+
+    from prosnet_prefect_pipelines_spark.streaming.neardup import (
+        _bucket_pairs_impl,
+    )
+
+    class _EvState(_FakeState):
+        def __init__(self):
+            super().__init__()
+            self.wm = 0
+            self.timeout_ts = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_ts = ts
+
+    def feed(state, rows):  # rows: (bkey, id, ts_ms)
+        pdf = pd.DataFrame({
+            "bkey": [r[0] for r in rows],
+            "id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "ts": pd.Series([pd.Timestamp(r[2] * 1_000_000)
+                             for r in rows]).astype("datetime64[ns]"),
+        })
+        got = set()
+        for out in _bucket_pairs_impl(iter([pdf]), state, False, None,
+                                      event_ttl_ms=1000):
+            got.update(zip(out["a"].tolist(), out["b"].tolist()))
+        return got
+
+    s = _EvState()
+    assert feed(s, [("b0", 1, 10_000)]) == set()
+    assert s.timeout_ts == 11_000  # newest membership + ttl
+    s.wm = 10_500  # watermark inside id-1's window
+    assert feed(s, [("b0", 2, 10_600)]) == {(1, 2)}
+    s.wm = 12_000  # past 10_000+1000 AND 10_600+1000: both expired
+    assert feed(s, [("b0", 3, 12_500)]) == set()
+    assert s.timeout_ts == 13_500
+    s.wm = 12_900  # id-3 still live
+    assert feed(s, [("b0", 4, 13_000)]) == {(3, 4)}
+    # expired membership re-arrives -> fresh membership, pairs again
+    s.wm = 20_000
+    assert feed(s, [("b0", 3, 20_500), ("b0", 5, 20_600)]) == {(3, 5)}
