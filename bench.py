@@ -392,10 +392,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         rows[name] = n
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # release checkpointed RDD blocks from iterative operators: dropped
-        # Python refs only free JVM-side cache blocks after both GCs run,
-        # and accumulated blocks degrade later queries
+        # release checkpointed RDD blocks from iterative operators: the
+        # explicit sweep is deterministic (ContextCleaner-via-GC only
+        # frees blocks after both GCs run and is asynchronous), and
+        # accumulated blocks degrade later queries
         del df
+        from prosnet_prefect_pipelines_spark.session import sweep_persistent_rdds
+
+        sweep_persistent_rdds(spark)
         import gc
 
         gc.collect()
@@ -417,9 +421,12 @@ def main() -> None:
     # is the steady-state estimator. Both runs stay in warm_runs.
     warm_s: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {}
+    from prosnet_prefect_pipelines_spark.session import sweep_persistent_rdds
+
     for name in sorted(timings, key=lambda n: -timings[n])[:N_WARM]:
         runs = []
         for _ in range(2):
+            sweep_persistent_rdds(spark)  # outside the timed region
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))

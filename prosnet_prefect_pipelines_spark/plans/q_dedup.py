@@ -78,6 +78,11 @@ def _memoized(cache: dict, spark, sf_dir, build):
     for k in [k for k in cache if k[0] != app_id]:
         del cache[k]
     out = build().localCheckpoint(eager=False)
+    # session-lifetime fixture: exempt from the harnesses' between-query
+    # checkpoint sweeps (session.sweep_persistent_rdds)
+    from prosnet_prefect_pipelines_spark.session import protect_checkpoint
+
+    protect_checkpoint(out)
     cache[key] = out
     return out
 

@@ -111,12 +111,16 @@ def q_stream_neardup_monitor(spark, sf_dir):
     already probed when first seen; candidates are distinct-ed anyway)."""
     import tempfile
 
+    from prosnet_prefect_pipelines_spark.session import unpersist_checkpoint
+
     static = corpus(spark, sf_dir).filter(F.col("id") % 2 == 0)
-    index, sizes = N.build_static_index(
-        static, "id", "text", bucket_cap=_BUCKET_CAP, materialize=True
+    index, sizes, band_ck = N.build_static_index(
+        static, "id", "text", bucket_cap=_BUCKET_CAP, materialize=True,
+        return_band=True,
     )
     index = index.localCheckpoint(eager=False)
     sizes = sizes.localCheckpoint(eager=False)
+    _replay_state = [index, sizes, band_ck]  # dead after awaitTermination
 
     stream_bands = N.stream_band_table(
         _corpus_stream(spark, sf_dir).filter(F.col("id") % 2 == 1), "id", "text"
@@ -131,7 +135,12 @@ def q_stream_neardup_monitor(spark, sf_dir):
             F.split(F.col("bkey"), r"\|", 2).getItem(1).alias("bucket"),
         )
         static_cands = N.static_probe_candidates(probes, index, sizes)
-        pairs.unionByName(static_cands).write.mode("append").parquet(out_dir)
+        # candidates are a few hundred rows; one shuffle-free coalesce
+        # keeps the sink at a handful of files instead of one per state
+        # partition (the read-back lists and opens every file)
+        pairs.unionByName(static_cands).coalesce(4).write.mode("append").parquet(
+            out_dir
+        )
 
     q = (
         N.stream_state_candidates(stream_bands, emit_bands=True)
@@ -143,13 +152,30 @@ def q_stream_neardup_monitor(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("stream_neardup_monitor replay timed out (300 s)")
+    # every plan derived from the index/band checkpoints has now been
+    # executed (the replay is done; the returned plan reads out_dir
+    # parquet only) — release their storage blocks so a long bench /
+    # sweep session doesn't accumulate one band table per invocation
+    for _df in _replay_state:
+        unpersist_checkpoint(_df)
 
     # returned LAZY (out_dir retained for the plan's lifetime — a few KB
     # of /tmp per replay): the exact-Jaccard verification stays visible
     # in the audited physical plan and executes at collect time, same as
-    # every other catalog query
+    # every other catalog query. Verification cost must scale with the
+    # CANDIDATE set, not the corpus: shingle only documents that appear
+    # in some candidate pair (broadcast semi-join on id — at 100 TB the
+    # corpus scan prunes to the handful of near-dup suspects; the full
+    # re-shingle it replaces was the old monitor's hidden second corpus
+    # pass).
     cands = spark.read.schema("a long, b long").parquet(out_dir).dropDuplicates()
-    sh = D.shingle_table(corpus(spark, sf_dir), "id", "text", k=3)
+    cand_ids = (
+        cands.select(F.col("a").alias("id"))
+        .unionByName(cands.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    touched = corpus(spark, sf_dir).join(F.broadcast(cand_ids), "id", "semi")
+    sh = D.shingle_table(touched, "id", "text", k=3)
     return D.jaccard_verify(cands, sh, _THRESHOLD).select(
         "a",
         "b",

@@ -151,6 +151,11 @@ def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in [k for k in _TRIPLES_CACHE if k[0] != app_id]:
         del _TRIPLES_CACHE[k]
     out = _build_triples(spark, sf_dir).localCheckpoint(eager=False)
+    # session-lifetime fixture: exempt from the harnesses' between-query
+    # checkpoint sweeps (session.sweep_persistent_rdds)
+    from prosnet_prefect_pipelines_spark.session import protect_checkpoint
+
+    protect_checkpoint(out)
     _TRIPLES_CACHE[key] = out
     return out
 

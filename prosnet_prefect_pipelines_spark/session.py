@@ -61,6 +61,68 @@ def get_spark(app_name: str = "prosnet_spark", cpus: int | None = None) -> Spark
     return spark
 
 
+def unpersist_checkpoint(df) -> None:
+    """Release the storage blocks behind a ``localCheckpoint``-ed frame.
+
+    ``DataFrame.localCheckpoint`` persists the physical RDD and wraps it
+    in a ``LogicalRDD``; nothing in the public API releases those blocks
+    (``DataFrame.unpersist`` only talks to the CacheManager), so every
+    checkpoint leaks executor storage until LRU eviction. Call this ONLY
+    when the checkpointed frame is dead — i.e. every plan derived from
+    it has been eagerly materialized or collected. Unpersisting while a
+    lazy child still needs the blocks is unrecoverable (localCheckpoint
+    truncates lineage; there is nothing to recompute from).
+    Best-effort: silently ignores frames that are not checkpoint-backed.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+# rdd ids of SESSION-LIFETIME checkpointed fixtures (the memoized
+# corpus / lsh-pair / triples views shared across catalog queries):
+# sweep_persistent_rdds must never unpersist these — a lazy
+# localCheckpoint that one query materialized and a later query reuses
+# is unrecoverable once its blocks are dropped (lineage is truncated).
+_PROTECTED_CKPT_IDS: set[int] = set()
+
+
+def protect_checkpoint(df) -> None:
+    """Mark a checkpointed fixture as session-lifetime (sweep-exempt)."""
+    try:
+        _PROTECTED_CKPT_IDS.add(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        pass
+
+
+def sweep_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist every non-protected persistent RDD; returns the count.
+
+    Legal between independent queries in this engine: no operator ever
+    calls ``cache()``/``persist()`` (grep-checked), so persistent blocks
+    are either ``localCheckpoint`` fixpoint/stream state — dead once the
+    owning query's result has been collected — or the memoized fixture
+    views, which register via :func:`protect_checkpoint` and are
+    skipped. Long one-session harnesses (bench, the 570-query
+    self-sweep) otherwise accumulate every round's blocks until LRU
+    eviction starts thrashing MEMORY_AND_DISK spills mid-measurement.
+    """
+    n = 0
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if int(e.getKey()) in _PROTECTED_CKPT_IDS:
+                continue
+            e.getValue().unpersist(False)
+            n += 1
+    except Exception:
+        pass
+    return n
+
+
 def pin_session_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf we rely on, on a session we did not build.
 

@@ -411,7 +411,8 @@ def build_static_index(
     bands: int = 4,
     bucket_cap: int | None = None,
     materialize: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    return_band: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """(salted LSH index, n_sub table) over the accepted corpus, built
     with the same per-row bucket expression the stream uses — identical
     hash family as minhash_signatures, so batch- and stream-built
@@ -420,7 +421,10 @@ def build_static_index(
     materialize=True localCheckpoints the band table before salting:
     the index and the n_sub table both derive from it, so without a
     barrier the shingle+minhash pass over the corpus (the dominant
-    build cost) runs once per consumer instead of once."""
+    build cost) runs once per consumer instead of once. return_band=True
+    additionally returns that checkpointed band frame so the caller can
+    ``session.unpersist_checkpoint`` it once the index is dead (its
+    storage blocks otherwise leak for the session's lifetime)."""
     band_sig = static_df.select(
         F.col(id_col).alias("id"),
         shingle_sids(F.col(text_col), k).alias("_sids"),
@@ -432,4 +436,7 @@ def build_static_index(
     )
     if materialize:
         band_sig = band_sig.localCheckpoint()
-    return salted_band_index(band_sig, bucket_cap)
+    index, sizes = salted_band_index(band_sig, bucket_cap)
+    if return_band:
+        return index, sizes, band_sig
+    return index, sizes

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.operators.graph import connected_components
+from prosnet_prefect_pipelines_spark.session import unpersist_checkpoint
 
 
 class IncrementalResolver:
@@ -104,6 +105,13 @@ class IncrementalResolver:
             "node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")
         )
         self._mapping = m2.unionByName(adds).localCheckpoint()
+        # the new mapping is EAGERLY checkpointed above, so the previous
+        # mapping and this batch's contracted delta are dead — release
+        # their blocks (state otherwise grows by one full mapping copy
+        # per micro-batch for the session's lifetime). Callers holding a
+        # pre-update ``mapping()`` frame must re-fetch after update().
+        unpersist_checkpoint(m)
+        unpersist_checkpoint(contracted)
 
     def mapping(self) -> DataFrame:
         """(node, comp) for every node seen so far (min-member labels)."""

@@ -234,7 +234,13 @@ def main() -> int:
     names = only or list(qs)
     n_pass = n_fail = 0
     results: dict[str, dict] = {}
+    from prosnet_prefect_pipelines_spark.session import sweep_persistent_rdds
+
     for name in names:
+        # free the previous query's dead localCheckpoint blocks: a
+        # 570-query one-session sweep otherwise accumulates every
+        # fixpoint/stream state table until LRU spill churn sets in
+        sweep_persistent_rdds(spark)
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
