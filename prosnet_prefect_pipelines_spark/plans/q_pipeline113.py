@@ -128,19 +128,34 @@ def q_stream_neardup_monitor(spark, sf_dir):
     out_dir = tempfile.mkdtemp(prefix="nd_monitor_")
 
     def _sink(batch_df, _batch_id):
-        pairs = batch_df.filter(F.col("bkey").isNull()).select("a", "b")
-        probes = batch_df.filter(F.col("bkey").isNotNull()).select(
-            F.col("a").alias("id"),
-            F.split(F.col("bkey"), r"\|", 2).getItem(0).cast("int").alias("band"),
-            F.split(F.col("bkey"), r"\|", 2).getItem(1).alias("bucket"),
-        )
-        static_cands = N.static_probe_candidates(probes, index, sizes)
-        # candidates are a few hundred rows; one shuffle-free coalesce
-        # keeps the sink at a handful of files instead of one per state
-        # partition (the read-back lists and opens every file)
-        pairs.unionByName(static_cands).coalesce(4).write.mode("append").parquet(
-            out_dir
-        )
+        # batch_df feeds TWO union branches (pairs + probes). A
+        # foreachBatch frame is NOT materialized by the runtime: every
+        # reference re-executes the whole micro-batch subplan, so
+        # without a barrier the fingerprint scan AND the stateful
+        # witness pass ran once per branch — measured 2.5x on the
+        # replay's addBatch (12.7s -> 4.8s at sf0.1). persist + count
+        # materializes the (tiny: pairs + new memberships) stateful
+        # output once; both branches then read cached blocks.
+        batch_df.persist()
+        batch_df.count()
+        try:
+            pairs = batch_df.filter(F.col("bkey").isNull()).select("a", "b")
+            probes = batch_df.filter(F.col("bkey").isNotNull()).select(
+                F.col("a").alias("id"),
+                F.split(F.col("bkey"), r"\|", 2).getItem(0).cast("int").alias(
+                    "band"
+                ),
+                F.split(F.col("bkey"), r"\|", 2).getItem(1).alias("bucket"),
+            )
+            static_cands = N.static_probe_candidates(probes, index, sizes)
+            # candidates are a few hundred rows; one shuffle-free coalesce
+            # keeps the sink at a handful of files instead of one per state
+            # partition (the read-back lists and opens every file)
+            pairs.unionByName(static_cands).coalesce(4).write.mode(
+                "append"
+            ).parquet(out_dir)
+        finally:
+            batch_df.unpersist()
 
     q = (
         N.stream_state_candidates(stream_bands, emit_bands=True)

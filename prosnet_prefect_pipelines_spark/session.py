@@ -100,9 +100,10 @@ def protect_checkpoint(df) -> None:
 def sweep_persistent_rdds(spark: SparkSession) -> int:
     """Unpersist every non-protected persistent RDD; returns the count.
 
-    Legal between independent queries in this engine: no operator ever
-    calls ``cache()``/``persist()`` (grep-checked), so persistent blocks
-    are either ``localCheckpoint`` fixpoint/stream state — dead once the
+    Legal between independent queries in this engine: the only
+    ``persist()`` is the near-dup monitor's foreachBatch barrier, which
+    is released inside the same micro-batch, so persistent blocks are
+    either ``localCheckpoint`` fixpoint/stream state — dead once the
     owning query's result has been collected — or the memoized fixture
     views, which register via :func:`protect_checkpoint` and are
     skipped. Long one-session harnesses (bench, the 570-query

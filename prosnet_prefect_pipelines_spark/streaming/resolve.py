@@ -59,14 +59,19 @@ class IncrementalResolver:
 
     def update(self, edges: DataFrame) -> None:
         """Fold one batch of (src, dst) edges into the component state."""
+        # a foreachBatch frame re-executes its micro-batch subplan on
+        # every reference; e feeds the contraction AND both endpoint
+        # branches, so materialize it once (it is batch-sized)
         e = (
             edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
+            .localCheckpoint()
         )
         m = self._mapping
         if m is None:
             self._mapping = connected_components(e).localCheckpoint()
+            unpersist_checkpoint(e)
             return
 
         # 1. contract: endpoints -> current labels (self when unseen)
@@ -112,6 +117,7 @@ class IncrementalResolver:
         # pre-update ``mapping()`` frame must re-fetch after update().
         unpersist_checkpoint(m)
         unpersist_checkpoint(contracted)
+        unpersist_checkpoint(e)
 
     def mapping(self) -> DataFrame:
         """(node, comp) for every node seen so far (min-member labels)."""
