@@ -125,3 +125,25 @@ class IncrementalResolver:
             schema = "node string, comp string"
             return self._spark.createDataFrame([], schema)
         return self._mapping
+
+    def save(self, path: str) -> None:
+        """Persist the component mapping as parquet — the restart story.
+
+        The source offsets live in the streaming query's
+        ``checkpointLocation``; the mapping is the OTHER half of the
+        resolver's state and lives driver-side, so a process restart
+        needs it externalized. save() after each run + :meth:`restore`
+        on the next run gives exactly-once resumption: the restarted
+        query replays only unconsumed source files (offset log) and
+        folds them into the saved mapping. On a cluster this parquet is
+        the keyed table store the module docstring promises (Delta
+        MERGE-able; here plain parquet overwrite of a node-partitioned
+        table)."""
+        self.mapping().write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def restore(cls, spark, path: str) -> "IncrementalResolver":
+        """Resume from a :meth:`save`-d mapping (fresh driver process)."""
+        r = cls(spark)
+        r._mapping = spark.read.parquet(path).localCheckpoint()
+        return r
