@@ -305,9 +305,14 @@ def _per_query_prev(rounds: dict[int, dict]) -> dict[str, tuple[int, float, floa
 
 
 def _this_round() -> int:
-    """Round number for the detail artifact: one past the latest driver bench."""
+    """Round number for the detail artifact: one past the latest driver
+    bench OR the latest committed detail, whichever is newer — the
+    driver occasionally skips a round's BENCH_r{N}.json (r7 had only
+    local detail), and falling back to driver-count-plus-one would
+    overwrite the newest detail baseline instead of succeeding it."""
     drv = _latest("BENCH_r*.json")
-    return (drv[0] + 1) if drv else 1
+    det = _latest("BENCH_DETAIL_r*.json")
+    return max(drv[0] + 1 if drv else 1, det[0] + 1 if det else 1)
 
 
 def main() -> None:
