@@ -85,9 +85,12 @@ class IncrementalResolver:
                 F.coalesce(F.col("_cd"), F.col("dst")).alias("dst"),
             )
         )
+        # lazy: materializes once at connected_components' first pass and
+        # is reused by its second (count + collect on the fast path) —
+        # one fewer scheduled job per batch than an eager barrier
         contracted = mapped.where(
             F.col("src") != F.col("dst")
-        ).distinct().localCheckpoint()
+        ).distinct().localCheckpoint(eager=False)
 
         # 2. merge the contracted component graph (batch-sized, adaptive)
         cc = connected_components(contracted)
