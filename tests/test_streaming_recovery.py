@@ -126,6 +126,71 @@ def test_monitor_witness_state_recovers_across_runs(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_event_ttl_survives_restart(spark, tmp_path):
+    """Event-time TTL eviction composes with checkpoint restarts: the
+    watermark is committed in the offset log, so a SECOND availableNow
+    run resumes at the first run's final watermark and the
+    per-membership sweep evicts with the data's own clock — run 2 must
+    pair its docs with the still-live phase-B memberships (state
+    recovered) but NOT with phase-A ones (expired under the RESTORED
+    watermark, day 31 vs a 1 h TTL on day-0 memberships)."""
+    import time
+
+    stage = str(tmp_path / "ttl_stage")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    texts = [(i, _unique_text(i % 12)) for i in range(12)]  # 12 identical-per-slot
+
+    def publish(off: int, day: str, name: str) -> None:
+        df = spark.createDataFrame(
+            [(i + off, t, f"{day} 00:00:00") for i, t in texts],
+            "id long, text string, evt string",
+        ).select("id", "text", F.col("evt").cast("timestamp").alias("evt"))
+        _publish_file(df, stage, name)
+        time.sleep(1.1)  # file-source batch order follows modification time
+
+    def run(out_dir: str) -> None:
+        src = (
+            spark.readStream.schema("id long, text string, evt timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            N.stream_state_candidates(
+                N.stream_band_table(src, "id", "text", event_time_col="evt"),
+                n_groups=8,
+                event_ttl_ms=3_600_000,
+            )
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    publish(0, "2024-01-01", "a.parquet")        # phase A, day 0
+    publish(100_000, "2024-01-31", "b.parquet")  # phase B, day 30
+    out1 = str(tmp_path / "out1")
+    run(out1)
+    p1 = {(r.a, r.b) for r in spark.read.schema("a long, b long").parquet(out1).collect()}
+    assert any(a < 100_000 and b >= 100_000 for a, b in p1)  # A-B (wm lag)
+
+    publish(200_000, "2024-03-01", "c.parquet")  # phase C, day 60
+    out2 = str(tmp_path / "out2")
+    run(out2)
+    p2 = {(r.a, r.b) for r in spark.read.schema("a long, b long").parquet(out2).collect()}
+    n_bc = sum(1 for a, b in p2 if 100_000 <= a < 200_000 and b >= 200_000)
+    n_ac = sum(1 for a, b in p2 if a < 100_000 and b >= 200_000)
+    assert n_bc > 0, "restored state lost live phase-B memberships"
+    assert n_ac == 0, (
+        "restart reset the watermark: phase-A memberships should be "
+        "expired under the restored day-31 watermark"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_resolver_save_restore_across_processes(spark, tmp_path):
     stage = str(tmp_path / "estage")
     ckpt = str(tmp_path / "eckpt")
