@@ -61,12 +61,15 @@ class IncrementalResolver:
         """Fold one batch of (src, dst) edges into the component state."""
         # a foreachBatch frame re-executes its micro-batch subplan on
         # every reference; e feeds the contraction AND both endpoint
-        # branches, so materialize it once (it is batch-sized)
+        # branches, so checkpoint it (batch-sized). Lazy: the first
+        # consumer (the contraction's edge count) materializes it and
+        # every later reference reads the blocks — one fewer scheduled
+        # job per batch than an eager barrier.
         e = (
             edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         m = self._mapping
         if m is None:
