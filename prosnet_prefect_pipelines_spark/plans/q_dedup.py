@@ -108,8 +108,15 @@ def lsh_pairs(spark, sf_dir):
 
 
 def _build_corpus(spark, sf_dir):
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
+    # fan_out: the 3-branch union of single-row-group scans is 3
+    # partitions, which starves every downstream fingerprint/shingle
+    # projection of cores; the memo pays this one small shuffle once
+    # per (session, sf) and every dedup-family query inherits full
+    # map-side parallelism (see session.fan_out).
+    return fan_out(
         docs.select(F.col("doc_id").alias("id"), "text")
         .unionByName(
             docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -121,7 +128,8 @@ def _build_corpus(spark, sf_dir):
                 (F.col("doc_id") + 200000).alias("id"),
                 F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
             )
-        )
+        ),
+        spark,
     )
 
 

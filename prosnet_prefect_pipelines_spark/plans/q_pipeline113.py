@@ -153,7 +153,10 @@ def q_stream_neardup_monitor(spark, sf_dir):
     index, sizes = _static_index(spark, sf_dir)
 
     stream_bands = N.stream_band_table(
-        _corpus_stream(spark, sf_dir).filter(F.col("id") % 2 == 1), "id", "text"
+        _corpus_stream(spark, sf_dir).filter(F.col("id") % 2 == 1), "id", "text",
+        # the replayed micro-batch arrives as 3 single-row-group file
+        # branches; fan the fingerprint out across the executor pool
+        fanout=spark.sparkContext.defaultParallelism,
     )
     out_dir = tempfile.mkdtemp(prefix="nd_monitor_")
 

@@ -95,6 +95,7 @@ def stream_band_table(
     num_hashes: int = 12,
     bands: int = 4,
     event_time_col: str | None = None,
+    fanout: int | None = None,
 ) -> DataFrame:
     """streaming (id, text) -> streaming (id, band, bucket): one row per
     LSH band, computed entirely map-side (legal in append mode).
@@ -106,7 +107,18 @@ def stream_band_table(
 
     event_time_col: carried through as ``ts`` when the witness state
     should be event-time-evicted (stream_state_candidates
-    event_ttl_ms)."""
+    event_ttl_ms).
+
+    fanout: repartition the incoming documents across this many
+    partitions BEFORE fingerprinting. A micro-batch that arrives as a
+    handful of single-row-group files runs the whole MinHash projection
+    on that handful of tasks (measured 1.57 s on 3 partitions vs
+    0.34 s on 32 at sf0.1); the raw-row shuffle is linear in the
+    micro-batch, not the corpus, so it is cheap insurance whenever the
+    source's file layout is coarser than the executor pool. Leave None
+    when the source already lands with enough partitions."""
+    if fanout:
+        stream_df = stream_df.repartition(fanout)
     extra = [F.col(event_time_col).alias("ts")] if event_time_col else []
     return stream_df.select(
         F.col(id_col).alias("id"),

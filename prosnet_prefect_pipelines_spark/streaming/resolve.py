@@ -51,14 +51,71 @@ from prosnet_prefect_pipelines_spark.session import unpersist_checkpoint
 class IncrementalResolver:
     """Accumulates connected components over an edge stream, one
     micro-batch at a time. ``mapping()`` is always equal to
-    ``connected_components(all edges so far)``."""
+    ``connected_components(all edges so far)``.
 
-    def __init__(self, spark):
+    Adaptive state placement, mirroring ``connected_components``'
+    driver fast path: while the accumulated node count is at most
+    ``driver_threshold`` the mapping lives as a driver union-find dict
+    and each micro-batch costs ONE narrow collect job (no shuffle, no
+    checkpoint — measured 6.3 s -> ~1 s for the 4-batch sf0.1 replay,
+    where the DataFrame path paid ~5 scheduled jobs of tiny-shuffle
+    overhead per batch). Past the threshold the state spills once into
+    the distributed (node, comp) DataFrame and every later batch takes
+    the contraction path below — the 100 TB shape. Both paths produce
+    identical min-member labels (union by min == confluent min-label
+    merge; equivalence-tested in tests/test_streaming_resolve.py)."""
+
+    def __init__(self, spark, driver_threshold: int = 500_000):
         self._spark = spark
         self._mapping: DataFrame | None = None  # (node, comp)
+        self._parent: dict[str, str] = {}  # driver union-find state
+        self._driver = True
+        self._driver_threshold = driver_threshold
+
+    def _find(self, x: str) -> str:
+        parent = self._parent
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def _spill_to_distributed(self) -> None:
+        """One-time promotion of the driver dict into the DataFrame
+        state; later batches pay the distributed contraction path."""
+        rows = [(n, self._find(n)) for n in self._parent]
+        self._mapping = self._spark.createDataFrame(
+            rows, "node string, comp string"
+        ).localCheckpoint()
+        self._parent = {}
+        self._driver = False
+
+    def _update_driver(self, edges: DataFrame) -> None:
+        parent = self._parent
+        # one narrow job: no distinct (the union-find absorbs duplicate
+        # and self-loop edges), no checkpoint, no shuffle
+        for a, b in edges.select("src", "dst").collect():
+            if a == b:
+                continue
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = self._find(a), self._find(b)
+            if ra != rb:
+                # union by min keeps representative = minimum member,
+                # matching connected_components' labeling exactly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        if len(parent) > self._driver_threshold:
+            self._spill_to_distributed()
 
     def update(self, edges: DataFrame) -> None:
         """Fold one batch of (src, dst) edges into the component state."""
+        if self._driver:
+            self._update_driver(edges)
+            return
         # a foreachBatch frame re-executes its micro-batch subplan on
         # every reference; e feeds the contraction AND both endpoint
         # branches, so checkpoint it (batch-sized). Lazy: the first
@@ -127,6 +184,9 @@ class IncrementalResolver:
 
     def mapping(self) -> DataFrame:
         """(node, comp) for every node seen so far (min-member labels)."""
+        if self._driver:
+            rows = [(n, self._find(n)) for n in self._parent]
+            return self._spark.createDataFrame(rows, "node string, comp string")
         if self._mapping is None:
             schema = "node string, comp string"
             return self._spark.createDataFrame([], schema)
@@ -149,7 +209,18 @@ class IncrementalResolver:
 
     @classmethod
     def restore(cls, spark, path: str) -> "IncrementalResolver":
-        """Resume from a :meth:`save`-d mapping (fresh driver process)."""
+        """Resume from a :meth:`save`-d mapping (fresh driver process).
+
+        Small saved states resume onto the driver fast path (same
+        adaptivity as a fresh resolver); larger ones resume directly as
+        the distributed DataFrame state."""
         r = cls(spark)
-        r._mapping = spark.read.parquet(path).localCheckpoint()
+        saved = spark.read.parquet(path)
+        if saved.count() <= r._driver_threshold:
+            for node, comp in saved.collect():
+                r._parent[node] = comp
+                r._parent.setdefault(comp, comp)
+            return r
+        r._driver = False
+        r._mapping = saved.localCheckpoint()
         return r

@@ -45,8 +45,11 @@ def _uf_components(edges: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
-def _run_sliced(spark, edges, batches_idx):
-    r = IncrementalResolver(spark)
+def _run_sliced(spark, edges, batches_idx, driver_threshold=None):
+    kwargs = {} if driver_threshold is None else {
+        "driver_threshold": driver_threshold
+    }
+    r = IncrementalResolver(spark, **kwargs)
     for lo, hi in batches_idx:
         batch = edges[lo:hi]
         df = spark.createDataFrame(
@@ -114,3 +117,56 @@ def test_duplicate_and_redundant_edges_are_noops(spark):
 def test_mapping_empty_before_any_batch(spark):
     r = IncrementalResolver(spark)
     assert r.mapping().count() == 0
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The adaptive state placement must be invisible: the driver
+    union-find fast path (default), an immediate spill to the
+    distributed path (threshold 0), and a MID-STREAM spill (threshold
+    hit between batches) all produce identical min-member labels."""
+    rng = random.Random(1140)
+    for trial in range(4):
+        n_nodes = rng.randint(6, 20)
+        edges = [
+            (f"n{rng.randint(0, n_nodes)}", f"n{rng.randint(0, n_nodes)}")
+            for _ in range(rng.randint(5, 25))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        want = _uf_components(edges)
+        cuts = sorted(rng.randint(0, len(edges)) for _ in range(2))
+        bounds = list(zip([0] + cuts, cuts + [len(edges)]))
+        for thr in (None, 0, 4):
+            got = _run_sliced(spark, edges, bounds, driver_threshold=thr)
+            assert got == want, f"trial {trial} threshold {thr}: {got} != {want}"
+
+
+def test_spill_happens_and_distributed_continues(spark):
+    """Crossing driver_threshold promotes the state exactly once; later
+    batches run the distributed contraction path and stay correct."""
+    r = IncrementalResolver(spark, driver_threshold=3)
+
+    def upd(rows):
+        r.update(spark.createDataFrame(rows, "src string, dst string"))
+
+    upd([("a", "b")])            # 2 nodes: stays on driver
+    assert r._driver
+    upd([("c", "d"), ("d", "e")])  # 5 nodes: spills
+    assert not r._driver and r._parent == {}
+    upd([("b", "c")])            # distributed merge across the spill
+    got = {row.node: row.comp for row in r.mapping().collect()}
+    assert got == {n: "a" for n in "abcde"}
+
+
+def test_restore_small_resumes_on_driver_path(spark, tmp_path):
+    src = IncrementalResolver(spark, driver_threshold=0)  # distributed
+    src.update(spark.createDataFrame([("b", "c"), ("x", "y")],
+                                     "src string, dst string"))
+    path = str(tmp_path / "mapping")
+    src.save(path)
+
+    r = IncrementalResolver.restore(spark, path)
+    assert r._driver  # 4 saved nodes <= default threshold
+    r.update(spark.createDataFrame([("a", "b"), ("c", "x")],
+                                   "src string, dst string"))
+    got = {row.node: row.comp for row in r.mapping().collect()}
+    assert got == {n: "a" for n in "abcxy"}
