@@ -100,6 +100,7 @@ HEADLINE = [
     "mann_kendall_monthly",   # r5: month-agg + calendar-bounded pair join
     "stream_neardup_monitor", # r6: streaming MinHash LSH monitor (availableNow)
     "stream_entity_resolution", # r7: incremental sameAs components (availableNow)
+    "stream_ann_topk_monitor",  # r9: streaming IVF serving (availableNow)
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).

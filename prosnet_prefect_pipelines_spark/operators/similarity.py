@@ -439,6 +439,40 @@ def quantize_int8(
     return df.select(F.col(id_col).alias("id"), scale, q)
 
 
+def literal_centroid_probe(
+    vec: Column, nv: Column, cents_rows, nprobe: int = 2
+) -> Column:
+    """array<struct<negc,cid>> of the ``nprobe`` nearest centroids, with
+    the centroid table embedded as LITERALS — a pure per-row expression,
+    so it is legal in an append-mode streaming projection where the
+    window-based ``ivf_assign`` ranking is not (non-time windows are
+    rejected on streaming frames).
+
+    ``cents_rows``: collected Rows with fields (cid, cv, ncv) — IVF
+    centroids are tiny by definition (the index ships them to every
+    worker anyway), so folding them into the plan is the same
+    data movement as a broadcast, minus a join. Ordering matches
+    ``ivf_assign`` exactly: rounded cosine DESC, cid ASC, encoded as an
+    ascending struct sort on (-round(cos, 6), cid). The ``+ 0.0``
+    normalizes IEEE -0.0 to +0.0 (x + 0.0 is exact for every other
+    double) so a cosine that rounds to zero cannot order differently
+    from the SQL twin, where -0.0 and 0.0 compare equal.
+
+    ``nv`` must be the caller's hoisted ``norm(vec)`` (one fold per row,
+    not per centroid); centroid norms arrive precomputed in
+    ``cents_rows`` the same way."""
+    entries = [
+        F.struct(
+            (-F.round(
+                dot(vec, F.lit(r.cv)) / (nv * F.lit(float(r.ncv))), 6
+            ) + F.lit(0.0)).alias("negc"),
+            F.lit(r.cid).alias("cid"),
+        )
+        for r in cents_rows
+    ]
+    return F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str,

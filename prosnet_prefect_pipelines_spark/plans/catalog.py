@@ -199,6 +199,7 @@ def _load_all() -> None:
         q_pipeline112,
         q_pipeline113,
         q_pipeline114,
+        q_pipeline115,
         q_ranking,
         q_relational,
         q_render,

@@ -1,0 +1,277 @@
+"""Pipeline batch 115: streaming ANN serving monitor — a query-vector
+stream probed against a static IVF index, with an exact replay oracle.
+
+``stream_ann_topk_monitor`` completes the streaming-monitor trio
+(near-dup batch 113, entity resolution batch 114): the accepted corpus
+is the even-vec_id half of the embeddings table, indexed once into IVF
+cells (assignment = nearest of the 8 lowest-id centroids, the same
+deterministic seed convention as ``ann_ivf_topk``); the odd half
+arrives as a 4-micro-batch stream of queries. Per micro-batch, every
+query vector picks its ``nprobe=2`` nearest cells entirely map-side
+(``similarity.literal_centroid_probe`` — centroids are folded into the
+plan as literals, which is what an IVF server does: ship the tiny
+centroid table everywhere), probes the static cell index with one
+stream-static equi-join, and ranks its top-5 neighbors inside
+``foreachBatch`` (legal because a neighbor lives in exactly one cell
+and all of a query's candidates arrive in its own micro-batch — the
+per-id ranking is complete batch-locally, so the union over ANY
+micro-batch slicing equals the batch IVF answer; same replay-oracle
+argument as batches 113/114).
+
+``ann_cell_traffic_report`` is the serving telemetry twin (the
+batch-113 skew-report pattern): per cell, index occupancy, probe
+traffic, and the candidate volume their product implies — the numbers
+that decide when cells must split (n_cells ~ N / target_cell_size).
+
+Scale notes (100 TB): the index side shuffles once at build time and
+is reused across every batch; per-batch work is |batch| x n_cells
+centroid cosines (map-side) plus an equi-join whose per-cell cost the
+traffic report bounds. No state store at all — the monitor is
+stateless, so there is nothing to evict or checkpoint beyond source
+offsets. Reference parity: the reference re-pushes its whole Typesense
+search index on every incremental run (prosnet-prefect-pipelines
+push_to_typesense.py:49-51, wikidata_index.py:155-180); this is the
+streaming-native replacement where only arriving queries pay work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import similarity as S
+from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.plans.q_similarity import _cos
+
+_N_CELLS = 8
+_NPROBE = 2
+_K = 5
+
+_PROBE_CTES = f"""
+ev AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0),
+ods AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 1),
+cents AS (SELECT id AS cid, v AS cv FROM ev ORDER BY id LIMIT {_N_CELLS}),
+db AS (
+    SELECT id, v, cell FROM (
+        SELECT e.id, e.v, c.cid AS cell,
+               row_number() OVER (
+                   PARTITION BY e.id
+                   ORDER BY round({_cos('e.v', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM ev e CROSS JOIN cents c
+    ) t WHERE rn = 1
+),
+probes AS (
+    SELECT id, v, cell FROM (
+        SELECT o.id, o.v, c.cid AS cell,
+               row_number() OVER (
+                   PARTITION BY o.id
+                   ORDER BY round({_cos('o.v', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM ods o CROSS JOIN cents c
+    ) t WHERE rn <= {_NPROBE}
+)"""
+
+ANN_MONITOR_SQL = f"""
+WITH {_PROBE_CTES},
+pairs AS (
+    SELECT p.id, d.id AS neighbor, round({_cos('p.v', 'd.v')}, 6) AS cos
+    FROM probes p JOIN db d USING (cell)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY cos DESC, neighbor) AS rn
+    FROM pairs
+)
+SELECT id, neighbor, cos FROM ranked WHERE rn <= {_K}
+"""
+
+# the static IVF index is a MAINTAINED serving structure, not a per-run
+# rebuild — memoized per (session, sf) like the batch-113 LSH index
+_INDEX_CACHE: dict = {}
+
+
+def _ivf_index(spark, sf_dir):
+    """-> (db DataFrame (neighbor, v, nv, cell), cents_rows list).
+
+    db is the even-half IVF index (home cells only), eagerly
+    checkpointed and sweep-protected; cents_rows are the collected
+    (cid, cv, ncv) centroid rows the stream folds into its projection."""
+    from prosnet_prefect_pipelines_spark.session import protect_checkpoint
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _INDEX_CACHE if k[0] != app_id]:
+        del _INDEX_CACHE[k]
+    even = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "embedding")
+    )
+    db = (
+        S.ivf_assign(even, "vec_id", "embedding", n_cells=_N_CELLS, rank_limit=1)
+        .select(F.col("id").alias("neighbor"), "v", "nv", "cell")
+        .localCheckpoint(eager=True)
+    )
+    protect_checkpoint(db)
+    cents_rows = (
+        even.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            S.norm(F.col("embedding")).alias("ncv"),
+        )
+        .orderBy("cid")
+        .limit(_N_CELLS)
+        .collect()
+    )
+    _INDEX_CACHE[key] = (db, cents_rows)
+    return db, cents_rows
+
+
+def _query_stream(spark, sf_dir):
+    """The odd-half query vectors as a 4-file replay stage (the same
+    build-once atomic-publish staging as batch 114)."""
+    odd = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    stage = os.path.join(
+        "/tmp",
+        "spark_graft_ann_stage",
+        hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(stage):
+        tmp = tempfile.mkdtemp(prefix="ann_stage_build_")
+        odd.repartition(4).write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(stage), exist_ok=True)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+@register("stream_ann_topk_monitor", oracle=ANN_MONITOR_SQL,
+          covers=["T1", "T3", "J1", "O6"])
+def q_stream_ann_topk_monitor(spark, sf_dir):
+    """Streaming IVF serving: map-side centroid probe (literal
+    centroids, no window, no state), stream-static cell join, per-batch
+    exact top-k — availableNow replay hash-matched against the batch
+    IVF SQL answer for any micro-batch slicing."""
+    from pyspark.sql.window import Window
+
+    db, cents_rows = _ivf_index(spark, sf_dir)
+
+    src = _query_stream(spark, sf_dir)
+    probes = src.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("qv"),
+        S.norm(F.col("embedding")).alias("qn"),
+    ).select(
+        "id",
+        "qv",
+        "qn",
+        F.explode(
+            S.literal_centroid_probe(
+                F.col("qv"), F.col("qn"), cents_rows, nprobe=_NPROBE
+            )
+        ).alias("_probe"),
+    ).select("id", "qv", "qn", F.col("_probe.cid").alias("cell"))
+    # stream-static equi-join: candidates = query x its probed cells'
+    # index entries; halves are parity-disjoint so no self-pair filter
+    cands = probes.join(db, on="cell").select(
+        "id",
+        "neighbor",
+        F.round(
+            S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv")), 6
+        ).alias("cos"),
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="ann_monitor_")
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+
+    def _sink(batch_df, _batch_id):
+        # a query's candidates are complete within its own micro-batch
+        # (each odd id arrives exactly once; neighbors come from the
+        # static side), so the per-id ranking is exact batch-locally
+        (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _K)
+            .select("id", "neighbor", "cos")
+            .coalesce(4)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        cands.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_ann_topk_monitor replay timed out (300 s)")
+    return spark.read.schema("id long, neighbor long, cos double").parquet(out_dir)
+
+
+TRAFFIC_SQL = f"""
+WITH {_PROBE_CTES},
+occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_indexed FROM db GROUP BY cell),
+tr AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes GROUP BY cell)
+SELECT o.cell, o.n_indexed,
+       COALESCE(t.n_probes, 0) AS n_probes,
+       o.n_indexed * COALESCE(t.n_probes, 0) AS candidate_volume
+FROM occ o LEFT JOIN tr t ON o.cell = t.cell
+"""
+
+
+@register("ann_cell_traffic_report", oracle=TRAFFIC_SQL, covers=["A2", "J2"])
+def q_ann_cell_traffic_report(spark, sf_dir):
+    """Per-cell serving telemetry: index occupancy x probe traffic =
+    the candidate volume each cell's equi-join partition pays — the
+    report that decides when a hot cell must split (n_cells is the IVF
+    scale lever). One aggregation per side over the same assignment
+    used by the monitor; the join is |cells|-sized."""
+    db, cents_rows = _ivf_index(spark, sf_dir)
+    odd = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    probes = odd.select(
+        "vec_id",
+        F.explode(
+            S.literal_centroid_probe(
+                F.col("embedding"),
+                S.norm(F.col("embedding")),
+                cents_rows,
+                nprobe=_NPROBE,
+            )
+        ).alias("_probe"),
+    ).select(F.col("_probe.cid").alias("cell"))
+    occ = db.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_indexed"))
+    tr = probes.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    return (
+        occ.join(tr, on="cell", how="left")
+        .select(
+            "cell",
+            "n_indexed",
+            F.coalesce(F.col("n_probes"), F.lit(0).cast("long")).alias("n_probes"),
+            (F.col("n_indexed") * F.coalesce(F.col("n_probes"), F.lit(0).cast("long"))
+             ).alias("candidate_volume"),
+        )
+    )

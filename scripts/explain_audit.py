@@ -1193,6 +1193,15 @@ AUDITS = {
         ("partial_", "bucket sizes and the occupancy histogram combine map-side"),
         ("Union", "day-0 index and day-1 delta merge as a bag union"),
     ],
+    # --- batch 115: streaming ANN serving (the streaming side is a
+    # stateless map-side probe + stream-static join; the replayed top-k
+    # table is read back as a bare scan, so the audited batch plan is
+    # the telemetry report over the same assignment) ---
+    "stream_ann_topk_monitor": [],
+    "ann_cell_traffic_report": [
+        ("partial_", "per-cell occupancy and probe counts combine map-side"),
+        ("BroadcastHashJoin", "|cells|-sized traffic table broadcast into occupancy"),
+    ],
     # --- batch 102: forensic data-quality analytics ---
     "benford_first_digit_report": [
         ("partial_", "9-group digit counts combine map-side"),

@@ -1,0 +1,148 @@
+"""Streaming ANN serving monitor (plans/q_pipeline115.py, batch 115).
+
+Load-bearing claims for the oracle pairing:
+
+1. the literal-centroid probe expression ranks cells identically to
+   the window-based ``ivf_assign`` (same rounded-cosine DESC / cid ASC
+   order) — the map-side streaming assignment IS the batch assignment;
+2. the replay is slicing-insensitive: a query's candidate set is
+   complete within its own micro-batch, so 1-file and 4-file replays
+   produce the identical top-k table;
+3. the monitor equals the pure-batch IVF top-k computed with the same
+   split (stream = odd ids, index = even ids).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosnet_prefect_pipelines_spark.operators import similarity as S
+from prosnet_prefect_pipelines_spark.plans import q_pipeline115 as P
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_literal_probe_matches_ivf_assign(spark, emb):
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    cents_rows = (
+        even.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            S.norm(F.col("embedding")).alias("ncv"),
+        )
+        .orderBy("cid")
+        .limit(P._N_CELLS)
+        .collect()
+    )
+    # window path on the even half: ivf_assign derives its centroids
+    # from its own input, which is exactly the monitor's seed set
+    want_even_cents = {
+        (r.id, r.cell_rank): r.cell
+        for r in S.ivf_assign(
+            even, "vec_id", "embedding", n_cells=P._N_CELLS,
+            rank_limit=P._NPROBE,
+        ).collect()
+    }
+    got_even = {
+        (r.id, r.rank): r.cell
+        for r in even.select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(
+                S.literal_centroid_probe(
+                    F.col("embedding"),
+                    S.norm(F.col("embedding")),
+                    cents_rows,
+                    nprobe=P._NPROBE,
+                )
+            ).alias("pos", "_p"),
+        )
+        .select("id", (F.col("pos") + 1).alias("rank"), F.col("_p.cid").alias("cell"))
+        .collect()
+    }
+    assert got_even == want_even_cents
+
+
+def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
+    """1-file and 4-file stagings of the same query set produce the
+    identical monitor output (per-id candidates are batch-local)."""
+    import prosnet_prefect_pipelines_spark.plans.q_pipeline115 as P115
+
+    ref = {
+        (r.id, r.neighbor, r.cos)
+        for r in P115.q_stream_ann_topk_monitor(spark, sf_dir).collect()
+    }
+
+    # monkeypatch the stage to a single file: one mega-batch replay
+    odd = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    one = str(tmp_path / "stage1")
+    odd.coalesce(1).write.parquet(one)
+
+    def _one_file_stream(spark_, _sf):
+        schema = spark_.read.parquet(one).schema
+        return (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(one)
+        )
+
+    orig = P115._query_stream
+    P115._query_stream = _one_file_stream
+    try:
+        got = {
+            (r.id, r.neighbor, r.cos)
+            for r in P115.q_stream_ann_topk_monitor(spark, sf_dir).collect()
+        }
+    finally:
+        P115._query_stream = orig
+    assert got == ref
+
+
+def test_monitor_equals_batch_ivf_split(spark, sf_dir, emb):
+    """The replayed answer equals the batch IVF top-k over the same
+    odd-probes-even-index split, computed without any streaming."""
+    db, cents_rows = P._ivf_index(spark, sf_dir)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    probes = odd.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("qv"),
+        S.norm(F.col("embedding")).alias("qn"),
+    ).select(
+        "id", "qv", "qn",
+        F.explode(
+            S.literal_centroid_probe(
+                F.col("qv"), F.col("qn"), cents_rows, nprobe=P._NPROBE
+            )
+        ).alias("_p"),
+    ).select("id", "qv", "qn", F.col("_p.cid").alias("cell"))
+    from pyspark.sql.window import Window
+
+    pairs = probes.join(db, on="cell").select(
+        "id",
+        "neighbor",
+        F.round(
+            S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    want = {
+        (r.id, r.neighbor, r.cos)
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= P._K)
+        .select("id", "neighbor", "cos")
+        .collect()
+    }
+    got = {
+        (r.id, r.neighbor, r.cos)
+        for r in P.q_stream_ann_topk_monitor(spark, sf_dir).collect()
+    }
+    assert got == want
