@@ -63,6 +63,27 @@ def test_pagerank_sink_attracts_mass(spark):
     assert got[9] > got[1] == got[2] == got[3]
 
 
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    """The adaptive strategy must be invisible: the driver integer loop
+    (default for small graphs) and the distributed join/agg loop
+    (forced via driver_threshold=0) produce identical scaled ranks on a
+    graph with asymmetric degrees, dangling nodes, and a cycle."""
+    import random
+
+    rng = random.Random(115)
+    edges = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(80)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        r.node: (r.rank_scaled, r.rank)
+        for r in R.pagerank(e, iterations=6).collect()
+    }
+    slow = {
+        r.node: (r.rank_scaled, r.rank)
+        for r in R.pagerank(e, iterations=6, driver_threshold=0).collect()
+    }
+    assert fast == slow
+
+
 def test_pii_redaction_and_counts(spark):
     df = spark.createDataFrame(
         [(1, "mail a.b@x.org or 555-123-4567 at 10.0.0.1 ok")],
