@@ -1202,6 +1202,18 @@ AUDITS = {
         ("partial_", "per-cell occupancy and probe counts combine map-side"),
         ("BroadcastHashJoin", "|cells|-sized traffic table broadcast into occupancy"),
     ],
+    # --- batch 116: preference-pair mining (windows partition by the
+    # prompt group, whose size is the generation fan-out, never corpus-
+    # scaled; the pair table is <= cap x |groups|) ---
+    "dpo_pair_construction": [
+        ("Window", "rank windows keyed by the (lang, source) prompt group"),
+    ],
+    "preference_margin_report": [
+        ("partial_", "margin mass combines map-side over the bounded pair table"),
+    ],
+    "length_bias_audit": [
+        ("partial_", "global counts combine map-side over the bounded pair table"),
+    ],
     # --- batch 102: forensic data-quality analytics ---
     "benford_first_digit_report": [
         ("partial_", "9-group digit counts combine map-side"),
