@@ -473,6 +473,49 @@ def literal_centroid_probe(
     return F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
 
 
+def centroid_probe_column(cents_arr: Column, vec: Column, nv: Column,
+                          nprobe: int = 2) -> Column:
+    """Per-row top-``nprobe`` centroid ranking over a centroid table
+    carried as ONE array column — the large-``n_cells`` twin of
+    ``literal_centroid_probe``.
+
+    The literal variant embeds dim x n_cells literals in the plan, which
+    is right for a handful of seed centroids but makes Catalyst analysis
+    cost grow with the centroid count; here the centroid table is DATA
+    (an array<struct<cid,cv,ncv>> produced by ``centroid_array``,
+    broadcast as a 1-row frame), so the plan is one ``transform`` +
+    ``array_sort`` regardless of whether n_cells is 8 or 25,000 (the
+    SemDeDup-scale regime). Identical IEEE op order and (-round(cos,6),
+    cid) ordering as the literal path — equivalence is unit-tested."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                cents_arr,
+                lambda c: F.struct(
+                    (
+                        -F.round(dot(vec, c["cv"]) / (nv * c["ncv"]), 6)
+                        + F.lit(0.0)
+                    ).alias("negc"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+
+
+def centroid_array(cents: DataFrame) -> DataFrame:
+    """(cid, cv, ncv) rows -> ONE-row frame holding the whole centroid
+    table as an array column, for broadcasting into a (possibly
+    streaming) per-row probe — stream-static joins against a broadcast
+    1-row frame are append-legal. Array order is pinned by cid for
+    determinism, though ``centroid_probe_column`` re-ranks anyway."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv", "ncv"))).alias("_cents")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str,

@@ -8,9 +8,11 @@ cells (assignment = nearest of the 8 lowest-id centroids, the same
 deterministic seed convention as ``ann_ivf_topk``); the odd half
 arrives as a 4-micro-batch stream of queries. Per micro-batch, every
 query vector picks its ``nprobe=2`` nearest cells entirely map-side
-(``similarity.literal_centroid_probe`` — centroids are folded into the
-plan as literals, which is what an IVF server does: ship the tiny
-centroid table everywhere), probes the static cell index with one
+(``similarity.centroid_probe_column`` over the centroid table carried
+as ONE broadcast array row — what an IVF server does: ship the
+centroid table everywhere; plan cost independent of n_cells, so the
+same shape serves the production thousands-of-cells regime), probes
+the static cell index with one
 stream-static equi-join, and ranks its top-5 neighbors inside
 ``foreachBatch`` (legal because a neighbor lives in exactly one cell
 and all of a query's candidates arrive in its own micro-batch — the
@@ -96,11 +98,13 @@ _INDEX_CACHE: dict = {}
 
 
 def _ivf_index(spark, sf_dir):
-    """-> (db DataFrame (neighbor, v, nv, cell), cents_rows list).
+    """-> (db DataFrame (neighbor, v, nv, cell), cents DataFrame).
 
     db is the even-half IVF index (home cells only), eagerly
-    checkpointed and sweep-protected; cents_rows are the collected
-    (cid, cv, ncv) centroid rows the stream folds into its projection."""
+    checkpointed and sweep-protected; cents is the (cid, cv, ncv)
+    centroid table the probes rank against (carried as data via
+    ``similarity.centroid_array`` so the plan cost is independent of
+    n_cells — the production regime is thousands of cells)."""
     from prosnet_prefect_pipelines_spark.session import protect_checkpoint
 
     app_id = spark.sparkContext.applicationId
@@ -121,7 +125,7 @@ def _ivf_index(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     protect_checkpoint(db)
-    cents_rows = (
+    cents = (
         even.select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("cv"),
@@ -129,10 +133,11 @@ def _ivf_index(spark, sf_dir):
         )
         .orderBy("cid")
         .limit(_N_CELLS)
-        .collect()
+        .localCheckpoint(eager=True)
     )
-    _INDEX_CACHE[key] = (db, cents_rows)
-    return db, cents_rows
+    protect_checkpoint(cents)
+    _INDEX_CACHE[key] = (db, cents)
+    return db, cents
 
 
 def _query_stream(spark, sf_dir):
@@ -167,26 +172,29 @@ def _query_stream(spark, sf_dir):
 @register("stream_ann_topk_monitor", oracle=ANN_MONITOR_SQL,
           covers=["T1", "T3", "J1", "O6"])
 def q_stream_ann_topk_monitor(spark, sf_dir):
-    """Streaming IVF serving: map-side centroid probe (literal
-    centroids, no window, no state), stream-static cell join, per-batch
+    """Streaming IVF serving: map-side centroid probe (broadcast
+    centroid array, no window, no state), stream-static cell join, per-batch
     exact top-k — availableNow replay hash-matched against the batch
     IVF SQL answer for any micro-batch slicing."""
     from pyspark.sql.window import Window
 
-    db, cents_rows = _ivf_index(spark, sf_dir)
+    db, cents = _ivf_index(spark, sf_dir)
 
     src = _query_stream(spark, sf_dir)
+    # the centroid table rides along as ONE broadcast array row
+    # (stream-static, append-legal); plan cost independent of n_cells
+    carr = S.centroid_array(cents)
     probes = src.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("qv"),
         S.norm(F.col("embedding")).alias("qn"),
-    ).select(
+    ).crossJoin(F.broadcast(carr)).select(
         "id",
         "qv",
         "qn",
         F.explode(
-            S.literal_centroid_probe(
-                F.col("qv"), F.col("qn"), cents_rows, nprobe=_NPROBE
+            S.centroid_probe_column(
+                F.col("_cents"), F.col("qv"), F.col("qn"), nprobe=_NPROBE
             )
         ).alias("_probe"),
     ).select("id", "qv", "qn", F.col("_probe.cid").alias("cell"))
@@ -239,6 +247,52 @@ FROM occ o LEFT JOIN tr t ON o.cell = t.cell
 """
 
 
+ANN_MERGE_SQL = f"""
+WITH {_PROBE_CTES}
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_indexed
+FROM db GROUP BY cell
+"""
+
+
+@register("ann_index_merge", oracle=ANN_MERGE_SQL, covers=["A2", "O5"])
+def q_ann_index_merge(spark, sf_dir):
+    """Incremental IVF maintenance == full rebuild: the cell occupancy
+    of the index built from day-0 (vec_id % 4 == 0) UNION ALL the day-1
+    delta (vec_id % 4 == 2) must equal one rebuild over the whole even
+    half — because assignment is a pure per-row function of (vector,
+    FROZEN centroids), never a corpus statistic, new vectors fold into
+    cells per-partition with no global recompute (the batch-113
+    neardup_index_merge invariant applied to vector serving; centroid
+    RETRAINING, by contrast, is the explicit global event the traffic
+    report's occupancy skew motivates). The oracle computes the
+    histogram from the single full rebuild; a hash match proves
+    merge == rebuild."""
+    _db, cents = _ivf_index(spark, sf_dir)
+    carr = S.centroid_array(cents)
+
+    def _assign(residue: int):
+        part = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") % 4 == residue)
+            .select("vec_id", "embedding")
+        )
+        return part.crossJoin(F.broadcast(carr)).select(
+            F.explode(
+                S.centroid_probe_column(
+                    F.col("_cents"),
+                    F.col("embedding"),
+                    S.norm(F.col("embedding")),
+                    nprobe=1,
+                )
+            ).alias("_p")
+        ).select(F.col("_p.cid").alias("cell"))
+
+    merged = _assign(0).unionByName(_assign(2))
+    return merged.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_indexed")
+    )
+
+
 @register("ann_cell_traffic_report", oracle=TRAFFIC_SQL, covers=["A2", "J2"])
 def q_ann_cell_traffic_report(spark, sf_dir):
     """Per-cell serving telemetry: index occupancy x probe traffic =
@@ -246,19 +300,19 @@ def q_ann_cell_traffic_report(spark, sf_dir):
     report that decides when a hot cell must split (n_cells is the IVF
     scale lever). One aggregation per side over the same assignment
     used by the monitor; the join is |cells|-sized."""
-    db, cents_rows = _ivf_index(spark, sf_dir)
+    db, cents = _ivf_index(spark, sf_dir)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % 2 == 1)
         .select("vec_id", "embedding")
     )
-    probes = odd.select(
+    probes = odd.crossJoin(F.broadcast(S.centroid_array(cents))).select(
         "vec_id",
         F.explode(
-            S.literal_centroid_probe(
+            S.centroid_probe_column(
+                F.col("_cents"),
                 F.col("embedding"),
                 S.norm(F.col("embedding")),
-                cents_rows,
                 nprobe=_NPROBE,
             )
         ).alias("_probe"),

@@ -1205,6 +1205,10 @@ AUDITS = {
     # --- batch 116: preference-pair mining (windows partition by the
     # prompt group, whose size is the generation fan-out, never corpus-
     # scaled; the pair table is <= cap x |groups|) ---
+    "ann_index_merge": [
+        ("partial_", "cell occupancy combines map-side"),
+        ("Union", "day-0 index and day-1 delta merge as a bag union"),
+    ],
     "dpo_pair_construction": [
         ("Window", "rank windows keyed by the (lang, source) prompt group"),
     ],

@@ -68,6 +68,44 @@ def test_literal_probe_matches_ivf_assign(spark, emb):
     assert got_even == want_even_cents
 
 
+def test_array_probe_equals_literal_probe(spark, emb):
+    """centroid_probe_column (centroids as one broadcast array row —
+    the large-n_cells production path) ranks identically to
+    literal_centroid_probe (centroids folded into the plan)."""
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = even.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        S.norm(F.col("embedding")).alias("ncv"),
+    ).orderBy("cid").limit(P._N_CELLS)
+    cents_rows = cents.collect()
+    lit = {
+        (r.id, r.pos): (r._p.negc, r._p.cid)
+        for r in emb.select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(
+                S.literal_centroid_probe(
+                    F.col("embedding"), S.norm(F.col("embedding")),
+                    cents_rows, nprobe=P._NPROBE,
+                )
+            ).alias("pos", "_p"),
+        ).collect()
+    }
+    arr = {
+        (r.id, r.pos): (r._p.negc, r._p.cid)
+        for r in emb.crossJoin(F.broadcast(S.centroid_array(cents))).select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(
+                S.centroid_probe_column(
+                    F.col("_cents"), F.col("embedding"),
+                    S.norm(F.col("embedding")), nprobe=P._NPROBE,
+                )
+            ).alias("pos", "_p"),
+        ).collect()
+    }
+    assert lit == arr
+
+
 def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
     """1-file and 4-file stagings of the same query set produce the
     identical monitor output (per-id candidates are batch-local)."""
@@ -110,17 +148,16 @@ def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
 def test_monitor_equals_batch_ivf_split(spark, sf_dir, emb):
     """The replayed answer equals the batch IVF top-k over the same
     odd-probes-even-index split, computed without any streaming."""
-    db, cents_rows = P._ivf_index(spark, sf_dir)
+    db, cents = P._ivf_index(spark, sf_dir)
     odd = emb.filter(F.col("vec_id") % 2 == 1)
-    probes = odd.select(
+    probes = odd.crossJoin(F.broadcast(S.centroid_array(cents))).select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("qv"),
         S.norm(F.col("embedding")).alias("qn"),
-    ).select(
-        "id", "qv", "qn",
         F.explode(
-            S.literal_centroid_probe(
-                F.col("qv"), F.col("qn"), cents_rows, nprobe=P._NPROBE
+            S.centroid_probe_column(
+                F.col("_cents"), F.col("embedding"),
+                S.norm(F.col("embedding")), nprobe=P._NPROBE
             )
         ).alias("_p"),
     ).select("id", "qv", "qn", F.col("_p.cid").alias("cell"))
