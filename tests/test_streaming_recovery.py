@@ -262,3 +262,133 @@ def test_resolver_restore_equals_single_shot(spark, tmp_path):
     }
     assert got == ref
     assert {c for _, c in got} == {"n0"}  # one chain, min label n0
+
+
+def test_ann_monitor_resumes_exactly_once(spark, tmp_path):
+    """The stateless ANN serving monitor's restart story is the source
+    offset log alone: periodic availableNow runs against one fixed
+    checkpointLocation must (a) not re-emit queries consumed by an
+    earlier run and (b) serve newly-arrived queries against the same
+    index, the union over runs equalling one batch pass over all
+    queries."""
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators import similarity as S
+
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def _vec(i: int):
+        return [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]
+
+    def _emb(ids):
+        return spark.createDataFrame(
+            [(i, _vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        )
+
+    index_src = _emb(range(0, 40, 2))  # even ids: the static index
+    db = (
+        S.ivf_assign(index_src, "vec_id", "embedding", n_cells=4, rank_limit=1)
+        .select(F.col("id").alias("neighbor"), "v", "nv", "cell")
+        .localCheckpoint(eager=True)
+    )
+    cents = (
+        index_src.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            S.norm(F.col("embedding")).alias("ncv"),
+        ).orderBy("cid").limit(4)
+    )
+    carr = S.centroid_array(cents)
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+
+    def _run():
+        schema = spark.read.parquet(stage).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        cands = (
+            src.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("qv"),
+                S.norm(F.col("embedding")).alias("qn"),
+            )
+            .crossJoin(F.broadcast(carr))
+            .select(
+                "id", "qv", "qn",
+                F.explode(
+                    S.centroid_probe_column(
+                        F.col("_cents"), F.col("qv"), F.col("qn"), nprobe=2
+                    )
+                ).alias("_p"),
+            )
+            .select("id", "qv", "qn", F.col("_p.cid").alias("cell"))
+            .join(db, on="cell")
+            .select(
+                "id", "neighbor",
+                F.round(
+                    S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+
+        def _sink(bdf, _bid):
+            (bdf.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 3)
+                .select("id", "neighbor", "cos")
+                .coalesce(1).write.mode("append").parquet(out))
+
+        q = (cands.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    _publish_file(_emb(range(1, 20, 2)), stage, "day0.parquet")
+    _run()
+    first = {(r.id, r.neighbor, r.cos)
+             for r in spark.read.parquet(out).collect()}
+    assert first and all(i % 2 == 1 and i < 20 for i, _, _ in first)
+
+    _run()  # nothing new arrived: must be a no-op (no re-emission)
+    assert {(r.id, r.neighbor, r.cos)
+            for r in spark.read.parquet(out).collect()} == first
+
+    _publish_file(_emb(range(21, 40, 2)), stage, "day1.parquet")
+    _run()
+    both = {(r.id, r.neighbor, r.cos)
+            for r in spark.read.parquet(out).collect()}
+    new = both - first
+    assert new and all(i >= 21 for i, _, _ in new)
+    # union over runs == one batch pass over ALL queries vs the index
+    batch = (
+        _emb(range(1, 40, 2))
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("qv"),
+            S.norm(F.col("embedding")).alias("qn"),
+            F.explode(
+                S.centroid_probe_column(
+                    F.col("_cents"), F.col("embedding"),
+                    S.norm(F.col("embedding")), nprobe=2
+                )
+            ).alias("_p"),
+        )
+        .select("id", "qv", "qn", F.col("_p.cid").alias("cell"))
+        .join(db, on="cell")
+        .select(
+            "id", "neighbor",
+            F.round(
+                S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv")), 6
+            ).alias("cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("id", "neighbor", "cos")
+    )
+    want = {(r.id, r.neighbor, r.cos) for r in batch.collect()}
+    assert both == want
