@@ -180,7 +180,14 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
 
     db, cents = _ivf_index(spark, sf_dir)
 
-    src = _query_stream(spark, sf_dir)
+    # a micro-batch is ONE staged file = one partition, and with the
+    # index broadcast nothing downstream reshuffles — without fan-out
+    # the whole |batch| x n_cells probe runs on a single core (the
+    # stress harness measured 159 s/batch at 20k queries x 40k index
+    # vs 6 s fanned; scripts/stress_ann_serving.py)
+    src = _query_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # the centroid table rides along as ONE broadcast array row
     # (stream-static, append-legal); plan cost independent of n_cells
     carr = S.centroid_array(cents)
