@@ -205,13 +205,26 @@ def pagerank(
     # 2 shuffle barriers x iterations of scheduling for a driver-sized
     # edge list is pure overhead (measured 2.9 -> ~1 s warm at sf0.1 on
     # the 25-node trade graph). Large graphs take the loop below.
-    if e.count() <= driver_threshold:
+    # bounded probe: limit(k+1).count() never scans past k+1 rows, so a
+    # 100 TB edge list doesn't pay a full count just to learn it is big
+    if e.limit(driver_threshold + 1).count() <= driver_threshold:
         rows = [(row[0], row[1]) for row in e.collect()]
         if rows:
             return _pagerank_driver(
                 e.sparkSession, rows, e.schema["src"].dataType,
                 iterations, damping_num, damping_den,
             )
+        # no edges -> no nodes under this operator's (src ∪ dst) node
+        # universe; return an explicit empty frame instead of letting
+        # the distributed loop divide by n = 0
+        return (
+            e.sparkSession.createDataFrame([], e.schema)
+            .select(
+                F.col("src").alias("node"),
+                F.lit(0).cast("long").alias("rank_scaled"),
+                F.lit(0.0).alias("rank"),
+            )
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -215,8 +215,17 @@ def ivf_assign(
         "v",
         "nv",
         "cid",
+        # try_divide: a zero-norm vector or centroid yields a NULL
+        # cosine instead of an ANSI divide-by-zero error; DESC ordering
+        # puts those nulls LAST, and the map-side probe twins
+        # (literal_centroid_probe / centroid_probe_column) coalesce
+        # their negated cosine to +inf so all three assignment paths
+        # rank degenerate vectors identically
         F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+            F.try_divide(
+                dot(F.col("v"), F.col("cv")), F.col("nv") * F.col("ncv")
+            ),
+            6,
         ).alias("ccos"),
     )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
@@ -460,12 +469,25 @@ def literal_centroid_probe(
 
     ``nv`` must be the caller's hoisted ``norm(vec)`` (one fold per row,
     not per centroid); centroid norms arrive precomputed in
-    ``cents_rows`` the same way."""
+    ``cents_rows`` the same way.
+
+    A zero-norm vector (or centroid) makes the cosine NULL (Spark's
+    Divide returns null on zero divisor); a null struct field sorts
+    FIRST ascending, while ``ivf_assign``'s ``orderBy(ccos DESC)`` puts
+    nulls LAST — so degenerate vectors would silently diverge between
+    the two assignment paths. Coalescing negc to +inf pins null cosines
+    to rank-last on this path too."""
     entries = [
         F.struct(
-            (-F.round(
-                dot(vec, F.lit(r.cv)) / (nv * F.lit(float(r.ncv))), 6
-            ) + F.lit(0.0)).alias("negc"),
+            F.coalesce(
+                -F.round(
+                    F.try_divide(
+                        dot(vec, F.lit(r.cv)), nv * F.lit(float(r.ncv))
+                    ),
+                    6,
+                ) + F.lit(0.0),
+                F.lit(float("inf")),
+            ).alias("negc"),
             F.lit(r.cid).alias("cid"),
         )
         for r in cents_rows
@@ -486,15 +508,20 @@ def centroid_probe_column(cents_arr: Column, vec: Column, nv: Column,
     broadcast as a 1-row frame), so the plan is one ``transform`` +
     ``array_sort`` regardless of whether n_cells is 8 or 25,000 (the
     SemDeDup-scale regime). Identical IEEE op order and (-round(cos,6),
-    cid) ordering as the literal path — equivalence is unit-tested."""
+    cid) ordering as the literal path — equivalence is unit-tested.
+    Null cosines (zero-norm vector/centroid) coalesce to +inf so they
+    rank LAST, matching ``ivf_assign``'s DESC nulls-last ordering."""
     return F.slice(
         F.array_sort(
             F.transform(
                 cents_arr,
                 lambda c: F.struct(
-                    (
-                        -F.round(dot(vec, c["cv"]) / (nv * c["ncv"]), 6)
-                        + F.lit(0.0)
+                    F.coalesce(
+                        -F.round(
+                            F.try_divide(dot(vec, c["cv"]), nv * c["ncv"]), 6
+                        )
+                        + F.lit(0.0),
+                        F.lit(float("inf")),
                     ).alias("negc"),
                     c["cid"].alias("cid"),
                 ),

@@ -38,31 +38,16 @@ def q_stream_entity_resolution(spark, sf_dir):
     availableNow replay over 4 arbitrary-order micro-batches must
     hash-match the single-shot batch resolution (confluent min-label
     merge), against the same oracle as `entity_resolution`."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    from prosnet_prefect_pipelines_spark.streaming.staging import replay_stage
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_acctbal"
     )
-    # 4-file replay stage, built once per sf_dir and reused: rewriting
-    # the identical staging parquet on every invocation is a shuffle +
-    # write the warm bench should not pay. Atomic publish via rename so
-    # concurrent processes never observe a half-written stage.
-    stage = os.path.join(
-        "/tmp",
-        "spark_graft_ser_stage",
-        hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
-    )
-    if not os.path.isdir(stage):
-        tmp = tempfile.mkdtemp(prefix="ser_stage_build_")
-        cust.repartition(4).write.mode("overwrite").parquet(tmp)
-        os.makedirs(os.path.dirname(stage), exist_ok=True)
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    # 4-file replay stage, built once per SOURCE CONTENT and reused:
+    # rewriting the identical staging parquet on every invocation is a
+    # shuffle + write the warm bench should not pay. Content-keyed,
+    # user-private, atomically published — see streaming/staging.py.
+    stage = replay_stage(cust, f"{sf_dir}/customer.parquet", "ser")
     schema = spark.read.parquet(stage).schema
     src = (
         spark.readStream.schema(schema)

@@ -38,9 +38,6 @@ streaming-native replacement where only arriving queries pay work.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -48,6 +45,7 @@ from pyspark.sql import functions as F
 from prosnet_prefect_pipelines_spark.operators import similarity as S
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 from prosnet_prefect_pipelines_spark.plans.q_similarity import _cos
+from prosnet_prefect_pipelines_spark.streaming.staging import replay_stage
 
 _N_CELLS = 8
 _NPROBE = 2
@@ -148,19 +146,10 @@ def _query_stream(spark, sf_dir):
         .filter(F.col("vec_id") % 2 == 1)
         .select("vec_id", "embedding")
     )
-    stage = os.path.join(
-        "/tmp",
-        "spark_graft_ann_stage",
-        hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
-    )
-    if not os.path.isdir(stage):
-        tmp = tempfile.mkdtemp(prefix="ann_stage_build_")
-        odd.repartition(4).write.mode("overwrite").parquet(tmp)
-        os.makedirs(os.path.dirname(stage), exist_ok=True)
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    # content-keyed, user-private, atomically-published stage — see
+    # streaming/staging.py (a regenerated embeddings.parquet gets a
+    # fresh stage; no fixed world-writable path to squat)
+    stage = replay_stage(odd, f"{sf_dir}/embeddings.parquet", "ann")
     schema = spark.read.parquet(stage).schema
     return (
         spark.readStream.schema(schema)

@@ -96,6 +96,15 @@ class IncrementalResolver:
         # one narrow job: no distinct (the union-find absorbs duplicate
         # and self-loop edges), no checkpoint, no shuffle
         for a, b in edges.select("src", "dst").collect():
+            if a is None or b is None:
+                # mirror the distributed path, where a null endpoint
+                # drops out of the mapping joins — a bad edge row must
+                # not crash the streaming query inside foreachBatch
+                continue
+            # the distributed path casts endpoints to string; the driver
+            # union-find must compare identically (min-label over the
+            # SAME ordering) or the two state placements diverge
+            a, b = str(a), str(b)
             if a == b:
                 continue
             if a not in parent:
@@ -208,15 +217,22 @@ class IncrementalResolver:
         self.mapping().write.mode("overwrite").parquet(path)
 
     @classmethod
-    def restore(cls, spark, path: str) -> "IncrementalResolver":
+    def restore(
+        cls, spark, path: str, driver_threshold: int = 500_000
+    ) -> "IncrementalResolver":
         """Resume from a :meth:`save`-d mapping (fresh driver process).
 
         Small saved states resume onto the driver fast path (same
         adaptivity as a fresh resolver); larger ones resume directly as
-        the distributed DataFrame state."""
-        r = cls(spark)
+        the distributed DataFrame state. ``driver_threshold`` must match
+        the saving instance's configuration — a resolver deliberately
+        built with threshold 0 (forced-distributed) restores distributed
+        too, instead of being silently demoted onto the driver. The size
+        probe is ``limit(threshold + 1).count()`` so a huge saved state
+        never pays a full count just to learn it is over the line."""
+        r = cls(spark, driver_threshold=driver_threshold)
         saved = spark.read.parquet(path)
-        if saved.count() <= r._driver_threshold:
+        if saved.limit(driver_threshold + 1).count() <= driver_threshold:
             for node, comp in saved.collect():
                 r._parent[node] = comp
                 r._parent.setdefault(comp, comp)
