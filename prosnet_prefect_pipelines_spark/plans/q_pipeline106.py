@@ -43,19 +43,10 @@ from prosnet_prefect_pipelines_spark.plans.q_stream import (
 def _lineitem_stream(spark, sf_dir):
     """readStream over the lineitem table (symlink-staged directory,
     explicit schema) — the _events_stream pattern on the fact table."""
-    import hashlib
-    import os
+    from prosnet_prefect_pipelines_spark.streaming.staging import symlink_stage
 
     path = f"{sf_dir}/lineitem.parquet"
-    stage = os.path.join(
-        "/tmp",
-        "spark_graft_stream",
-        hashlib.sha256(path.encode()).hexdigest()[:12],
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "lineitem.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage = symlink_stage(path, "lineitem")
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(stage)
 

@@ -25,13 +25,12 @@ what makes an exact oracle possible at all.
 
 from __future__ import annotations
 
-import hashlib
-import os
 import uuid
 
 from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.streaming.staging import symlink_stage
 
 _MIN_TOKENS = 20
 
@@ -60,16 +59,9 @@ WHERE doc_id = first_doc AND n_tokens >= {_MIN_TOKENS}
 
 
 def _docs_stream(spark, sf_dir):
+    # content-keyed, user-private symlink stage (see streaming/staging.py)
     path = f"{sf_dir}/documents.parquet"
-    stage = os.path.join(
-        "/tmp",
-        "spark_graft_stream_docs",
-        hashlib.sha256(path.encode()).hexdigest()[:12],
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage = symlink_stage(path, "docs")
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(stage)
 

@@ -76,10 +76,12 @@ def q_wap_publish_gate(spark, sf_dir):
     hash match itself verifies)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     staged_src = orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
-    stage_dir = os.path.join(
-        "/tmp",
-        "spark_graft_wap",
-        hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+    )
+
+    stage_dir = private_stage_dir(
+        "wap_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     )
     staged_src.write.mode("overwrite").parquet(stage_dir)
     staged = spark.read.parquet(stage_dir)

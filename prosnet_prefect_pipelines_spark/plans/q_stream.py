@@ -31,21 +31,13 @@ from prosnet_prefect_pipelines_spark.plans.q_streaming import (
 
 def _events_stream(spark, sf_dir):
     """readStream twin of model.read_events (explicit schema, nanos long)."""
-    import hashlib
-    import os
+    from prosnet_prefect_pipelines_spark.streaming.staging import symlink_stage
 
     path = f"{sf_dir}/events.parquet"
     # the file-stream source requires a DIRECTORY; stage one containing a
-    # symlink to the (read-only) single-file table
-    stage = os.path.join(
-        "/tmp",
-        "spark_graft_stream",
-        hashlib.sha256(path.encode()).hexdigest()[:12],
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # symlink to the (read-only) single-file table — content-keyed and
+    # user-private (see streaming/staging.py)
+    stage = symlink_stage(path, "events")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     from pyspark.sql.types import LongType
@@ -214,17 +206,18 @@ def q_stream_foreach_batch_upsert(spark, sf_dir):
     with last-write-wins per user — the full readStream -> foreachBatch
     -> upsert -> replay loop that replaces the reference's daily cron,
     hash-matched against the batch dedup oracle."""
-    import os
     import shutil
-    import tempfile
 
     from prosnet_prefect_pipelines_spark.sinks import (
         LocalJsonUpsertClient,
         upsert_foreach_partition,
     )
     from prosnet_prefect_pipelines_spark.streaming.incremental import upsert_dedup
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+    )
 
-    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_feb_upsert")
+    out_dir = private_stage_dir("feb_upsert")
     shutil.rmtree(out_dir, ignore_errors=True)
     ev = _events_stream(spark, sf_dir)
 

@@ -73,6 +73,28 @@ def _private_stage_root() -> str:
     return tempfile.mkdtemp(prefix="spark_graft_stage_")
 
 
+def private_stage_dir(name: str) -> str:
+    """A caller-managed scratch directory under the user-private root —
+    for write-then-reread patterns (e.g. the WAP gate's staging dir)
+    that previously used fixed world-visible /tmp paths."""
+    return os.path.join(_private_stage_root(), name)
+
+
+def symlink_stage(source_path: str, name: str) -> str:
+    """A one-entry replay stage that just symlinks the source parquet —
+    for monitors that replay the source as a single micro-batch. Same
+    private root and content keying as :func:`replay_stage` (a
+    regenerated source gets a fresh stage dir, so a reused streaming
+    checkpoint never silently replays offsets against different data)."""
+    root = _private_stage_root()
+    stage = os.path.join(root, f"{name}_{source_fingerprint(source_path)}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(source_path))
+    if not os.path.exists(link):
+        os.symlink(source_path, link)
+    return stage
+
+
 def replay_stage(df, source_path: str, name: str, n_files: int = 4) -> str:
     """Materialize ``df`` as an ``n_files``-file parquet replay stage and
     return its path. Keyed by (``name``, content fingerprint of
