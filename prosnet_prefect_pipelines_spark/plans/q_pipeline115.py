@@ -38,6 +38,7 @@ streaming-native replacement where only arriving queries pay work.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -151,11 +152,37 @@ def _query_stream(spark, sf_dir):
     # fresh stage; no fixed world-writable path to squat)
     stage = replay_stage(odd, f"{sf_dir}/embeddings.parquet", "ann")
     schema = spark.read.parquet(stage).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
+    return stream, stage
+
+
+# Two-phase top-k escalation (r7 verdict item 4): above this estimated
+# per-batch candidate volume the sink switches to a mapInPandas
+# partition-local prune that keeps <= _K rows per (query, partition)
+# BEFORE the exchange, so the final window shuffles <= k * n_partitions
+# rows per query instead of the full candidate matrix. Both sinks rank
+# by (cos desc, neighbor), and a partition-local top-k is a superset of
+# the global top-k under any partitioning, so the replay hash is
+# IDENTICAL either way (pinned by test_prune_sink_matches_window_sink).
+#
+# Default OFF: the crossover was hunted at the 200k-vector stress scale
+# (scripts/stress_ann_serving.py ... both; artifacts/
+# stress_ann_prune_r16.log) and DOES NOT EXIST on local[32] — window vs
+# prune measured 4.0/4.3 s at ~0.4M candidates per batch (bench scale),
+# 71.5/72.8 s at 10M, 265.7/337.1 s at 100M. Intra-node, the Arrow
+# transfer into Python scales with the same candidate count the
+# exchange does, at a higher per-row price. The prune is a
+# NETWORK-shuffle optimization: on a multi-node cluster where the
+# exchange crosses the fabric, set SPARK_GRAFT_ANN_PRUNE_THRESHOLD to
+# the measured per-batch candidate volume where fabric cost overtakes
+# the Arrow hop.
+_PRUNE_VOLUME_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_ANN_PRUNE_THRESHOLD", "inf")
+)
 
 
 @register("stream_ann_topk_monitor", oracle=ANN_MONITOR_SQL,
@@ -164,7 +191,12 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     """Streaming IVF serving: map-side centroid probe (broadcast
     centroid array, no window, no state), stream-static cell join, per-batch
     exact top-k — availableNow replay hash-matched against the batch
-    IVF SQL answer for any micro-batch slicing."""
+    IVF SQL answer for any micro-batch slicing.
+
+    Top-k sink escalates by estimated candidate volume (see
+    ``_PRUNE_VOLUME_THRESHOLD``): plain window below, partition-local
+    mapInPandas prune + tiny window above — same ordering on both paths,
+    so the choice is invisible to the oracle."""
     from pyspark.sql.window import Window
 
     db, cents = _ivf_index(spark, sf_dir)
@@ -174,9 +206,21 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     # the whole |batch| x n_cells probe runs on a single core (the
     # stress harness measured 159 s/batch at 20k queries x 40k index
     # vs 6 s fanned; scripts/stress_ann_serving.py)
-    src = _query_stream(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+    stream, stage = _query_stream(spark, sf_dir)
+    src = stream.repartition(spark.sparkContext.defaultParallelism)
+
+    # estimated per-batch candidate volume: queries-per-file x nprobe x
+    # mean cell occupancy. Parquet counts are metadata-only and the index
+    # is an eager checkpoint, so the estimate costs no real work.
+    n_stage_files = max(
+        1, len([f for f in os.listdir(stage) if f.endswith(".parquet")])
     )
+    est_cands = (
+        (spark.read.parquet(stage).count() / n_stage_files)
+        * _NPROBE
+        * (db.count() / _N_CELLS)
+    )
+    use_prune = est_cands >= _PRUNE_VOLUME_THRESHOLD
     # the centroid table rides along as ONE broadcast array row
     # (stream-static, append-legal); plan cost independent of n_cells
     carr = S.centroid_array(cents)
@@ -211,6 +255,21 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
         # a query's candidates are complete within its own micro-batch
         # (each odd id arrives exactly once; neighbors come from the
         # static side), so the per-id ranking is exact batch-locally
+        if use_prune:
+            # partition-local top-k BEFORE the exchange (knn_join's
+            # two-phase shape): a batch-local head(k) per query is a
+            # superset of the global top-k under any partitioning, so
+            # the final window sees <= k rows per (query, partition)
+            # instead of the full candidate matrix
+            def _prune(batches):
+                for pdf in batches:
+                    pdf = pdf.sort_values(
+                        ["id", "cos", "neighbor"],
+                        ascending=[True, False, True],
+                    )
+                    yield pdf.groupby("id", sort=False).head(_K)
+
+            batch_df = batch_df.mapInPandas(_prune, batch_df.schema)
         (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= _K)

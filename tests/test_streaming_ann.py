@@ -127,11 +127,12 @@ def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
 
     def _one_file_stream(spark_, _sf):
         schema = spark_.read.parquet(one).schema
-        return (
+        stream = (
             spark_.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(one)
         )
+        return stream, one
 
     orig = P115._query_stream
     P115._query_stream = _one_file_stream
@@ -142,6 +143,29 @@ def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
         }
     finally:
         P115._query_stream = orig
+    assert got == ref
+
+
+def test_prune_sink_matches_window_sink(spark, sf_dir):
+    """The two-phase mapInPandas prune sink (escalated above
+    _PRUNE_VOLUME_THRESHOLD) is hash-invisible: partition-local top-k
+    is a superset of the global top-k under any partitioning, so the
+    replayed answer must be IDENTICAL to the plain window sink's."""
+    import prosnet_prefect_pipelines_spark.plans.q_pipeline115 as P115
+
+    ref = {
+        (r.id, r.neighbor, r.cos)
+        for r in P115.q_stream_ann_topk_monitor(spark, sf_dir).collect()
+    }
+    orig = P115._PRUNE_VOLUME_THRESHOLD
+    P115._PRUNE_VOLUME_THRESHOLD = 0  # force the prune path
+    try:
+        got = {
+            (r.id, r.neighbor, r.cos)
+            for r in P115.q_stream_ann_topk_monitor(spark, sf_dir).collect()
+        }
+    finally:
+        P115._PRUNE_VOLUME_THRESHOLD = orig
     assert got == ref
 
 
