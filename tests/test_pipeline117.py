@@ -1,0 +1,76 @@
+"""Streaming preference monitors (plans/q_pipeline117.py, batch 117).
+
+Pins the replay-oracle claims: (1) the final last-write-wins rows equal
+the batch-116 reports, (2) the replay is slicing-insensitive (stats are
+a pure function of the accumulated roster SET), (3) re-delivered
+candidates are idempotent (doc_id dedup in state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import prosnet_prefect_pipelines_spark.plans.q_pipeline116 as P116
+import prosnet_prefect_pipelines_spark.plans.q_pipeline117 as P117
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_margin_monitor_equals_batch_report(spark, sf_dir):
+    got = _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+    want = _rows(P116.q_preference_margin_report(spark, sf_dir))
+    assert got == want and got
+
+
+def test_length_bias_monitor_equals_batch_audit(spark, sf_dir):
+    got = _rows(P117.q_stream_length_bias_monitor(spark, sf_dir))
+    want = _rows(P116.q_length_bias_audit(spark, sf_dir))
+    assert got == want and got
+
+
+def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
+    ref = _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+
+    # monkeypatch the stage to ONE file: a single mega-batch replay
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    one = str(tmp_path / "stage1")
+    docs.coalesce(1).write.parquet(one)
+
+    orig = P117.replay_stage
+    P117.replay_stage = lambda _df, _src, _name, n_files=4: one
+    try:
+        got = _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+    finally:
+        P117.replay_stage = orig
+    assert got == ref
+
+
+def test_redelivery_idempotent(spark, sf_dir, tmp_path):
+    """The same candidates delivered twice (8 files = each quarter
+    duplicated) must produce the identical final stats — state dedups
+    by doc_id, and unchanged rosters emit nothing."""
+    ref = _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    dup = str(tmp_path / "stage_dup")
+    docs.repartition(4).write.parquet(dup)
+    # duplicate every data file under a new name -> re-delivery
+    import glob
+    import shutil
+
+    for i, part in enumerate(sorted(glob.glob(f"{dup}/part-*.parquet"))):
+        shutil.copy2(part, f"{dup}/redeliver_{i}.parquet")
+
+    orig = P117.replay_stage
+    P117.replay_stage = lambda _df, _src, _name, n_files=4: dup
+    try:
+        got = _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+    finally:
+        P117.replay_stage = orig
+    assert got == ref
