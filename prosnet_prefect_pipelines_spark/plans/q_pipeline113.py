@@ -26,8 +26,10 @@ shuffle, no state — so ingest fingerprint cost is linear and
 embarrassingly parallel; the static probe is an equi-join against an
 index that a duplicate flood cannot skew (bucket_cap bounds every
 join partition); stream-stream state holds id lists per occupied
-bucket (bounded by distinct-bucket occupancy, TTL-evictable via
-stream_state_candidates(ttl_ms=...)). Reference parity: the reference
+bucket (bounded by distinct-bucket occupancy; the PRODUCTION default
+is event-time TTL — stream_state_candidates(event_ttl_ms=~30 days),
+measured state-size-vs-window curve in SCALE.md round-10 — while the
+replay oracle here keeps NoTimeout for exactness). Reference parity: the reference
 re-fetches and re-pushes the full entity window every incremental run
 (prosnet-prefect-pipelines wikidata_index.py:155-180 incremental
 {{INCREMENTAL_DATE}} template rewrite + prefect.yaml:121); this is the

@@ -375,6 +375,14 @@ def stream_state_candidates(
     buckets whose latest membership is older than event_ttl_ms. Exactly
     one of ttl_ms / event_ttl_ms may be set.
 
+    PRODUCTION DEFAULT: event_ttl_ms (a ~30-day window on the 1M-doc
+    stress corpus holds ~7% of unbounded state memory with flat wall
+    time — the measured curve is in SCALE.md round-10 and
+    artifacts/stress_neardup_ttl_r16.log); the exact replay ORACLES
+    keep NoTimeout because exactness requires witnessing across the
+    whole replay, and processing-time ttl_ms remains the
+    continuous-trigger alternative when wall-clock windows are wanted.
+
     WARNING — ttl_ms is for CONTINUOUS triggers only (the production
     monitor mode). Under trigger(availableNow=True) a ProcessingTime-
     Timeout query NEVER terminates: FlatMapGroupsInPandasWithStateExec's
