@@ -178,6 +178,16 @@ ATTRIBUTIONS = {
         "field; a real regression survives the re-runs and stays "
         "unattributed."
     ),
+    "fifo_allocation": (
+        "First benched r16 at 49.8 s cold / 50.1 s warm (sf0.1) — the "
+        "rotation did its job: the interval-overlap join was keyed on "
+        "the 20-value group alone, a per-group cartesian with a "
+        "post-filter (~4.5B pair evaluations). Fixed same round with "
+        "the range_join bucket-grid banding on (grp, bucket) + "
+        "canonical-first-shared-bucket emission (q_pipeline76.py): "
+        "5.6 s cold / 1.9 s warm measured, oracle hash unchanged. "
+        "r17+ numbers pair against the banded plan."
+    ),
     "r15_fleet_residual": (
         "BENCH_DETAIL_r15 carried fleet_residual_warning (calibration "
         "ratio 1.231 vs median per-query ratio 1.034; shared-set wall "

@@ -61,11 +61,22 @@ def q_fifo_allocation(spark, sf_dir):
     [cum - q, cum) on their group's running-quantity axis, and a sale
     draws from exactly the purchase layers whose intervals intersect
     its own; the allocated quantity IS the intersection length. No
-    loops, no state machine — two windows + one interval-overlap join
-    keyed on the group (per-group ranges, never a global product).
+    loops, no state machine — two windows + one BANDED interval-overlap
+    join keyed on (group, bucket).
 
-    At 100 TB the group key partitions the axis; skewed groups split by
-    interval banding exactly like range_join's bucket grid."""
+    The banding is load-bearing, not a footnote: a bare join on the
+    20-value group key is a per-group cartesian with a post-filter —
+    measured 50 s at sf0.1 (~4.5B pair evaluations) vs ~2 s banded.
+    Each consumption interval [lo, hi) explodes into the _BUCKET_W-wide
+    buckets it spans (FIFO layers tile the axis, so intervals are
+    short — the explode factor is ~1 + q/_BUCKET_W); the equi-join on
+    (grp, bucket) generates only co-resident candidates, the strict
+    overlap filter keeps real intersections, and each pair is emitted
+    exactly once in the FIRST bucket both intervals share (the
+    range_join canonical-bucket trick — greatest lo-bucket of the two;
+    overlap guarantees that bucket lies in both spans, so no dedup
+    shuffle). At 100 TB the (group, bucket) key partitions the axis;
+    work scales with co-residency, never |in| x |out|."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     l = li.select(
         (F.col("l_partkey") % 20).alias("grp"),
@@ -86,12 +97,18 @@ def q_fifo_allocation(spark, sf_dir):
     iv = l.withColumn("hi", F.sum("q").over(w)).withColumn(
         "lo", F.col("hi") - F.col("q")
     )
+    _BUCKET_W = 64  # ~2.5x the mean layer quantity: explode factor ~1.4
     i = iv.filter(F.col("side") == "in").select(
         "grp",
         F.col("l_orderkey").alias("in_order"),
         F.col("l_linenumber").alias("in_line"),
         F.col("lo").alias("ilo"),
         F.col("hi").alias("ihi"),
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {_BUCKET_W}"), F.expr(f"hi div {_BUCKET_W}")
+            )
+        ).alias("_bucket"),
     )
     o = iv.filter(F.col("side") == "out").select(
         "grp",
@@ -99,10 +116,22 @@ def q_fifo_allocation(spark, sf_dir):
         F.col("l_linenumber").alias("out_line"),
         F.col("lo").alias("olo"),
         F.col("hi").alias("ohi"),
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {_BUCKET_W}"), F.expr(f"hi div {_BUCKET_W}")
+            )
+        ).alias("_bucket"),
+    )
+    first_shared = F.greatest(
+        F.expr(f"ilo div {_BUCKET_W}"), F.expr(f"olo div {_BUCKET_W}")
     )
     alloc = (
-        i.join(o, "grp")
-        .filter((F.col("ilo") < F.col("ohi")) & (F.col("olo") < F.col("ihi")))
+        i.join(o, ["grp", "_bucket"])
+        .filter(
+            (F.col("ilo") < F.col("ohi"))
+            & (F.col("olo") < F.col("ihi"))
+            & (F.col("_bucket") == first_shared)
+        )
         .select(
             F.col("grp").cast("long").alias("grp"),
             F.col("in_order").cast("long").alias("in_order"),
