@@ -112,6 +112,8 @@ HEADLINE = [
     "neardup_index_merge",    # r6: LSH merge==rebuild invariant (batch 113)
     "fifo_allocation",        # heavy tail: ordered FIFO lot matching
     "fuzzy_join_ed1",         # heavy tail: edit-distance-1 name join
+    "stream_preference_margin_monitor",  # r10: streaming preference tier (batch 117)
+    "stream_length_bias_monitor",        # r10: streaming reward-hacking screen
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).
