@@ -134,10 +134,11 @@ def _scratch_root(spark) -> str:
     """Per-application scratch dir (applicationId-namespaced: concurrent
     sessions once raced rmtree/read on a shared path), registered for
     atexit removal so repeated runs don't accumulate dirs in /tmp."""
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_fmt_{spark.sparkContext.applicationId}",
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
     )
+
+    root = private_stage_dir(f"fmt_{spark.sparkContext.applicationId}")
     if root not in _SCRATCH_REGISTERED:
         _SCRATCH_REGISTERED.add(root)
         import atexit

@@ -143,8 +143,12 @@ def q_bucketed_join_colocated(spark, sf_dir):
     import shutil
     import tempfile
 
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+    )
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    base = private_stage_dir("bucketed")
 
     def bucketed(name, build):
         # EXTERNAL tables under /tmp: the driver's session has a static
@@ -199,9 +203,16 @@ def q_partitioned_write_prune(spark, sf_dir):
     import os
     import tempfile
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_part_{os.path.basename(sf_dir.rstrip('/'))}",
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+        source_fingerprint,
+    )
+
+    # content-keyed: a regenerated documents table gets a fresh layout
+    # instead of serving a stale _SUCCESS-marked one
+    out = private_stage_dir(
+        f"part_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{source_fingerprint(f'{sf_dir}/documents.parquet')}"
     )
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -297,7 +308,11 @@ def q_typesense_upsert_roundtrip(spark, sf_dir):
         F.col("c_custkey").alias("id"), F.upper("c_name").alias("name"),
         F.lit(2).alias("seq"),
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_upsert_sink")
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+    )
+
+    out = private_stage_dir("upsert_sink")
     shutil.rmtree(out, ignore_errors=True)
     for batch in (run1, run2):
         upsert_foreach_partition(batch, lambda: LocalJsonUpsertClient(out), batch_size=500)
@@ -402,7 +417,11 @@ def q_json_sink_roundtrip(spark, sf_dir):
     docs = build_place_docs(read_geonames_tsv(spark, FIXTURE_TSV)).select(
         "id", "label", "name", "country", "feature_code"
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_json_sink")
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+    )
+
+    out = private_stage_dir("json_sink")
     write_json_docs(docs, out)
     return spark.read.schema(
         "id string, label string, name string, country string, feature_code string"

@@ -175,9 +175,12 @@ def q_incremental_matview(spark, sf_dir):
     ev = read_events(spark, sf_dir).select(
         "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_matview_{os.path.basename(sf_dir.rstrip('/'))}",
+    from prosnet_prefect_pipelines_spark.streaming.staging import (
+        private_stage_dir,
+    )
+
+    base = private_stage_dir(
+        f"matview_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     for p in (base, f"{base}.tmp", f"{base}.old"):
         shutil.rmtree(p, ignore_errors=True)
