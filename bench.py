@@ -744,6 +744,7 @@ def main() -> None:
     serving: dict[str, dict] = {}
     try:
         from prosnet_prefect_pipelines_spark.streaming.serving import (
+            ann_serving_probe,
             neardup_serving_probe,
             resolver_serving_probe,
         )
@@ -756,6 +757,11 @@ def main() -> None:
         if "stream_entity_resolution" in timings:
             sweep_persistent_rdds(spark)
             serving["stream_entity_resolution"] = resolver_serving_probe(
+                spark, sf_dir
+            )
+        if "stream_ann_topk_monitor" in timings:
+            sweep_persistent_rdds(spark)
+            serving["stream_ann_topk_monitor"] = ann_serving_probe(
                 spark, sf_dir
             )
     except Exception as exc:  # probe failure must not lose the bench

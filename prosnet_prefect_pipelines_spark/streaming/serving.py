@@ -138,6 +138,115 @@ def neardup_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
     }
 
 
+def ann_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
+    """{'rebuild_s', 'serving_s', 'increment_queries', 'topk_rows'} for
+    the stateless ANN monitor: the restart story is the offset log
+    alone, so 'rebuild' here is just the first full replay and
+    'serving' is a resumed run paying exactly one new micro-batch of
+    probe + cell join + top-k."""
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators import similarity as S
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline115 import (
+        _K,
+        _NPROBE,
+        _ivf_index,
+    )
+
+    db, cents = _ivf_index(spark, sf_dir)
+    carr = S.centroid_array(cents)
+    odd = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    work = tempfile.mkdtemp(prefix="ann_serving_")
+    stage = os.path.join(work, "stage")
+    ckpt = os.path.join(work, "ckpt")
+    out_dir = os.path.join(work, "out")
+    for i in range(4):
+        _publish_file(odd.filter(F.col("vec_id") % 8 == 2 * i + 1), stage,
+                      f"f{i}.parquet")
+
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+
+    def _run() -> float:
+        src = (
+            spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        cands = (
+            src.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("qv"),
+                S.norm(F.col("embedding")).alias("qn"),
+            )
+            .crossJoin(F.broadcast(carr))
+            .select(
+                "id", "qv", "qn",
+                F.explode(
+                    S.centroid_probe_column(
+                        F.col("_cents"), F.col("qv"), F.col("qn"),
+                        nprobe=_NPROBE,
+                    )
+                ).alias("_p"),
+            )
+            .select("id", "qv", "qn", F.col("_p.cid").alias("cell"))
+            .join(db, on="cell")
+            .select(
+                "id", "neighbor",
+                F.round(
+                    S.dot(F.col("qv"), F.col("v"))
+                    / (F.col("qn") * F.col("nv")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+
+        def _sink(bdf, _bid):
+            (
+                bdf.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= _K)
+                .select("id", "neighbor", "cos")
+                .coalesce(4)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        t0 = time.time()
+        q = (
+            cands.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError("ann serving probe timed out")
+        return round(time.time() - t0, 3)
+
+    rebuild_s = _run()
+    increment = odd.filter(F.col("vec_id") % 8 == 1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    n_inc = increment.count()
+    _publish_file(increment, stage, "f4.parquet")
+    serving_s = _run()
+    n_out = spark.read.schema("id long, neighbor long, cos double").parquet(
+        out_dir
+    ).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "rebuild_s": rebuild_s,
+        "serving_s": serving_s,
+        "increment_queries": n_inc,
+        "topk_rows": n_out,
+    }
+
+
 def resolver_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
     """{'rebuild_s', 'serving_s', 'increment_edges', 'mapping_rows'} for
     the streaming entity resolver: per-batch contraction into recovered
