@@ -746,6 +746,7 @@ def main() -> None:
         from prosnet_prefect_pipelines_spark.streaming.serving import (
             ann_serving_probe,
             neardup_serving_probe,
+            preference_serving_probe,
             resolver_serving_probe,
         )
 
@@ -763,6 +764,11 @@ def main() -> None:
             sweep_persistent_rdds(spark)
             serving["stream_ann_topk_monitor"] = ann_serving_probe(
                 spark, sf_dir
+            )
+        if "stream_preference_margin_monitor" in timings:
+            sweep_persistent_rdds(spark)
+            serving["stream_preference_margin_monitor"] = (
+                preference_serving_probe(spark, sf_dir)
             )
     except Exception as exc:  # probe failure must not lose the bench
         serving["_error"] = repr(exc)

@@ -247,6 +247,89 @@ def ann_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
     }
 
 
+def preference_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
+    """{'rebuild_s', 'serving_s', 'increment_docs', 'group_rows'} for
+    the batch-117 preference monitor: per-group roster state recovered
+    from the checkpoint, one new micro-batch of candidates folded in."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from prosnet_prefect_pipelines_spark.operators.textstats import tokens
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline117 import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _group_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="pref_serving_")
+    stage = os.path.join(work, "stage")
+    ckpt = os.path.join(work, "ckpt")
+    out_dir = os.path.join(work, "out")
+    for i in range(4):
+        _publish_file(docs.filter(F.col("doc_id") % 4 == i), stage, f"f{i}.parquet")
+
+    def _run() -> float:
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        scored = src.select(
+            "lang",
+            "source",
+            "doc_id",
+            (
+                F.lit(1000) * F.size(F.array_distinct(tokens(F.col("text"))))
+                - F.col("n_chars")
+            ).cast("long").alias("reward"),
+            "n_chars",
+        )
+        t0 = time.time()
+        q = (
+            scored.groupBy("lang", "source")
+            .applyInPandasWithState(
+                _group_stats,
+                outputStructType=_OUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError("preference serving probe timed out")
+        return round(time.time() - t0, 3)
+
+    rebuild_s = _run()
+    increment = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    n_inc = increment.count()
+    _publish_file(increment, stage, "f4.parquet")
+    serving_s = _run()
+    n_groups = (
+        spark.read.schema(_OUT_SCHEMA).parquet(out_dir)
+        .select("lang", "source").distinct().count()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "rebuild_s": rebuild_s,
+        "serving_s": serving_s,
+        "increment_docs": n_inc,
+        "group_rows": n_groups,
+    }
+
+
 def resolver_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
     """{'rebuild_s', 'serving_s', 'increment_edges', 'mapping_rows'} for
     the streaming entity resolver: per-batch contraction into recovered
