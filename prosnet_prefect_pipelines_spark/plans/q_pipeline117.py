@@ -61,69 +61,143 @@ _OUT_SCHEMA = (
     "sum_len_delta long, seq long"
 )
 _STATE_SCHEMA = (
-    "ids array<long>, rewards array<long>, lens array<long>, seq long"
+    "langs array<string>, sources array<string>, ids array<long>, "
+    "rewards array<long>, lens array<long>, seq long"
 )
+# hash supergroups of the (lang, source) prompt key — the batch-113
+# witness lesson applied here: a production preference stream has one
+# roster per PROMPT (corpus-scaled count of 10-16-row groups), and one
+# pandas/Arrow round-trip per tiny group per batch is the dominant
+# stateful cost; a shard amortizes it across ~|groups|/n_groups rosters
+# while the vectorized per-group recompute inside keeps the semantics
+# exactly per-group. Scale n_groups with cluster parallelism, not data.
+_N_SHARDS = 64
+
+_EMPTY_OUT = {
+    "lang": pd.Series([], dtype="object"),
+    "source": pd.Series([], dtype="object"),
+    **{
+        c: pd.Series([], dtype="int64")
+        for c in [
+            "n_pairs", "min_margin", "max_margin", "sum_margin",
+            "n_chosen_longer", "sum_len_delta", "seq",
+        ]
+    },
+}
 
 
 def _group_stats(key, pdfs, state):
-    """Per-(lang, source) stateful emitter: fold new candidates into the
-    roster, recompute the batch-116 closed form, emit one refreshed
-    stats row (only when the roster changed). All-integer arithmetic;
-    chosen/negative ordering identical to q_pipeline116."""
-    lang, source = key
+    """Per-SHARD stateful emitter: fold new candidates into the shard's
+    per-(lang, source) rosters, recompute the batch-116 closed form for
+    the CHANGED groups only (vectorized pandas groupby inside the
+    shard), emit one refreshed stats row per changed group. All-integer
+    arithmetic; chosen/negative ordering identical to q_pipeline116.
+    The shard-level ``seq`` is monotone, so last-write-wins per group by
+    max seq always picks the group's latest roster's stats."""
+    cols = ["lang", "source", "doc_id", "reward", "n_chars"]
     if state.exists:
-        ids0, rewards0, lens0, seq = state.get
-        ids, rewards, lens = list(ids0), list(rewards0), list(lens0)
-    else:
-        ids, rewards, lens, seq = [], [], [], 0
-    seen = set(ids)
-    changed = False
-    for pdf in pdfs:
-        for did, rw, ln in zip(pdf["doc_id"], pdf["reward"], pdf["n_chars"]):
-            did = int(did)
-            if did in seen:
-                continue  # idempotent under re-delivery
-            seen.add(did)
-            ids.append(did)
-            rewards.append(int(rw))
-            lens.append(int(ln))
-            changed = True
-    if not changed:
-        yield pd.DataFrame(
-            {c: pd.Series([], dtype="object") for c in
-             ["lang", "source"]} |
-            {c: pd.Series([], dtype="int64") for c in
-             ["n_pairs", "min_margin", "max_margin", "sum_margin",
-              "n_chosen_longer", "sum_len_delta", "seq"]}
+        v = state.get
+        seen = pd.DataFrame(
+            {
+                "lang": pd.Series(list(v[0]), dtype="object"),
+                "source": pd.Series(list(v[1]), dtype="object"),
+                "doc_id": pd.Series(list(v[2]), dtype="int64"),
+                "reward": pd.Series(list(v[3]), dtype="int64"),
+                "n_chars": pd.Series(list(v[4]), dtype="int64"),
+            }
         )
+        seq = v[5]
+    else:
+        seen = pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype="object"),
+                "source": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "reward": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+            }
+        )
+        seq = 0
+
+    chunks = [pdf[cols] for pdf in pdfs if len(pdf)]
+    new = (
+        pd.concat(chunks, ignore_index=True).drop_duplicates(
+            ["lang", "source", "doc_id"]
+        )
+        if chunks
+        else seen.iloc[0:0]
+    )
+    if len(new) and len(seen):
+        # idempotent under re-delivery: drop candidates already rostered
+        m = new.merge(
+            seen[["lang", "source", "doc_id"]],
+            on=["lang", "source", "doc_id"],
+            how="left",
+            indicator=True,
+        )
+        new = m[m["_merge"] == "left_only"][cols]
+    if not len(new):
+        yield pd.DataFrame(_EMPTY_OUT)
         return
     seq += 1
-    state.update((ids, rewards, lens, seq))
+    roster = pd.concat([seen, new], ignore_index=True)
+    state.update((
+        list(roster["lang"]),
+        list(roster["source"]),
+        [int(x) for x in roster["doc_id"]],
+        [int(x) for x in roster["reward"]],
+        [int(x) for x in roster["n_chars"]],
+        seq,
+    ))
 
-    roster = pd.DataFrame({"doc_id": ids, "reward": rewards, "n_chars": lens})
-    roster = roster.sort_values(
-        ["reward", "doc_id"], ascending=[False, True], kind="mergesort"
-    ).reset_index(drop=True)
-    ch_reward = int(roster.loc[0, "reward"])
-    ch_len = int(roster.loc[0, "n_chars"])
-    neg = roster.iloc[1:].assign(margin=lambda d: ch_reward - d["reward"])
+    changed = new[["lang", "source"]].drop_duplicates()
+    touched = roster.merge(changed, on=["lang", "source"])
+    # batch-116 closed form, vectorized across the shard's changed
+    # groups: chosen = first row per group under (reward DESC, doc_id)
+    touched = touched.sort_values(
+        ["lang", "source", "reward", "doc_id"],
+        ascending=[True, True, False, True],
+        kind="mergesort",
+    )
+    g = touched.groupby(["lang", "source"], sort=False)
+    ch = g.head(1).rename(
+        columns={"reward": "ch_reward", "n_chars": "ch_len", "doc_id": "ch_doc"}
+    )[["lang", "source", "ch_doc", "ch_reward", "ch_len"]]
+    neg = touched.merge(ch, on=["lang", "source"])
+    neg = neg[neg["doc_id"] != neg["ch_doc"]]
+    neg["margin"] = neg["ch_reward"] - neg["reward"]
     neg = neg[neg["margin"] >= _MIN_MARGIN]
     neg = neg.sort_values(
-        ["margin", "doc_id"], ascending=[False, True], kind="mergesort"
-    ).head(_MAX_REJECTED)
-    yield pd.DataFrame(
-        {
-            "lang": [lang],
-            "source": [source],
-            "n_pairs": [len(neg)],
-            "min_margin": [int(neg["margin"].min()) if len(neg) else 0],
-            "max_margin": [int(neg["margin"].max()) if len(neg) else 0],
-            "sum_margin": [int(neg["margin"].sum()) if len(neg) else 0],
-            "n_chosen_longer": [int((neg["n_chars"] < ch_len).sum())],
-            "sum_len_delta": [int((ch_len - neg["n_chars"]).sum())],
-            "seq": [seq],
-        }
+        ["lang", "source", "margin", "doc_id"],
+        ascending=[True, True, False, True],
+        kind="mergesort",
     )
+    neg = neg.groupby(["lang", "source"], sort=False).head(_MAX_REJECTED)
+    neg["longer"] = (neg["n_chars"] < neg["ch_len"]).astype("int64")
+    neg["len_delta"] = neg["ch_len"] - neg["n_chars"]
+    stats = (
+        neg.groupby(["lang", "source"], sort=False)
+        .agg(
+            n_pairs=("margin", "size"),
+            min_margin=("margin", "min"),
+            max_margin=("margin", "max"),
+            sum_margin=("margin", "sum"),
+            n_chosen_longer=("longer", "sum"),
+            sum_len_delta=("len_delta", "sum"),
+        )
+        .reset_index()
+    )
+    # changed groups whose roster produced no qualifying pair still
+    # emit (zeros) so a previously-pairful group that merged into a
+    # pairless state refreshes; the query filters n_pairs > 0 at read
+    out = changed.merge(stats, on=["lang", "source"], how="left").fillna(0)
+    for c in [
+        "n_pairs", "min_margin", "max_margin", "sum_margin",
+        "n_chosen_longer", "sum_len_delta",
+    ]:
+        out[c] = out[c].astype("int64")
+    out["seq"] = seq
+    yield out
 
 
 def _final_group_stats(spark, sf_dir):
@@ -149,10 +223,11 @@ def _final_group_stats(spark, sf_dir):
             - F.col("n_chars")
         ).cast("long").alias("reward"),
         "n_chars",
+        F.pmod(F.xxhash64("lang", "source"), F.lit(_N_SHARDS)).alias("_skey"),
     )
     out_dir = tempfile.mkdtemp(prefix="pref_monitor_")
     q = (
-        scored.groupBy("lang", "source")
+        scored.groupBy("_skey")
         .applyInPandasWithState(
             _group_stats,
             outputStructType=_OUT_SCHEMA,

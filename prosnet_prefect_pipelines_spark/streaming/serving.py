@@ -255,6 +255,7 @@ def preference_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
 
     from prosnet_prefect_pipelines_spark.operators.textstats import tokens
     from prosnet_prefect_pipelines_spark.plans.q_pipeline117 import (
+        _N_SHARDS,
         _OUT_SCHEMA,
         _STATE_SCHEMA,
         _group_stats,
@@ -285,10 +286,13 @@ def preference_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
                 - F.col("n_chars")
             ).cast("long").alias("reward"),
             "n_chars",
+            F.pmod(F.xxhash64("lang", "source"), F.lit(_N_SHARDS)).alias(
+                "_skey"
+            ),
         )
         t0 = time.time()
         q = (
-            scored.groupBy("lang", "source")
+            scored.groupBy("_skey")
             .applyInPandasWithState(
                 _group_stats,
                 outputStructType=_OUT_SCHEMA,
