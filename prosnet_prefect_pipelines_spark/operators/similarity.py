@@ -100,7 +100,14 @@ def cosine_topk(
     # bit-identical to cosine() (same fold + sqrt expressions, same IEEE
     # op order; only the evaluation site moves), 3x less fold work in
     # the quadratic stage
-    left = df.select(
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
+    # the pair join is a nested-loop whose parallelism = LEFT-side
+    # partitions; a single-row-group local parquet scan ran the whole
+    # O(n^2 d) stage on ONE core (measured 17.6 s -> ~1 s at sf0.1 for
+    # mutual_nn_pairs). The fan-out shuffle is |n| rows — nothing next
+    # to the quadratic stage it parallelizes.
+    left = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("va"),
         norm(F.col(vec_col), dim).alias("na"),
@@ -678,6 +685,53 @@ def pq_encode(
     return out
 
 
+def pq_encode_with(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    codebooks: DataFrame,
+    n_sub: int,
+) -> DataFrame:
+    """Assign every vector's subvectors against ALREADY-TRAINED
+    codebooks -> (id, sub, code): the encode half of :func:`pq_encode`
+    without retraining. All subspaces ride in ONE frame (posexplode of
+    the sliced subvectors) through one broadcast join on ``sub`` and one
+    (sub, id) window — identical rounded-cosine / cid tie-break
+    semantics as pq_encode's per-subspace loop, in a single corpus pass
+    instead of n_sub sequential branches."""
+    sub_dim = dim // n_sub
+    sliced = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                            "v"
+                        ),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("_sl"),
+    ).select("id", F.col("_sl.sub").alias("sub"), F.col("_sl.v").alias("v"))
+    w = Window.partitionBy("sub", "id").orderBy(F.col("scos").desc(), F.col("cid"))
+    return (
+        sliced.join(F.broadcast(codebooks.select("sub", "cid", "cv")), on="sub")
+        .select(
+            "id",
+            "sub",
+            "cid",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("scos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "sub", F.col("cid").alias("code"))
+    )
+
+
 def pq_codebooks(
     df: DataFrame,
     id_col: str,
@@ -691,20 +745,102 @@ def pq_codebooks(
     codeword table :func:`pq_encode` assigns against, exposed for
     asymmetric-distance search (``cv_norm2`` pre-computed because ADC
     needs the reconstruction's norm, Σ_s ||c_s||², at scoring time).
+
+    All subspaces train in ONE keyed Lloyd's loop (every per-subspace
+    quantity carries ``sub`` in its key), not n_sub sequential
+    :func:`kmeans_centroids` calls: the math per subspace is untouched
+    (independent keys), but the iteration count of cluster round-trips
+    drops n_sub-fold — the sequential form paid one
+    broadcast+window+agg+join chain per subspace per iteration
+    (measured ~6.5 s -> ~2 s for the sf0.1 codebook build).
     """
     sub_dim = dim // n_sub
-    outs = []
-    for s in range(n_sub):
-        sliced = df.select(
-            F.col(id_col).alias("id"),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                            "v"
+                        ),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("_sl"),
+    ).select("id", F.col("_sl.sub").alias("sub"), F.col("_sl.v").alias("v"))
+    # init = the n_cells lowest-id subvectors PER SUBSPACE (identical to
+    # kmeans_centroids' orderBy(id).limit(n_cells) within each sub)
+    w_init = Window.partitionBy("sub").orderBy("id")
+    cents = (
+        vecs.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= n_cells)
+        .select("sub", F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iterations):
+        w = Window.partitionBy("sub", "id").orderBy(
+            F.col("ccos").desc(), F.col("cid")
         )
-        cents = kmeans_centroids(sliced, "id", "v", n_cells=n_cells, iterations=iterations)
-        outs.append(cents.select(F.lit(s).cast("int").alias("sub"), "cid", "cv"))
-    cb = outs[0]
-    for o in outs[1:]:
-        cb = cb.unionByName(o)
-    return cb.withColumn("cv_norm2", dot(F.col("cv"), F.col("cv")))
+        assigned = (
+            vecs.join(F.broadcast(cents), on="sub")
+            .select(
+                "sub", "id", "v", "cid",
+                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        # exact integer-scaled per-cell elementwise means — identical
+        # arithmetic to kmeans_centroids, keyed by (sub, cid, pos)
+        sums = (
+            assigned.select("sub", "cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("x").cast("double") * F.lit(1e9)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.count("*")
+                    / F.lit(1e9)
+                ).alias("m")
+            )
+        )
+        new_cents = (
+            sums.groupBy("sub", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "sub",
+                "cid",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias(
+                    "cv_raw"
+                ),
+            )
+            .withColumn("_n", norm(F.col("cv_raw")))
+            .select(
+                "sub",
+                "cid",
+                F.transform(
+                    F.col("cv_raw"), lambda x: (x / F.col("_n")).cast("float")
+                ).alias("cv"),
+            )
+        )
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), on=["sub", "cid"], how="left")
+            .select(
+                "sub",
+                "cid",
+                F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents.withColumn("cv_norm2", dot(F.col("cv"), F.col("cv")))
 
 
 def ivf_pq_topk(
@@ -731,55 +867,99 @@ def ivf_pq_topk(
     nprobe=1, codebooks trained on raw subvectors (not residuals),
     spherical geometry throughout.
     """
-    assign = ivf_assign(df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1)
-    cbs = pq_codebooks(df, id_col, vec_col, dim, n_sub, n_cells_code)
-    codes = pq_encode(df, id_col, vec_col, dim, n_sub, n_cells_code).select(
-        F.col("id").alias("xid"), "sub", "code"
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
+    # single-row-group local parquet runs every per-subspace kmeans
+    # round single-task — fan the source out once so all 20 training
+    # rounds (n_sub x iterations), the encode and the assignment scan
+    # with full parallelism; the assignment feeds TWO consumers
+    # (candidate + query side) and the codebooks/codes chain re-derives
+    # kmeans per reference without a barrier, so each is materialized
+    # once (id-sized metadata frames). Values unchanged (exact integer
+    # arithmetic end to end).
+    df = fan_out(df)
+    assign = ivf_assign(
+        df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1
+    ).localCheckpoint(eager=True)
+    cbs = pq_codebooks(
+        df, id_col, vec_col, dim, n_sub, n_cells_code
+    ).localCheckpoint(eager=True)
+    # encode against the codebooks ALREADY trained above — pq_encode
+    # would retrain them from scratch (the trainer ran twice here before
+    # r10: measured 24 s warm -> ~8 s with train-once + one-pass encode)
+    codes = (
+        pq_encode_with(df, id_col, vec_col, dim, cbs, n_sub)
+        .select(F.col("id").alias("xid"), "sub", "code")
+        .localCheckpoint(eager=True)
     )
-    xrep = codes.join(
-        F.broadcast(
-            cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
-        ),
-        on=["sub", "code"],
-    ).join(assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid")
+    # candidate side pivoted to ONE row per vector with its codeword
+    # vectors and scaled norms carried as sub-ordered arrays: the old
+    # shape joined at (cell, sub) granularity — |pairs| x n_sub rows
+    # through a join whose key count is n_cells x n_sub, followed by a
+    # (qid, xid) re-aggregation shuffle of the whole score matrix
+    # (measured 25M rows / ~25 s warm at sf0.1). Array-carrying keeps
+    # the pair join at |pairs| rows, computes the SAME per-subspace
+    # integer terms inside the row (a Python-level sum of n_sub rounded
+    # dot expressions — identical values, identical order-independent
+    # long addition), and needs no re-agg at all. The candidate table is
+    # codes-sized and BROADCAST, so scoring parallelism = probe-side
+    # partitions — which AQE had coalesced to ONE (5k-row side; AQE
+    # sizes by input bytes, blind to the join's pair explosion). The
+    # explicit probe-side fan-out restores full-width scoring: measured
+    # 25.7 -> ~4 s warm end-to-end at sf0.1.
+    xarr = (
+        codes.join(
+            F.broadcast(
+                cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
+            ),
+            on=["sub", "code"],
+        )
+        .join(assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid")
+        .groupBy("xid", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "sub",
+                        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2"),
+                        F.col("cv").alias("cv"),
+                    )
+                )
+            ).alias("_xs")
+        )
+    )
     sub_dim = dim // n_sub
-    qs = assign.select(
+    qarr = fan_out(assign).select(
         F.col("id").alias("qid"),
         "cell",
         norm(F.col("v")).alias("qn"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("sub"),
-                        F.slice(F.col("v"), s * sub_dim + 1, sub_dim).alias("qv"),
-                    )
-                    for s in range(n_sub)
-                ]
-            )
-        ).alias("qslice"),
-    ).select("qid", "cell", "qn", F.col("qslice.sub").alias("sub"), F.col("qslice.qv").alias("qv"))
+        F.array(
+            *[F.slice(F.col("v"), s * sub_dim + 1, sub_dim) for s in range(n_sub)]
+        ).alias("_qs"),
+    )
     # per-subspace terms scaled to exact integers before the SUM: 4
     # doubles summed in nondeterministic order can differ in the last
     # ulp between engines and flip the rounded score — integer sums
     # cannot (the kmeans trainer's trick, applied to ADC)
-    per_sub = qs.join(xrep, on=["cell", "sub"]).filter(F.col("qid") != F.col("xid")).select(
-        "qid",
-        "xid",
-        "qn",
-        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2_scaled"),
-        F.round(dot(F.col("qv"), F.col("cv")) * 1e9).cast("long").alias("d_scaled"),
-    )
-    scored = per_sub.groupBy("qid", "xid", "qn").agg(
-        F.sum("d_scaled").alias("adc_dot_s"), F.sum("n2_scaled").alias("xnorm2_s")
-    ).select(
-        "qid",
-        "xid",
+    adc_dot_s = sum(
         F.round(
-            (F.col("adc_dot_s") / F.lit(1e9))
-            / (F.col("qn") * F.sqrt(F.col("xnorm2_s") / F.lit(1e9))),
-            6,
-        ).alias("adc_cos"),
+            dot(F.col("_qs").getItem(s), F.col("_xs").getItem(s)["cv"]) * 1e9
+        ).cast("long")
+        for s in range(n_sub)
+    )
+    xnorm2_s = sum(F.col("_xs").getItem(s)["n2"] for s in range(n_sub))
+    scored = (
+        qarr.join(F.broadcast(xarr), on="cell")
+        .filter(F.col("qid") != F.col("xid"))
+        .select(
+            "qid",
+            "xid",
+            F.round(
+                (adc_dot_s / F.lit(1e9))
+                / (F.col("qn") * F.sqrt(xnorm2_s / F.lit(1e9))),
+                6,
+            ).alias("adc_cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
     return (
