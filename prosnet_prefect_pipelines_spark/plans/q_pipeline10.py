@@ -377,9 +377,16 @@ def q_join_cardinality_estimate(spark, sf_dir):
     optimizer-tier primitive: choose broadcast vs shuffle vs
     pre-aggregation BEFORE paying for the join, from sketches that
     merge incrementally as data arrives."""
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    a = lineitem.select(F.col("l_partkey").alias("k"))
+    # the CMS hash is hex-parse-heavy per row and the local fact scan is
+    # 3 row groups (7.9 s warm on 3 tasks -> ~2 s fanned); the fanned
+    # frame is the single key column, so the shuffle is as narrow as a
+    # shuffle gets — on a cluster the scan already arrives wide and this
+    # is one cheap extra exchange of 8-byte keys
+    a = fan_out(lineitem.select(F.col("l_partkey").alias("k")))
     b = part.filter(F.col("p_size") < 25).select(F.col("p_partkey").alias("k"))
     est = SK.cms_join_cardinality(SK.cms_build(a, "k"), SK.cms_build(b, "k"))
     act = a.join(b, on="k").agg(F.count(F.lit(1)).alias("join_card_actual"))

@@ -142,10 +142,21 @@ def q_session_similarity_topk(spark, sf_dir):
         F.lag("event_type", 2).over(w).alias("t2"),
         F.lag("event_type", 1).over(w).alias("t1"),
     ).filter(F.col("t2").isNotNull())
-    shingles = seq.select(
-        "user_id",
-        F.concat_ws(">", "t2", "t1", "event_type").alias("sh"),
-    ).distinct().localCheckpoint(eager=False)  # sizes + both join sides
+    # explicit hash partitioning on the join key: AQE coalesces the
+    # ~10 MB shingle table to one partition by input size, blind to the
+    # shingle self-join's pair explosion (hot 3-grams fan out
+    # quadratically) — measured 15.7 s single-task -> ~3 s at sf0.1.
+    # A user-specified repartition is exempt from AQE coalescing, and
+    # both join sides read the same colocated layout.
+    shingles = (
+        seq.select(
+            "user_id",
+            F.concat_ws(">", "t2", "t1", "event_type").alias("sh"),
+        )
+        .distinct()
+        .repartition(ev.sparkSession.sparkContext.defaultParallelism, "sh")
+        .localCheckpoint(eager=False)
+    )  # sizes + both join sides
     sizes = shingles.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (

@@ -67,8 +67,15 @@ def q_bigram_lm_score(spark, sf_dir):
     doc-keyed rollup. No floats anywhere — p and fractions are
     truncating integer divisions, bit-identical across engines.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("text").isNotNull()
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
+    # the bigram explode feeds three aggregation branches; on the local
+    # single-row-group scan all three ran single-task (15.4 s warm ->
+    # ~2 s fanned at sf0.1)
+    docs = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("text").isNotNull()
+        )
     )
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""

@@ -116,9 +116,15 @@ def q_llm_corpus_pipeline_v3(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("text").isNotNull()
     )
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
     # stage 1: exact dedup
     hashed = docs.withColumn("h", F.md5("text"))
-    keep1 = (
+    # fan_out AFTER the dedup window: AQE coalesces the window's
+    # exchange to one partition by size, and the syllable/bigram
+    # expression stages downstream then ran single-task (17.1 s warm ->
+    # ~3 s at sf0.1)
+    keep1 = fan_out(
         hashed.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h")))
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "lang", "text")
