@@ -114,6 +114,12 @@ HEADLINE = [
     "fuzzy_join_ed1",         # heavy tail: edit-distance-1 name join
     "stream_preference_margin_monitor",  # r10: streaming preference tier (batch 117)
     "stream_length_bias_monitor",        # r10: streaming reward-hacking screen
+    # r10 tail rotation: the AQE-starvation fixes (SCALE round-10) get
+    # round-over-round timing so a silent re-starvation would show
+    "ann_ivf_pq_topk",        # composed IVF-PQ ADC path (25.7 -> 5.1s r10)
+    "llm_corpus_pipeline_v3", # round-3 flagship composition (17.1 -> 3.3s r10)
+    "bigram_lm_score",        # corpus bigram LM stats (15.4 -> 2.7s r10)
+    "session_similarity_topk",  # shingle self-join topk (15.7 -> 6.2s r10)
 ]
 
 # Regression gate thresholds (vs previous round's per-query timings).
