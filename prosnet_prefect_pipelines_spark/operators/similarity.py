@@ -18,9 +18,22 @@ engine-independent rankings.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# ivf_pq_topk's candidate table carries actual codeword float vectors
+# per corpus row (O(|corpus| x dim) bytes). Broadcasting it is the fast
+# intra-node plan, but at 100 TB it would pin the whole index on the
+# driver and every executor — so the broadcast is gated on estimated
+# size and falls back to a shuffled cell equi-join above the threshold
+# (same expressions, same values; only the physical join moves), the
+# q_pipeline115 volume-threshold escalation pattern.
+_PQ_BROADCAST_BYTES = float(
+    os.environ.get("SPARK_GRAFT_PQ_BROADCAST_BYTES", str(256 * 1024 * 1024))
+)
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -948,8 +961,21 @@ def ivf_pq_topk(
         for s in range(n_sub)
     )
     xnorm2_s = sum(F.col("_xs").getItem(s)["n2"] for s in range(n_sub))
+    # broadcast only while the encoded index fits comfortably on every
+    # executor: |corpus| rows x (dim doubles of codewords + n_sub scaled
+    # norms + struct overhead). assign is an eager checkpoint, so the
+    # row count is metadata-cheap. Above _PQ_BROADCAST_BYTES the pair
+    # stage becomes a shuffled equi-join on cell — the 100 TB shape,
+    # where neither side is driver-resident.
+    n_x = assign.count()
+    est_xarr_bytes = n_x * (sub_dim * n_sub * 8 + n_sub * 24 + 64)
+    xside = (
+        F.broadcast(xarr)
+        if est_xarr_bytes <= _PQ_BROADCAST_BYTES
+        else xarr.repartition("cell")
+    )
     scored = (
-        qarr.join(F.broadcast(xarr), on="cell")
+        qarr.join(xside, on="cell")
         .filter(F.col("qid") != F.col("xid"))
         .select(
             "qid",

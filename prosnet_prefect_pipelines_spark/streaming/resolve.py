@@ -94,17 +94,20 @@ class IncrementalResolver:
     def _update_driver(self, edges: DataFrame) -> None:
         parent = self._parent
         # one narrow job: no distinct (the union-find absorbs duplicate
-        # and self-loop edges), no checkpoint, no shuffle
-        for a, b in edges.select("src", "dst").collect():
+        # and self-loop edges), no checkpoint, no shuffle. Endpoints are
+        # cast to string IN SPARK before collecting: the distributed
+        # path compares Spark-rendered strings, and Python's str() would
+        # diverge for non-int/string endpoint types (True -> 'True' vs
+        # 'true'; float/decimal/timestamp formatting differs), flipping
+        # min-label elections between the two state placements.
+        for a, b in edges.select(
+            F.col("src").cast("string"), F.col("dst").cast("string")
+        ).collect():
             if a is None or b is None:
                 # mirror the distributed path, where a null endpoint
                 # drops out of the mapping joins — a bad edge row must
                 # not crash the streaming query inside foreachBatch
                 continue
-            # the distributed path casts endpoints to string; the driver
-            # union-find must compare identically (min-label over the
-            # SAME ordering) or the two state placements diverge
-            a, b = str(a), str(b)
             if a == b:
                 continue
             if a not in parent:

@@ -91,18 +91,37 @@ def symlink_stage(source_path: str, name: str) -> str:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, os.path.basename(source_path))
     if not os.path.exists(link):
-        os.symlink(source_path, link)
+        try:
+            os.symlink(source_path, link)
+        except FileExistsError:
+            pass  # concurrent process won the race; same target either way
     return stage
 
 
-def replay_stage(df, source_path: str, name: str, n_files: int = 4) -> str:
+def replay_stage(
+    df, source_path: str, name: str, n_files: int = 4, logic_version: str = ""
+) -> str:
     """Materialize ``df`` as an ``n_files``-file parquet replay stage and
     return its path. Keyed by (``name``, content fingerprint of
-    ``source_path``) under a user-private root; built at most once per
-    key, published atomically, reused across processes of the same user.
+    ``source_path``, DERIVATION fingerprint) under a user-private root;
+    built at most once per key, published atomically, reused across
+    processes of the same user.
+
+    The derivation fingerprint hashes ``df``'s schema plus the
+    caller-supplied ``logic_version``: a stage is a function of the
+    *derived* frame, not just the source file, so a code change to the
+    derivation (new projection, changed filter) must invalidate cached
+    stages the same way a regenerated source does. Schema changes are
+    caught automatically; value-only derivation changes need the caller
+    to bump ``logic_version`` (or the stage ``name``).
     """
     root = _private_stage_root()
-    stage = os.path.join(root, f"{name}_{source_fingerprint(source_path)}")
+    deriv = hashlib.sha256(
+        (df.schema.simpleString() + "|" + logic_version).encode()
+    ).hexdigest()[:8]
+    stage = os.path.join(
+        root, f"{name}_{source_fingerprint(source_path)}_{deriv}"
+    )
     if not os.path.isdir(stage):
         tmp = tempfile.mkdtemp(prefix=f"{name}_build_", dir=root)
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
