@@ -1,0 +1,183 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+single-partition ``Window.orderBy(...)`` ranks.
+
+A global ``row_number()``/``ntile()`` window with no PARTITION BY
+compiles to a single-partition sort: every input row funnels through
+one task, which is fine for bounded post-aggregation tables (top-k
+heads, 10-row decile frames) but a scale-killer when the window input
+grows with an unbounded entity dimension (one row per user, per doc).
+The r8 verdict flagged exactly two such sites (``rfm_segments``,
+``vocab_growth_deciles``); this module is the named fix — the two-pass
+distributed rank:
+
+1. ``repartitionByRange`` on the sort key: the SAME range exchange the
+   global window's sort would perform, but the data stays spread over
+   N partitions (partition i holds keys strictly below partition i+1).
+2. Rank WITHIN partitions (``Window.partitionBy(partition_id)`` — a
+   parallel hash exchange whose tasks are bounded by partition size).
+3. Add per-partition offsets: the partition row-counts are an
+   N-partition-row table, collected to the driver (bounded by the
+   shuffle-partition count, never by |rows|) and broadcast back.
+
+The result is bit-identical to the single-partition window for any
+TOTAL ordering (a tie in the sort key could land rows in either range
+partition, so callers must pass a tie-breaking key — the same
+requirement the deterministic-hash catalog convention already imposes
+on every ORDER BY).
+
+``ntile_from_rn`` reproduces Spark's (and DuckDB's) NTile arithmetic in
+closed form from (rn, n): with n rows and k buckets, the first n % k
+buckets take ceil(n/k) rows, the rest floor(n/k) — exact integer
+arithmetic, no window at all once rn is known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(df + exact global row_number column, total row count).
+
+    ``order_by`` must be a TOTAL ordering (include a unique tie-break
+    column). The count comes free from the offset computation — callers
+    that need n (ntile arithmetic, decile ceilings) should use it
+    instead of paying a separate ``count()`` job.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    parts = (
+        parts.sortWithinPartitions(*order_by)
+        .withColumn("_gpid", F.spark_partition_id())
+        # the offset count job and the ranking window both read this;
+        # lazy checkpoint: the count materializes it, the window reads
+        # the blocks (one scan of the upstream plan, frozen pids)
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_gpid"]: r["cnt"]
+        for r in parts.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):  # range partitions: pid order == key order
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0)], "_gpid int, _goff long"
+    )
+    w = Window.partitionBy("_gpid").orderBy(*order_by)
+    ranked = (
+        parts.join(F.broadcast(off), on="_gpid")
+        .withColumn(out, (F.row_number().over(w) + F.col("_goff")).cast("long"))
+        .drop("_gpid", "_goff")
+    )
+    return ranked, acc
+
+
+def _idiv(a: Column, b: int) -> Column:
+    """Exact non-negative integer a div b (b > 0): the modulo is
+    subtracted first so the numerator is an exact multiple and the
+    double division is exact — a raw (a/b) cast can round UP at bucket
+    boundaries once a, b approach 2^31."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def global_rank_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    rn_out: str = "rn",
+    cum_out: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """(df + exact global row_number + exact running SUM(value), total
+    rows, total sum) in ONE two-pass layout — the distributed form of
+
+        row_number() OVER (ORDER BY ...) and
+        SUM(value)   OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)
+
+    for integer-valued ``value`` (exact long arithmetic; the per-
+    partition offsets are prefix sums of the partition totals, so the
+    running sum is bit-identical to the single-partition window for
+    any total ordering). The offset table is one groupBy over the
+    partition id — n_partitions rows on the driver, never |rows|."""
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    parts = (
+        parts.sortWithinPartitions(*order_by)
+        .withColumn("_gpid", F.spark_partition_id())
+        .withColumn("_gval", value.cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    stats = {
+        r["_gpid"]: (r["cnt"], r["s"] or 0)
+        for r in parts.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_gval").alias("s"))
+        .collect()
+    }
+    offsets, row_acc, sum_acc = [], 0, 0
+    for pid in sorted(stats):  # range partitions: pid order == key order
+        offsets.append((pid, row_acc, sum_acc))
+        row_acc += stats[pid][0]
+        sum_acc += stats[pid][1]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "_gpid int, _goff long, _gsoff long"
+    )
+    w = Window.partitionBy("_gpid").orderBy(*order_by)
+    ranked = (
+        parts.join(F.broadcast(off), on="_gpid")
+        .withColumn(rn_out, (F.row_number().over(w) + F.col("_goff")).cast("long"))
+        .withColumn(
+            cum_out,
+            F.sum("_gval").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("_gsoff"),
+        )
+        .drop("_gpid", "_goff", "_gsoff", "_gval")
+    )
+    return ranked, row_acc, sum_acc
+
+
+def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
+    """Spark/DuckDB NTile(k) from an exact global row_number: buckets
+    1..(n % k) hold ceil(n/k) rows, the rest floor(n/k). Pure integer
+    arithmetic on the already-distributed rn column — no window. The
+    branch structure is resolved in PYTHON (n and k are driver-side
+    ints) so no plan branch ever divides by zero, even under ANSI."""
+    if n <= 0:
+        return F.lit(None).cast("int")
+    small, rem = n // k, n % k
+    big = small + 1
+    if rem == 0:
+        return _idiv(rn - 1, small) + 1
+    if small == 0:  # n < k: every row gets its own bucket
+        return _idiv(rn - 1, big) + 1
+    head = rem * big  # rows covered by the ceil-sized buckets
+    return F.when(rn <= head, _idiv(rn - 1, big) + 1).otherwise(
+        _idiv(rn - 1 - head, small) + 1 + rem
+    )
+
+
+def with_global_ntile(
+    df: DataFrame, order_by: list[Column], k: int, out: str
+) -> DataFrame:
+    """df + an exact ``ntile(k) OVER (ORDER BY order_by)`` column,
+    computed distributively (two bounded-parallelism exchanges + an
+    N-partition-row driver hop; no single-partition stage)."""
+    ranked, n = global_row_number(df, order_by, out="_gnt_rn")
+    return ranked.withColumn(
+        out, ntile_from_rn(F.col("_gnt_rn"), n, k).cast("int")
+    ).drop("_gnt_rn")

@@ -856,6 +856,100 @@ def pq_codebooks(
     return cents.withColumn("cv_norm2", dot(F.col("cv"), F.col("cv")))
 
 
+def pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 4,
+    n_cells_coarse: int = 4,
+    n_cells_code: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(xarr, assign, codebooks): the maintained IVF-PQ serving index —
+    coarse cell assignments plus PQ codes pivoted to ONE row per vector
+    with its codeword vectors and scaled norms carried as sub-ordered
+    arrays (extracted from ``ivf_pq_topk`` in r11 so the streaming
+    serving monitor maintains the SAME structure the batch query scans).
+
+    Build shape: single-row-group local parquet runs every per-subspace
+    kmeans round single-task — the source is fanned out once so all
+    training rounds, the encode and the assignment scan run with full
+    parallelism; assignment/codebooks/codes are each materialized once
+    (id-sized metadata frames) because the chain re-derives kmeans per
+    reference without a barrier. The old (cell, sub)-grained candidate
+    join shuffled |pairs| x n_sub rows and re-aggregated the whole
+    score matrix (measured 25M rows / ~25 s warm at sf0.1);
+    array-carrying keeps the pair join at |pairs| rows and needs no
+    re-agg (~4 s warm, values unchanged — exact integer arithmetic)."""
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
+    df = fan_out(df)
+    assign = ivf_assign(
+        df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1
+    ).localCheckpoint(eager=True)
+    cbs = pq_codebooks(
+        df, id_col, vec_col, dim, n_sub, n_cells_code
+    ).localCheckpoint(eager=True)
+    # encode against the codebooks ALREADY trained above — pq_encode
+    # would retrain them from scratch (the trainer ran twice here before
+    # r10: measured 24 s warm -> ~8 s with train-once + one-pass encode)
+    codes = (
+        pq_encode_with(df, id_col, vec_col, dim, cbs, n_sub)
+        .select(F.col("id").alias("xid"), "sub", "code")
+        .localCheckpoint(eager=True)
+    )
+    xarr = (
+        codes.join(
+            F.broadcast(
+                cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
+            ),
+            on=["sub", "code"],
+        )
+        .join(assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid")
+        .groupBy("xid", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "sub",
+                        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2"),
+                        F.col("cv").alias("cv"),
+                    )
+                )
+            ).alias("_xs")
+        )
+    )
+    return xarr, assign, cbs
+
+
+def pq_query_slices(vec: Column, dim: int, n_sub: int) -> Column:
+    """The query-side subvector array ``_qs`` that ``adc_cos_column``
+    scores against an index row's ``_xs``."""
+    sub_dim = dim // n_sub
+    return F.array(
+        *[F.slice(vec, s * sub_dim + 1, sub_dim) for s in range(n_sub)]
+    )
+
+
+def adc_cos_column(n_sub: int) -> Column:
+    """ADC cosine between a query row's ``_qs``/``qn`` and an index
+    row's ``_xs``: per-subspace terms scaled to exact integers before
+    the SUM — n_sub doubles summed in nondeterministic order can differ
+    in the last ulp between engines and flip the rounded score; integer
+    sums cannot (the kmeans trainer's trick, applied to ADC)."""
+    adc_dot_s = sum(
+        F.round(
+            dot(F.col("_qs").getItem(s), F.col("_xs").getItem(s)["cv"]) * 1e9
+        ).cast("long")
+        for s in range(n_sub)
+    )
+    xnorm2_s = sum(F.col("_xs").getItem(s)["n2"] for s in range(n_sub))
+    return F.round(
+        (adc_dot_s / F.lit(1e9)) / (F.col("qn") * F.sqrt(xnorm2_s / F.lit(1e9))),
+        6,
+    )
+
+
 def ivf_pq_topk(
     df: DataFrame,
     id_col: str,
@@ -882,85 +976,17 @@ def ivf_pq_topk(
     """
     from prosnet_prefect_pipelines_spark.session import fan_out
 
-    # single-row-group local parquet runs every per-subspace kmeans
-    # round single-task — fan the source out once so all 20 training
-    # rounds (n_sub x iterations), the encode and the assignment scan
-    # with full parallelism; the assignment feeds TWO consumers
-    # (candidate + query side) and the codebooks/codes chain re-derives
-    # kmeans per reference without a barrier, so each is materialized
-    # once (id-sized metadata frames). Values unchanged (exact integer
-    # arithmetic end to end).
-    df = fan_out(df)
-    assign = ivf_assign(
-        df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=1
-    ).localCheckpoint(eager=True)
-    cbs = pq_codebooks(
-        df, id_col, vec_col, dim, n_sub, n_cells_code
-    ).localCheckpoint(eager=True)
-    # encode against the codebooks ALREADY trained above — pq_encode
-    # would retrain them from scratch (the trainer ran twice here before
-    # r10: measured 24 s warm -> ~8 s with train-once + one-pass encode)
-    codes = (
-        pq_encode_with(df, id_col, vec_col, dim, cbs, n_sub)
-        .select(F.col("id").alias("xid"), "sub", "code")
-        .localCheckpoint(eager=True)
-    )
-    # candidate side pivoted to ONE row per vector with its codeword
-    # vectors and scaled norms carried as sub-ordered arrays: the old
-    # shape joined at (cell, sub) granularity — |pairs| x n_sub rows
-    # through a join whose key count is n_cells x n_sub, followed by a
-    # (qid, xid) re-aggregation shuffle of the whole score matrix
-    # (measured 25M rows / ~25 s warm at sf0.1). Array-carrying keeps
-    # the pair join at |pairs| rows, computes the SAME per-subspace
-    # integer terms inside the row (a Python-level sum of n_sub rounded
-    # dot expressions — identical values, identical order-independent
-    # long addition), and needs no re-agg at all. The candidate table is
-    # codes-sized and BROADCAST, so scoring parallelism = probe-side
-    # partitions — which AQE had coalesced to ONE (5k-row side; AQE
-    # sizes by input bytes, blind to the join's pair explosion). The
-    # explicit probe-side fan-out restores full-width scoring: measured
-    # 25.7 -> ~4 s warm end-to-end at sf0.1.
-    xarr = (
-        codes.join(
-            F.broadcast(
-                cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
-            ),
-            on=["sub", "code"],
-        )
-        .join(assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid")
-        .groupBy("xid", "cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "sub",
-                        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2"),
-                        F.col("cv").alias("cv"),
-                    )
-                )
-            ).alias("_xs")
-        )
+    xarr, assign, _cbs = pq_index(
+        df, id_col, vec_col, dim, n_sub, n_cells_coarse, n_cells_code
     )
     sub_dim = dim // n_sub
     qarr = fan_out(assign).select(
         F.col("id").alias("qid"),
         "cell",
         norm(F.col("v")).alias("qn"),
-        F.array(
-            *[F.slice(F.col("v"), s * sub_dim + 1, sub_dim) for s in range(n_sub)]
-        ).alias("_qs"),
+        pq_query_slices(F.col("v"), dim, n_sub).alias("_qs"),
     )
-    # per-subspace terms scaled to exact integers before the SUM: 4
-    # doubles summed in nondeterministic order can differ in the last
-    # ulp between engines and flip the rounded score — integer sums
-    # cannot (the kmeans trainer's trick, applied to ADC)
-    adc_dot_s = sum(
-        F.round(
-            dot(F.col("_qs").getItem(s), F.col("_xs").getItem(s)["cv"]) * 1e9
-        ).cast("long")
-        for s in range(n_sub)
-    )
-    xnorm2_s = sum(F.col("_xs").getItem(s)["n2"] for s in range(n_sub))
+    adc_cos = adc_cos_column(n_sub)
     # broadcast only while the encoded index fits comfortably on every
     # executor: |corpus| rows x (dim doubles of codewords + n_sub scaled
     # norms + struct overhead). assign is an eager checkpoint, so the
@@ -977,15 +1003,7 @@ def ivf_pq_topk(
     scored = (
         qarr.join(xside, on="cell")
         .filter(F.col("qid") != F.col("xid"))
-        .select(
-            "qid",
-            "xid",
-            F.round(
-                (adc_dot_s / F.lit(1e9))
-                / (F.col("qn") * F.sqrt(xnorm2_s / F.lit(1e9))),
-                6,
-            ).alias("adc_cos"),
-        )
+        .select("qid", "xid", adc_cos.alias("adc_cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
     return (

@@ -289,19 +289,28 @@ def q_vocab_growth_deciles(spark, sf_dir):
     first-occurrence document (decile = ceil(10*rk/D), an exact
     integer), count new types per decile and cumulate.
 
-    The rank window runs over the |docs| distinct-id table; the decile
-    cumulation over 10 rows. First-occurrence is one token-keyed MIN.
+    Doc ranks are an exact global row_number over the |docs|
+    distinct-id table computed DISTRIBUTIVELY (r8 verdict item 1: docs
+    are unbounded at 100 TB, so the single-partition rank window is
+    replaced by the two-pass distributed rank of
+    ``operators/distrank.py``, bit-identical for the unique doc_id
+    ordering); |docs| comes free from its offset pass. The decile
+    cumulation stays a 10-row window. First-occurrence is one
+    token-keyed MIN; the rank join is left to AQE (broadcast while the
+    rank table is small, shuffle join at scale).
 
     Ref semantics: SURVEY §2 A2/O1 (extension X-HEAPS-DECILES)."""
-    tk, _ = _freq(spark, sf_dir)
-    dranks = (
-        tk.select("doc_id")
-        .distinct()
-        .withColumn("rk", F.row_number().over(Window.orderBy("doc_id")))
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_row_number,
     )
-    dd = dranks.agg(F.count(F.lit(1)).alias("nd"))
+
+    tk, _ = _freq(spark, sf_dir)
+    dranks, n_docs = global_row_number(
+        tk.select("doc_id").distinct(), [F.col("doc_id").asc()], out="rk"
+    )
+    dd = spark.createDataFrame([(n_docs,)], "nd long")
     first_seen = (
-        tk.join(F.broadcast(dranks), on="doc_id")
+        tk.join(dranks, on="doc_id")
         .groupBy("token")
         .agg(F.min("rk").alias("first_rk"))
     )

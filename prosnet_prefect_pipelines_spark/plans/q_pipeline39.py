@@ -67,17 +67,26 @@ FROM binned GROUP BY rank_bin
 def q_zipf_curve_report(spark, sf_dir):
     """Zipf curve in power-of-two rank bins: vocab ranked (count DESC,
     token), bin k covers ranks [2^k, 2^(k+1)), per-bin token count and
-    frequency mass. The only ordered pass runs over the DISTINCT-token
-    table (vocabulary-sized); bin assignment is an integer comparison
-    ladder — no log(), no floats, bit-identical across engines."""
+    frequency mass. Bin assignment is an integer comparison ladder —
+    no log(), no floats, bit-identical across engines.
+
+    The vocabulary rank is an exact global row_number computed
+    DISTRIBUTIVELY (r11, caught by the cardinality-class plan audit:
+    the vocab table is token-keyed — it GROWS with the corpus, so the
+    old single-partition rank window was the same scale-killer the r8
+    verdict flagged in rfm_segments)."""
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_row_number,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = (
         docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), "token"))
+    ranked, _ = global_row_number(
+        counts, [F.col("c").desc(), F.col("token").asc()], out="rank"
     )
     binned = ranked.select(
         F.expr(f"CAST({_BIN_CASE_SQL} AS BIGINT)").alias("rank_bin"), "token", "c"

@@ -160,36 +160,46 @@ GROUP BY s.pct
 @register("pareto_share_report", oracle=PARETO_SQL, covers=["A2", "O1"])
 def q_pareto_share_report(spark, sf_dir):
     """Pareto concentration: the revenue share held by the top 1/5/10/
-    20/50% of customers (rank cut over the bounded customer dimension,
-    cumulative share in truncating ppm) — the '80/20' readout that
-    complements Gini and HHI. One customer rollup + one ranked window
-    + a 5-row spine join."""
+    20/50% of customers (rank cut, cumulative share in truncating ppm)
+    — the '80/20' readout that complements Gini and HHI.
+
+    The rank AND the running revenue sum are computed DISTRIBUTIVELY in
+    one two-pass layout (r11, caught by the cardinality-class plan
+    audit: the rollup is o_custkey-keyed — one row per CUSTOMER, which
+    grows with the corpus, so the old global window was a
+    single-partition sort over an unbounded table). n and total come
+    free from the offset pass and fold into the spine predicate as
+    literals — bit-identical to the window form."""
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_rank_prefix_sum,
+    )
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    wr = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("total"),
-        F.sum("cents")
-        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
+    ranked, n, total = global_rank_prefix_sum(
+        rev,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        F.col("cents"),
+        rn_out="rn",
+        cum_out="cum",
     )
     spine = spark.createDataFrame(
         [(1,), (5,), (10,), (20,), (50,)], "pct long"
     )
     j = F.broadcast(spine).join(
         ranked,
-        ranked["rn"] == F.greatest(F.lit(1), F.expr("n * pct div 100")),
+        ranked["rn"]
+        == F.greatest(F.lit(1), F.expr(f"CAST({n} AS BIGINT) * pct div 100")),
     )
     return j.groupBy("pct").agg(
         F.max("cum").cast("long").alias("cum_cents"),
         F.max(
-            F.expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)")
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div "
+                f"CAST({total} AS BIGINT) AS BIGINT)"
+            )
         ).alias("share_ppm"),
     )
 

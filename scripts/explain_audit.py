@@ -598,9 +598,13 @@ AUDITS = {
     "apriori_triples": [
         ("BroadcastHashJoin", "frequent-pair prune tables broadcast (apriori gate)"),
     ],
+    # NB: rfm_segments' per-user aggregate sits behind the distrank
+    # localCheckpoint barrier (offsets job runs at plan-build), so its
+    # partial_ property is asserted on the structurally-identical
+    # sibling rfm_segmentation; here we assert the rank never goes
+    # single-partition (the r8 verdict's weak-pair fix)
     "rfm_segments": [
-        ("partial_", "per-user RFM aggregates combine map-side"),
-        ("Window", "ntile over the user DIMENSION (entity-bounded)"),
+        ("Window", "ntile via distrank: rank windows keyed by _gpid, never global"),
     ],
     "rake_keywords": [
         ("Window", "phrase ids = running stopword count per doc"),
@@ -1805,14 +1809,126 @@ def plan_feature_hit(plan: str, needle: str) -> bool:
     return needle in plan
 
 
+# Cardinality classes for aggregate grouping keys (r8 verdict item 1:
+# "|V|-bounded" was a SHAPE test — any post-aggregation input passed —
+# but an aggregate keyed by an ENTITY column produces one row per user/
+# doc/vector, which is unbounded at 100 TB; the invariant needs a
+# cardinality class). Keys are classified by base column name as they
+# appear in the plan's `Keys [...]` detail lines:
+# - ENTITY: one distinct value per corpus entity — grows with the data.
+#   A SinglePartition exchange fed by one of these FAILS the audit.
+# - BOUNDED: dimension/config/calendar cardinality — fixed enum values,
+#   config-sized cells/bands, or calendar units (grow with elapsed
+#   time, never with corpus size; the catalog's documented class).
+# - anything else: UNKNOWN — the shape test still applies and the keys
+#   are printed so the reviewer sees exactly what cardinality the
+#   single-partition stage rides on.
+_ENTITY_KEY_NAMES = {
+    "user_id", "doc_id", "token", "term", "vec_id", "qid", "xid",
+    "node", "comp", "src", "dst", "neighbor", "email", "uri",
+    "entity", "person", "customer", "supplier", "order_id",
+    "o_orderkey", "l_orderkey", "orderkey", "c_custkey", "o_custkey",
+    "custkey", "s_suppkey", "l_suppkey", "ps_suppkey", "suppkey",
+    "p_partkey", "l_partkey", "ps_partkey", "partkey", "c_name",
+    "s_name", "p_name", "shingle", "fingerprint", "session_id",
+}
+_BOUNDED_KEY_NAMES = {
+    # enum dimensions of the data model
+    "nation", "n_name", "n_nationkey", "c_nationkey", "s_nationkey",
+    "region", "r_name", "r_regionkey", "n_regionkey", "event_type",
+    "lang", "language", "label", "segment", "status", "flag",
+    "l_returnflag", "l_linestatus", "l_shipmode", "c_mktsegment",
+    "o_orderpriority", "o_orderstatus", "p_brand", "p_type", "p_size",
+    "p_container", "p_mfgr", "l_shipinstruct",
+    # calendar units (grow with elapsed time, not corpus size)
+    "month", "year", "day", "week", "hour", "date", "ym", "ym_month",
+    "o_year", "l_year", "mon", "dt",
+    # config-sized constructs (k cells / bands / tiles fixed by args)
+    "cell", "cid", "decile", "tertile", "quintile", "tile", "band",
+    "plane", "sub", "code", "grp_mod",
+}
+
+
+def _node_detail_block(plan: str, node_id: int) -> str:
+    """The attribute lines of detail block `(node_id) Name`."""
+    import re
+
+    out, cur = [], None
+    blk_re = re.compile(r"^\((\d+)\)\s+\S+")
+    for ln in plan.splitlines():
+        m = blk_re.match(ln)
+        if m:
+            cur = int(m.group(1))
+        elif cur == node_id:
+            out.append(ln)
+    return "\n".join(out)
+
+
+def _agg_key_class(plan: str, agg_id: int) -> tuple[str, str]:
+    """(class, detail) for the grouping keys of aggregate node agg_id:
+    class is 'entity', 'bounded', or 'unknown'."""
+    import re
+
+    blk = _node_detail_block(plan, agg_id)
+    keys_m = re.search(r"Keys(?: \[\d+\])?\s*:\s*\[(.*?)\]\s*$", blk, re.M)
+    if not keys_m:
+        return "unknown", "no Keys line"
+    names = set()
+    for attr, attr_id in re.findall(
+        r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)", keys_m.group(1)
+    ):
+        if attr == "_groupingexpression":
+            # Catalyst hoists a grouping EXPRESSION into an internal
+            # attr; the user-facing alias lives in the final
+            # aggregate's Results line (`_groupingexpression#7L AS
+            # user_id#1L`) and the source columns in the defining
+            # Project (`(id#0L % 7) AS _groupingexpression#7L`) —
+            # resolve through both so entity keys can't hide behind
+            # an expression wrapper.
+            alias = re.search(
+                rf"_groupingexpression#{attr_id}L? AS ([A-Za-z_][A-Za-z_0-9]*)#",
+                plan,
+            )
+            if alias:
+                names.add(alias.group(1).lower())
+                continue
+            defn = re.search(
+                rf"^.*\]: \[.*?([^,\[]+) AS _groupingexpression#{attr_id}L?",
+                plan,
+                re.M,
+            )
+            if defn:
+                names |= {
+                    n.lower()
+                    for n, _ in re.findall(
+                        r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)", defn.group(1)
+                    )
+                }
+                continue
+            names.add(attr.lower())
+        else:
+            names.add(attr.lower())
+    if not names:  # Keys []: a global aggregate -> one row, bounded
+        return "bounded", "global aggregate (one row)"
+    ent = sorted(names & _ENTITY_KEY_NAMES)
+    if ent:
+        return "entity", f"entity-cardinality keys {ent}"
+    if names <= _BOUNDED_KEY_NAMES:
+        return "bounded", f"bounded keys {sorted(names)}"
+    return "unknown", f"unclassified keys {sorted(names - _BOUNDED_KEY_NAMES)}"
+
+
 def single_partition_bounded(plan: str) -> tuple[bool, str]:
     """True iff every `(id) Exchange` detail block whose arguments say
-    SinglePartition roots a tree subtree containing an aggregate node.
-    Parses the indented tree section of `explain("formatted")` output
-    (a node's children are the following lines with deeper indentation)
-    and the `(id) NodeName` detail blocks. Subquery trees (`=====
-    Subqueries =====` sections) are parsed the same way — their node
-    ids share the global numbering."""
+    SinglePartition roots a tree subtree containing an aggregate node
+    whose grouping keys are NOT entity-cardinality (see the class
+    tables above — r8 verdict item 1: post-aggregation is necessary
+    but not sufficient; the keys decide whether the aggregate output
+    is bounded). Parses the indented tree section of
+    `explain("formatted")` output (a node's children are the following
+    lines with deeper indentation) and the `(id) NodeName` detail
+    blocks. Subquery trees (`===== Subqueries =====` sections) are
+    parsed the same way — their node ids share the global numbering."""
     import re
 
     lines = plan.splitlines()
@@ -1832,21 +1948,32 @@ def single_partition_bounded(plan: str) -> tuple[bool, str]:
     # subtree scan: children of tree node k are the consecutive
     # following lines with strictly deeper indentation
     by_id = {nid: idx for idx, (_, _, nid, _) in enumerate(nodes)}
+    classes: list[str] = []
     for sp in sp_ids:
         if sp not in by_id:  # node only in a detail block we didn't tree-parse
             continue
         idx = by_id[sp]
         _, depth, _, _ = nodes[idx]
-        has_agg = False
-        for _, d, _, name in nodes[idx + 1 :]:
+        agg_id = None
+        for _, d, nid, name in nodes[idx + 1 :]:
             if d <= depth:
                 break
             if any(a in name for a in _AGG_NODE_NAMES):
-                has_agg = True
+                agg_id = nid
                 break
-        if not has_agg:
+        if agg_id is None:
             return False, f"Exchange SinglePartition ({sp}) subtree has no aggregate"
-    return True, f"{len(sp_ids)} SinglePartition exchange(s), each fed by a keyed aggregation"
+        kclass, detail = _agg_key_class(plan, agg_id)
+        if kclass == "entity":
+            return False, (
+                f"Exchange SinglePartition ({sp}) rides on {detail} — "
+                "grows with the corpus; needs the distrank two-pass rewrite"
+            )
+        classes.append(f"({sp}) {detail}")
+    return True, (
+        f"{len(sp_ids)} SinglePartition exchange(s), each fed by a keyed "
+        f"aggregation of non-entity cardinality: {'; '.join(classes)}"
+    )
 
 
 def main() -> None:
@@ -1905,9 +2032,10 @@ def main() -> None:
                 ok, why = single_partition_bounded(plan)
                 mark = "x" if ok else " "
                 sections.append(
-                    f"- [{mark}] |V|-bounded single-partition: {why} — "
-                    "unpartitioned windows/sorts run over a post-aggregation "
-                    "table, never raw rows"
+                    f"- [{mark}] cardinality-bounded single-partition: {why} — "
+                    "unpartitioned windows/sorts run over post-aggregation "
+                    "tables whose grouping keys are dimension/config/calendar "
+                    "cardinality, never raw rows or entity-keyed aggregates"
                 )
                 if not ok:
                     failures.append((name, "SINGLE_PARTITION_UNBOUNDED"))

@@ -112,3 +112,32 @@ def test_single_partition_bounded_on_planted_plans(spark, ea):
     )
     ok, why = ea.single_partition_bounded(_formatted(agged))
     assert ok, why
+
+
+def test_single_partition_cardinality_class(spark, ea):
+    """r8 verdict item 1: post-aggregation is necessary but NOT
+    sufficient — an aggregate keyed by an ENTITY column (one row per
+    user/doc) still grows with the corpus and must FAIL the invariant;
+    a bounded-dimension key passes with its class named; an
+    unclassifiable derived key passes via the shape test but prints
+    the keys for review."""
+
+    def ranked_over(key_alias: str):
+        return (
+            spark.range(1000)
+            .groupBy((F.col("id") % 7).alias(key_alias))
+            .agg(F.sum("id").alias("s"))
+            .select(
+                key_alias,
+                F.row_number().over(Window.orderBy("s")).alias("rn"),
+            )
+        )
+
+    ok, why = ea.single_partition_bounded(_formatted(ranked_over("user_id")))
+    assert not ok and "entity-cardinality" in why, why
+
+    ok, why = ea.single_partition_bounded(_formatted(ranked_over("nation")))
+    assert ok and "bounded keys" in why, why
+
+    ok, why = ea.single_partition_bounded(_formatted(ranked_over("mystery")))
+    assert ok and "unclassified keys ['mystery']" in why, why
