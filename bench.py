@@ -101,6 +101,7 @@ HEADLINE = [
     "stream_neardup_monitor", # r6: streaming MinHash LSH monitor (availableNow)
     "stream_entity_resolution", # r7: incremental sameAs components (availableNow)
     "stream_ann_topk_monitor",  # r9: streaming IVF serving (availableNow)
+    "stream_ann_ivfpq_monitor",  # r11: quantized serving twin (ADC over codes)
     # r10 rotation (r7 verdict item 3): every catalog tier and the heavy
     # tail get round-over-round timing, not just three-scale hash gates
     "ann_index_merge",        # r9: IVF merge==rebuild invariant (batch 115)
@@ -784,6 +785,7 @@ def main() -> None:
     try:
         from prosnet_prefect_pipelines_spark.streaming.serving import (
             ann_serving_probe,
+            ivfpq_serving_probe,
             neardup_serving_probe,
             preference_serving_probe,
             resolver_serving_probe,
@@ -793,6 +795,7 @@ def main() -> None:
             "stream_neardup_monitor": neardup_serving_probe,
             "stream_entity_resolution": resolver_serving_probe,
             "stream_ann_topk_monitor": ann_serving_probe,
+            "stream_ann_ivfpq_monitor": ivfpq_serving_probe,
             "stream_preference_margin_monitor": preference_serving_probe,
         }
     except Exception as exc:  # import failure must not lose the bench

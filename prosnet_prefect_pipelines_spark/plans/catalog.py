@@ -202,6 +202,7 @@ def _load_all() -> None:
         q_pipeline115,
         q_pipeline116,
         q_pipeline117,
+        q_pipeline118,
         q_ranking,
         q_relational,
         q_render,

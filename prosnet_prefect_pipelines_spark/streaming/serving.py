@@ -247,6 +247,110 @@ def ann_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
     }
 
 
+def ivfpq_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
+    """{'rebuild_s', 'serving_s', 'increment_queries', 'topk_rows'} for
+    the stateless IVF-PQ monitor (batch 118): same offset-log-only
+    restart story as the raw-vector ANN probe, but candidates are
+    n_sub-byte CODES scored by integer-exact ADC — the steady-state
+    number a quantized vector server pays per arriving batch."""
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators import similarity as S
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline118 import (
+        _K,
+        _PQ_SUB,
+        _pq_serving_index,
+    )
+
+    xarr, carr = _pq_serving_index(spark, sf_dir)
+    odd = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    work = tempfile.mkdtemp(prefix="ivfpq_serving_")
+    stage = os.path.join(work, "stage")
+    ckpt = os.path.join(work, "ckpt")
+    out_dir = os.path.join(work, "out")
+    for i in range(4):
+        _publish_file(odd.filter(F.col("vec_id") % 8 == 2 * i + 1), stage,
+                      f"f{i}.parquet")
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
+
+    def _run() -> float:
+        src = (
+            spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        cands = (
+            src.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv"),
+                S.norm(F.col("embedding")).alias("qn"),
+            )
+            .crossJoin(F.broadcast(carr))
+            .select(
+                "qid", "qv", "qn",
+                F.explode(
+                    S.centroid_probe_column(
+                        F.col("_cents"), F.col("qv"), F.col("qn"), nprobe=1
+                    )
+                ).alias("_p"),
+            )
+            .select(
+                "qid", "qn",
+                F.col("_p.cid").alias("cell"),
+                S.pq_query_slices(F.col("qv"), 64, _PQ_SUB).alias("_qs"),
+            )
+            .join(F.broadcast(xarr), on="cell")
+            .select("qid", "xid", S.adc_cos_column(_PQ_SUB).alias("adc_cos"))
+        )
+
+        def _sink(bdf, _bid):
+            (
+                bdf.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= _K)
+                .select("qid", "xid", "adc_cos")
+                .coalesce(4)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        t0 = time.time()
+        q = (
+            cands.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError("ivfpq serving probe timed out")
+        return round(time.time() - t0, 3)
+
+    rebuild_s = _run()
+    increment = odd.filter(F.col("vec_id") % 8 == 1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    n_inc = increment.count()
+    _publish_file(increment, stage, "f4.parquet")
+    serving_s = _run()
+    n_out = spark.read.schema("qid long, xid long, adc_cos double").parquet(
+        out_dir
+    ).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "rebuild_s": rebuild_s,
+        "serving_s": serving_s,
+        "increment_queries": n_inc,
+        "topk_rows": n_out,
+    }
+
+
 def preference_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
     """{'rebuild_s', 'serving_s', 'increment_docs', 'group_rows'} for
     the batch-117 preference monitor: per-group roster state recovered

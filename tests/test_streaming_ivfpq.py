@@ -1,0 +1,230 @@
+"""Streaming IVF-PQ serving monitor (plans/q_pipeline118.py, batch 118).
+
+Load-bearing claims for the oracle pairing, mirroring batch 115's test
+strategy on the quantized path:
+
+1. slicing-insensitivity: a query's candidate set is complete within
+   its own micro-batch (static encoded index), so 1-file and 4-file
+   replays produce the identical top-k table;
+2. the replayed answer equals a pure-batch IVF-PQ pass over the same
+   odd-queries/even-index split where the coarse probe is the
+   WINDOW-ranked assignment (the oracle's formulation) instead of the
+   monitor's map-side centroid-array probe — covering both the probe
+   equivalence and the foreachBatch ranking in one equality;
+3. restart recovery: the monitor is stateless, so periodic availableNow
+   runs against one checkpointLocation must not re-emit consumed
+   queries and must serve late arrivals against the same frozen index,
+   the union over runs equalling one batch pass.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prosnet_prefect_pipelines_spark.operators import similarity as S
+from prosnet_prefect_pipelines_spark.plans import q_pipeline118 as P
+
+
+def _publish_file(df, stage: str, name: str) -> None:
+    tmp = stage + ".build"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(stage, exist_ok=True)
+    os.replace(part, os.path.join(stage, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_replay_slicing_insensitive(spark, sf_dir, tmp_path):
+    ref = {
+        (r.qid, r.xid, r.adc_cos)
+        for r in P.q_stream_ann_ivfpq_monitor(spark, sf_dir).collect()
+    }
+    assert ref
+
+    odd = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    one = str(tmp_path / "stage1")
+    odd.coalesce(1).write.parquet(one)
+
+    def _one_file_stream(spark_, _sf):
+        schema = spark_.read.parquet(one).schema
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(one)
+        )
+        return stream, one
+
+    orig = P._query_stream
+    P._query_stream = _one_file_stream
+    try:
+        got = {
+            (r.qid, r.xid, r.adc_cos)
+            for r in P.q_stream_ann_ivfpq_monitor(spark, sf_dir).collect()
+        }
+    finally:
+        P._query_stream = orig
+    assert got == ref
+
+
+def test_monitor_equals_batch_ivfpq_split(spark, sf_dir):
+    """Batch twin computed WITHOUT streaming and WITHOUT the map-side
+    probe: coarse assignment by the window-ranked cosine (the oracle's
+    shape), ADC scoring against the same maintained index."""
+    xarr, carr = P._pq_serving_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = (
+        even.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .orderBy("cid")
+        .limit(P._PQ_CELLS)
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.round(
+            S.dot(F.col("qv"), F.col("cv"))
+            / (S.norm(F.col("qv")) * S.norm(F.col("cv"))),
+            6,
+        ).desc(),
+        F.col("cid"),
+    )
+    probes = (
+        odd.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "qid",
+            F.col("cid").alias("cell"),
+            S.norm(F.col("qv")).alias("qn"),
+            S.pq_query_slices(F.col("qv"), 64, P._PQ_SUB).alias("_qs"),
+        )
+    )
+    scored = probes.join(F.broadcast(xarr), on="cell").select(
+        "qid", "xid", S.adc_cos_column(P._PQ_SUB).alias("adc_cos")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
+    want = {
+        (r.qid, r.xid, r.adc_cos)
+        for r in scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= P._K)
+        .select("qid", "xid", "adc_cos")
+        .collect()
+    }
+    got = {
+        (r.qid, r.xid, r.adc_cos)
+        for r in P.q_stream_ann_ivfpq_monitor(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_monitor_resumes_exactly_once(spark, tmp_path):
+    """Offset-log-only restart: no re-emission of consumed queries,
+    late arrivals served against the same frozen codes, union over runs
+    == one batch pass."""
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def _vec(i: int):
+        return [float((i * 7 + d * 3) % 11 - 5) for d in range(64)]
+
+    def _emb(ids):
+        return spark.createDataFrame(
+            [(i, _vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        )
+
+    index_src = _emb(range(0, 40, 2))
+    xarr, _assign, _cbs = S.pq_index(
+        index_src, "vec_id", "embedding", dim=64, n_sub=4,
+        n_cells_coarse=4, n_cells_code=4,
+    )
+    xarr = xarr.localCheckpoint(eager=True)
+    cents = (
+        index_src.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            S.norm(F.col("embedding")).alias("ncv"),
+        ).orderBy("cid").limit(4)
+    )
+    carr = S.centroid_array(cents)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
+
+    def _cands(src):
+        return (
+            src.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv"),
+                S.norm(F.col("embedding")).alias("qn"),
+            )
+            .crossJoin(F.broadcast(carr))
+            .select(
+                "qid", "qv", "qn",
+                F.explode(
+                    S.centroid_probe_column(
+                        F.col("_cents"), F.col("qv"), F.col("qn"), nprobe=1
+                    )
+                ).alias("_p"),
+            )
+            .select(
+                "qid", "qn",
+                F.col("_p.cid").alias("cell"),
+                S.pq_query_slices(F.col("qv"), 64, 4).alias("_qs"),
+            )
+            .join(F.broadcast(xarr), on="cell")
+            .select("qid", "xid", S.adc_cos_column(4).alias("adc_cos"))
+        )
+
+    def _run():
+        schema = spark.read.parquet(stage).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        def _sink(bdf, _bid):
+            (bdf.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 3)
+                .select("qid", "xid", "adc_cos")
+                .coalesce(1).write.mode("append").parquet(out))
+
+        q = (_cands(src).writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    _publish_file(_emb(range(1, 20, 2)), stage, "day0.parquet")
+    _run()
+    first = {(r.qid, r.xid, r.adc_cos)
+             for r in spark.read.parquet(out).collect()}
+    assert first and all(i % 2 == 1 and i < 20 for i, _, _ in first)
+
+    _run()  # nothing new arrived: must be a no-op
+    assert {(r.qid, r.xid, r.adc_cos)
+            for r in spark.read.parquet(out).collect()} == first
+
+    _publish_file(_emb(range(21, 40, 2)), stage, "day1.parquet")
+    _run()
+    both = {(r.qid, r.xid, r.adc_cos)
+            for r in spark.read.parquet(out).collect()}
+    new = both - first
+    assert new and all(i >= 21 for i, _, _ in new)
+
+    batch = (
+        _cands(_emb(range(1, 40, 2)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("qid", "xid", "adc_cos")
+    )
+    want = {(r.qid, r.xid, r.adc_cos) for r in batch.collect()}
+    assert both == want
