@@ -92,6 +92,96 @@ def _idiv(a: Column, b: int) -> Column:
     return ((a - (a % b)) / b).cast("long")
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    values: dict[str, Column | tuple[Column, str]],
+    rn_out: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, dict[str, int]]:
+    """(df + optional exact global row_number + one exact running
+    SUM(value) column per ``values`` entry, total rows, per-column
+    totals) in ONE two-pass layout — the distributed form of
+
+        row_number() OVER (ORDER BY ...) and
+        SUM(value)   OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)
+
+    for integer-valued columns (exact arithmetic; the per-partition
+    offsets are prefix sums of the partition totals, so every running
+    sum is bit-identical to the single-partition window for any total
+    ordering). A values entry may be a bare Column (summed as long) or
+    a (Column, sql_type) pair — pass "decimal(38,0)" for products that
+    overflow a long (the catalog's exact-integer convention). The
+    offset table is one groupBy over the partition id — n_partitions
+    rows on the driver, never |rows|."""
+    from decimal import Decimal
+
+    names = list(values)
+    dtypes = []
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    parts = parts.sortWithinPartitions(*order_by).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    for i, name in enumerate(names):
+        v = values[name]
+        col, dt = v if isinstance(v, tuple) else (v, "long")
+        dtypes.append(dt)
+        parts = parts.withColumn(f"_gval{i}", col.cast(dt))
+    parts = parts.localCheckpoint(eager=False)
+    stats = {
+        r["_gpid"]: (r["cnt"], [r[f"s{i}"] or 0 for i in range(len(names))])
+        for r in parts.groupBy("_gpid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(f"_gval{i}").alias(f"s{i}") for i in range(len(names))],
+        )
+        .collect()
+    }
+    offsets, row_acc = [], 0
+    sum_acc = [0] * len(names)
+
+    def _typed(vals):
+        return [
+            Decimal(int(a)) if dtypes[i].startswith("decimal") else int(a)
+            for i, a in enumerate(vals)
+        ]
+
+    for pid in sorted(stats):  # range partitions: pid order == key order
+        offsets.append((pid, row_acc, *_typed(sum_acc)))
+        row_acc += stats[pid][0]
+        sum_acc = [a + b for a, b in zip(sum_acc, stats[pid][1])]
+    spark = df.sparkSession
+    off_schema = "_gpid int, _goff long" + "".join(
+        f", _gsoff{i} {dt}" for i, dt in enumerate(dtypes)
+    )
+    off = spark.createDataFrame(
+        offsets or [(0, 0, *_typed([0] * len(names)))], off_schema
+    )
+    w = Window.partitionBy("_gpid").orderBy(*order_by)
+    out = parts.join(F.broadcast(off), on="_gpid")
+    if rn_out:
+        out = out.withColumn(
+            rn_out, (F.row_number().over(w) + F.col("_goff")).cast("long")
+        )
+    for i, name in enumerate(names):
+        out = out.withColumn(
+            name,
+            F.sum(f"_gval{i}").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col(f"_gsoff{i}"),
+        )
+    out = out.drop(
+        "_gpid",
+        "_goff",
+        *[f"_gval{i}" for i in range(len(names))],
+        *[f"_gsoff{i}" for i in range(len(names))],
+    )
+    return out, row_acc, dict(zip(names, (int(a) for a in sum_acc)))
+
+
 def global_rank_prefix_sum(
     df: DataFrame,
     order_by: list[Column],
@@ -100,55 +190,12 @@ def global_rank_prefix_sum(
     cum_out: str = "cum",
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """(df + exact global row_number + exact running SUM(value), total
-    rows, total sum) in ONE two-pass layout — the distributed form of
-
-        row_number() OVER (ORDER BY ...) and
-        SUM(value)   OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)
-
-    for integer-valued ``value`` (exact long arithmetic; the per-
-    partition offsets are prefix sums of the partition totals, so the
-    running sum is bit-identical to the single-partition window for
-    any total ordering). The offset table is one groupBy over the
-    partition id — n_partitions rows on the driver, never |rows|."""
-    parts = (
-        df.repartitionByRange(num_partitions, *order_by)
-        if num_partitions
-        else df.repartitionByRange(*order_by)
+    """Single-value convenience over :func:`global_prefix_sums`."""
+    out, n, totals = global_prefix_sums(
+        df, order_by, {cum_out: value}, rn_out=rn_out,
+        num_partitions=num_partitions,
     )
-    parts = (
-        parts.sortWithinPartitions(*order_by)
-        .withColumn("_gpid", F.spark_partition_id())
-        .withColumn("_gval", value.cast("long"))
-        .localCheckpoint(eager=False)
-    )
-    stats = {
-        r["_gpid"]: (r["cnt"], r["s"] or 0)
-        for r in parts.groupBy("_gpid")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_gval").alias("s"))
-        .collect()
-    }
-    offsets, row_acc, sum_acc = [], 0, 0
-    for pid in sorted(stats):  # range partitions: pid order == key order
-        offsets.append((pid, row_acc, sum_acc))
-        row_acc += stats[pid][0]
-        sum_acc += stats[pid][1]
-    spark = df.sparkSession
-    off = spark.createDataFrame(
-        offsets or [(0, 0, 0)], "_gpid int, _goff long, _gsoff long"
-    )
-    w = Window.partitionBy("_gpid").orderBy(*order_by)
-    ranked = (
-        parts.join(F.broadcast(off), on="_gpid")
-        .withColumn(rn_out, (F.row_number().over(w) + F.col("_goff")).cast("long"))
-        .withColumn(
-            cum_out,
-            F.sum("_gval").over(w.rowsBetween(Window.unboundedPreceding, 0))
-            + F.col("_gsoff"),
-        )
-        .drop("_gpid", "_goff", "_gsoff", "_gval")
-    )
-    return ranked, row_acc, sum_acc
+    return out, n, totals[cum_out]
 
 
 def ntile_from_rn(rn: Column, n: int, k: int) -> Column:

@@ -39,7 +39,16 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from prosnet_prefect_pipelines_spark.operators.distrank import (
+    global_prefix_sums,
+)
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# r11: every cumulation here runs over the |V| distinct-order-value
+# table — value-cardinality, corpus-growing — so the single-partition
+# windows route through the distributed two-pass prefix sum
+# (operators/distrank.py); the lead() becomes a rank self-join. All
+# bit-identical (exact integer/decimal cumulation).
 
 # labeled order values -> distinct-value table with per-group counts
 _VALS_SQL = """
@@ -119,14 +128,14 @@ def q_wasserstein1_returns(spark, sf_dir):
     vals = _vals(spark, sf_dir)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    lw = Window.orderBy("x")
-    cum = vals.select(
-        F.col("x"),
-        F.sum("c1").over(w).alias("cc1"),
-        F.sum("c2").over(w).alias("cc2"),
-        F.lead("x").over(lw).alias("nx"),
+    cum, _nv, _t = global_prefix_sums(
+        vals, [F.col("x").asc()],
+        {"cc1": F.col("c1"), "cc2": F.col("c2")}, rn_out="_rn",
     )
+    # lead(x) as a rank self-join: row _rn's next value is row _rn+1's
+    # x (null for the last row, exactly like lead's default)
+    nxt = cum.select((F.col("_rn") - 1).alias("_rn"), F.col("x").alias("nx"))
+    cum = cum.join(nxt, on="_rn", how="left").select("x", "cc1", "cc2", "nx")
     num = (
         cum.crossJoin(F.broadcast(tot))
         .where(F.col("nx").isNotNull())
@@ -192,11 +201,11 @@ def q_cvm_two_sample(spark, sf_dir):
     vals = _vals(spark, sf_dir)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
-        (F.col("c1") + F.col("c2")).alias("m"),
-        F.sum("c1").over(w).alias("cc1"),
-        F.sum("c2").over(w).alias("cc2"),
+    cum, _nv, _t = global_prefix_sums(
+        vals, [F.col("x").asc()], {"cc1": F.col("c1"), "cc2": F.col("c2")}
+    )
+    cum = cum.select(
+        (F.col("c1") + F.col("c2")).alias("m"), "cc1", "cc2"
     )
     d = dec(F.col("cc1")) * F.col("n2") - dec(F.col("cc2")) * F.col("n1")
     num = cum.crossJoin(F.broadcast(tot)).agg(
@@ -276,16 +285,25 @@ def q_energy_distance_returns(spark, sf_dir):
     vals = _vals(spark, sf_dir)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    z = F.lit(0).cast("decimal(38,0)")
-    cum = vals.select(
+    # strict prefixes via inclusive - own term; the weighted sums
+    # cumulate as DECIMAL(38,0) (c*x products overflow a long at scale)
+    cum, _nv, _t = global_prefix_sums(
+        vals, [F.col("x").asc()],
+        {
+            "_le1": F.col("c1"),
+            "_lse1": (dec(F.col("c1")) * F.col("x"), "decimal(38,0)"),
+            "_le2": F.col("c2"),
+            "_lse2": (dec(F.col("c2")) * F.col("x"), "decimal(38,0)"),
+        },
+    )
+    cum = cum.select(
         F.col("x"),
         F.col("c1"),
         F.col("c2"),
-        F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("lt1"),
-        F.coalesce(F.sum(dec(F.col("c1")) * F.col("x")).over(w), z).alias("ls1"),
-        F.coalesce(F.sum("c2").over(w), F.lit(0)).alias("lt2"),
-        F.coalesce(F.sum(dec(F.col("c2")) * F.col("x")).over(w), z).alias("ls2"),
+        (F.col("_le1") - F.col("c1")).alias("lt1"),
+        (F.col("_lse1") - dec(F.col("c1")) * F.col("x")).alias("ls1"),
+        (F.col("_le2") - F.col("c2")).alias("lt2"),
+        (F.col("_lse2") - dec(F.col("c2")) * F.col("x")).alias("ls2"),
     )
     sxy = F.sum(
         dec(F.col("c1")) * (dec(F.col("lt2")) * F.col("x") - F.col("ls2"))

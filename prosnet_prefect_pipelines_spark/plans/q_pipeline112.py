@@ -213,14 +213,19 @@ def q_qte_decile_gaps(spark, sf_dir):
     window over the |V| table fanned across the 9-row decile dim.
 
     Ref semantics: SURVEY §2 A2/O1/J4 (extension X-QTE)."""
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_prefix_sums,
+    )
+
     vals = _vals(spark, sf_dir)
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
-        F.col("x"),
-        F.sum("c1").over(w).alias("cc1"),
-        F.sum("c2").over(w).alias("cc2"),
+    # both cumulations in one distributed two-pass layout (r11: the
+    # distinct-value table is value-cardinality — it grows with the
+    # corpus, so the single-partition window was a latent scale cliff)
+    cum, _nv, _tots = global_prefix_sums(
+        vals, [F.col("x").asc()], {"cc1": F.col("c1"), "cc2": F.col("c2")}
     )
+    cum = cum.select("x", "cc1", "cc2")
     dims = spark.createDataFrame([(d,) for d in range(1, 10)], "d long")
     j = cum.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(tot))
     q = j.groupBy("d").agg(
@@ -285,15 +290,24 @@ def q_cliffs_delta_returns(spark, sf_dir):
     the Romano magnitude thresholds (0.147/0.33/0.474) as literals.
 
     Ref semantics: SURVEY §2 A2/O1 (extension X-CLIFFS)."""
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_prefix_sums,
+    )
+
     vals = _vals(spark, sf_dir)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    wlt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    wle = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
+    # the inclusive prefix le2 comes from the distributed two-pass
+    # cumulation (r11: value-cardinality table, see qte above); the
+    # strict prefix is the exact identity lt2 = le2 - c2 — no second
+    # window, no COALESCE (le2 always exists)
+    cum, _nv, _tots = global_prefix_sums(
+        vals, [F.col("x").asc()], {"le2": F.col("c2")}
+    )
+    cum = cum.select(
         F.col("c1"),
-        F.coalesce(F.sum("c2").over(wlt), F.lit(0)).alias("lt2"),
-        F.sum("c2").over(wle).alias("le2"),
+        (F.col("le2") - F.col("c2")).alias("lt2"),
+        F.col("le2"),
     )
     pairs = cum.crossJoin(F.broadcast(tot)).agg(
         F.sum(dec(F.col("c1")) * F.col("lt2")).alias("wins"),

@@ -85,21 +85,27 @@ JOIN ms ON ms.user_id = rfm.user_id
 
 
 def _quintile_scores(rfm, col: str, invert: bool):
+    """Quintile score per user from the distinct-value cumulation —
+    r11: the cumulation now runs through the distributed two-pass
+    prefix sum (``operators/distrank.py``). The distinct-METRIC table
+    is much smaller than the user table but still value-cardinality
+    (distinct cents grow with the corpus), so the old single-partition
+    window and the forced broadcast of the score table were both
+    latent scale cliffs; the rewrite is bit-identical (exact long
+    cumulation, n folded in as a literal) and leaves the score join to
+    AQE (broadcast while small, shuffle at scale)."""
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_rank_prefix_sum,
+    )
+
     direction = F.col(col).desc() if invert else F.col(col).asc()
     dist = rfm.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.orderBy(direction).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum, _n_vals, n = global_rank_prefix_sum(
+        dist, [direction], F.col("cnt"), rn_out="_vrn", cum_out="cum"
     )
-    cum = dist.select(
-        col,
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
-    )
-    score = F.expr("CAST((cum - 1) * 5 div n + 1 AS BIGINT)")
+    score = F.expr(f"CAST((cum - 1) * 5 div {n} + 1 AS BIGINT)")
     return rfm.select("user_id", col).join(
-        F.broadcast(cum.select(col, score.alias("score"))), col
+        cum.select(col, score.alias("score")), col
     ).select("user_id", "score")
 
 

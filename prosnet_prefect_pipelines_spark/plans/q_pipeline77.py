@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.model import read_events
+from prosnet_prefect_pipelines_spark.operators.distrank import (
+    global_prefix_sums,
+)
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
 _GAP_US = 1_800_000_000  # 30 min
@@ -97,16 +100,20 @@ def q_concurrent_sessions_profile(spark, sf_dir):
     +1 at its start and a -1 after its end; the running sum over the
     deduplicated boundary timeline IS the live-session count at every
     change point — peak concurrency with no interval self-join. The
-    sweep's single-partition window runs over the boundary timeline
-    (2 x sessions, change-points deduplicated); at 100 TB the sweep
-    shards by coarse time range with per-shard offsets."""
+    sweep (r11) runs through the distributed two-pass prefix sum —
+    exactly the 'shard by time range with per-shard offsets' escalation
+    this docstring used to promise, now the actual plan (the boundary
+    timeline grows with the corpus; a single-partition window over it
+    was the latent cliff)."""
     sess = _sessions(spark, sf_dir)
     bounds = sess.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
         sess.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
     )
     agg = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    sweep = agg.select(F.sum("d").over(w).alias("conc"))
+    cum, _nv, _t = global_prefix_sums(
+        agg, [F.col("t").asc()], {"conc": F.col("d")}
+    )
+    sweep = cum.select("conc")
     return sweep.agg(
         F.max("conc").cast("long").alias("peak_concurrency"),
         F.count(F.lit(1)).cast("long").alias("n_change_points"),
@@ -298,11 +305,15 @@ def q_equi_depth_histogram(spark, sf_dir):
     # The cumulative window runs over |V| distinct prices; the
     # 10-row bucket-bounds table broadcasts into a range join.
     per_v = pts.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    vals = per_v.select(
+    # r11: |V| distinct prices is value-cardinality — cumulate via the
+    # distributed two-pass prefix sum instead of one partition
+    cum, _nv, _t = global_prefix_sums(
+        per_v, [F.col("cents").asc()], {"hi_pos": F.col("cnt")}
+    )
+    vals = cum.select(
         "cents",
-        (F.sum("cnt").over(w) - F.col("cnt") + 1).alias("lo_pos"),
-        F.sum("cnt").over(w).alias("hi_pos"),
+        (F.col("hi_pos") - F.col("cnt") + 1).alias("lo_pos"),
+        "hi_pos",
     )
     n_tot = per_v.agg(F.sum("cnt").alias("N"))
     buckets = (

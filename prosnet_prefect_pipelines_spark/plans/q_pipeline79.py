@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prosnet_prefect_pipelines_spark.operators.distrank import (
+    global_prefix_sums,
+)
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# r11: the distinct-value cumulations here route through the
+# distributed two-pass prefix sum (operators/distrank.py) — the
+# distinct-value tables are value-cardinality and the old
+# single-partition windows were latent scale cliffs. Bit-identical.
 
 # Two samples throughout: order values before/after 1996-01-01.
 _SAMPLES_CTE = """
@@ -99,11 +107,10 @@ def q_ks_statistic_exact(spark, sf_dir):
         F.sum("a1").alias("n1"),
         F.sum("a2").alias("n2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    at_value = per_v.select(
-        F.sum("a1").over(w).alias("c1"),
-        F.sum("a2").over(w).alias("c2"),
+    cum, _nv, _t = global_prefix_sums(
+        per_v, [F.col("v").asc()], {"c1": F.col("a1"), "c2": F.col("a2")}
     )
+    at_value = cum.select("c1", "c2")
     d = at_value.join(F.broadcast(n)).agg(
         F.max(
             F.abs(
@@ -171,11 +178,11 @@ def q_mannwhitney_u_exact(spark, sf_dir):
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("a2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "a1",
-        (F.col("a1") + F.col("a2")).alias("cnt"),
-        F.sum(F.col("a1") + F.col("a2")).over(w).alias("tot"),
+    cum, _nv, _t = global_prefix_sums(
+        per_v, [F.col("v").asc()], {"tot": F.col("a1") + F.col("a2")}
+    )
+    cum = cum.select(
+        "a1", (F.col("a1") + F.col("a2")).alias("cnt"), "tot"
     )
     n = per_v.agg(
         F.sum("a1").alias("n1"),
@@ -261,17 +268,17 @@ def q_spearman_rank_corr(spark, sf_dir):
 
     def _ranks(col: str, out: str):
         per_v = pairs.groupBy(col).agg(F.sum("c").alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        return per_v.select(
-            col,
-            (
-                2 * F.sum("cnt").over(w) - F.col("cnt") + 1
-            ).alias(out),
+        cum, _nv, _t = global_prefix_sums(
+            per_v, [F.col(col).asc()], {"_ci": F.col("cnt")}
+        )
+        return cum.select(
+            col, (2 * F.col("_ci") - F.col("cnt") + 1).alias(out)
         )
 
-    r = pairs.join(F.broadcast(_ranks("x", "rx")), "x").join(
-        F.broadcast(_ranks("y", "ry")), "y"
-    )
+    # rank-table joins left to AQE (broadcast while small; the rank
+    # tables are value-cardinality, so a forced broadcast was the
+    # same latent cliff as the windows)
+    r = pairs.join(_ranks("x", "rx"), "x").join(_ranks("y", "ry"), "y")
     d = "DECIMAL(38,0)"
     s = r.agg(
         F.sum("c").cast(d).alias("n"),

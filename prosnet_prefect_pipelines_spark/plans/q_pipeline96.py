@@ -41,19 +41,32 @@ def _doubled_ranks(v, part_cols: list[str]):
     """(part..., v6, c, dr): per distinct value within partition, its
     multiplicity c and doubled average rank dr = 2*cum_lt + c + 1.
 
-    The running sum windows over the DISTINCT-value table, partitioned
-    by ``part_cols`` (unpartitioned only when part_cols == [] — then
-    |V| rows is the state bound, documented per query)."""
+    Partitioned callers keep the keyed window (parallel by key). The
+    UNPARTITIONED case (r11) routes through the distributed two-pass
+    prefix sum — the distinct-value table is value-cardinality, so the
+    old single-partition window was a latent scale cliff; strict prefix
+    via cum_inclusive - c, bit-identical."""
     counts = v.groupBy(*part_cols, "v6").agg(F.count(F.lit(1)).alias("c"))
-    w = (
-        Window.partitionBy(*part_cols).orderBy("v6")
-        if part_cols
-        else Window.orderBy("v6")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    return counts.withColumn(
-        "dr",
-        2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1,
+    if part_cols:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy("v6")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.withColumn(
+            "dr",
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1,
+        )
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        global_prefix_sums,
     )
+
+    cum, _nv, _t = global_prefix_sums(
+        counts, [F.col("v6").asc()], {"_ci": F.col("c")}
+    )
+    return cum.withColumn(
+        "dr", 2 * (F.col("_ci") - F.col("c")) + F.col("c") + 1
+    ).drop("_ci")
 
 
 _DR_CTE = """

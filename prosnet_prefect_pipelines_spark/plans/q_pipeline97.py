@@ -34,7 +34,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prosnet_prefect_pipelines_spark.operators.distrank import (
+    global_prefix_sums,
+)
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# r11 note: every cumulative window in this file runs over a
+# DISTINCT-metric-value table. That is far smaller than the entity
+# table it summarizes, but still value-cardinality (distinct spend
+# values grow with the corpus), so the single-partition cumulations
+# were latent scale cliffs — each now routes through the distributed
+# two-pass prefix sum (operators/distrank.py), bit-identical (exact
+# long cumulation; strict prefixes via cum_inclusive - count).
 
 # ---------------------------------------------------------------------------
 # 1. Wilcoxon signed-rank: customer spend 1995 vs 1996.
@@ -116,9 +127,11 @@ def q_wilcoxon_signed_rank(spark, sf_dir):
         F.count(F.lit(1)).alias("c"),
         F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cpos"),
     )
-    w = Window.orderBy("v6").rowsBetween(Window.unboundedPreceding, -1)
-    dr = counts.withColumn(
-        "dr", 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+    cum, _nv, _t = global_prefix_sums(
+        counts, [F.col("v6").asc()], {"_ci": F.col("c")}
+    )
+    dr = cum.withColumn(
+        "dr", 2 * (F.col("_ci") - F.col("c")) + F.col("c") + 1
     )
     agg = dr.agg(
         F.sum("c").alias("n"),
@@ -316,8 +329,10 @@ def q_gini_customer_spend(spark, sf_dir):
     counts = spend.groupBy(F.col("cents").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn("cb", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    cum, _nv, _t = global_prefix_sums(
+        counts, [F.col("v").asc()], {"_ci": F.col("c")}
+    )
+    cum = cum.withColumn("cb", F.col("_ci") - F.col("c"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = cum.agg(
         F.sum("c").alias("n"),

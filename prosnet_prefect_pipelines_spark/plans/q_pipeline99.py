@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prosnet_prefect_pipelines_spark.operators.distrank import (
+    global_prefix_sums,
+)
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+
+# r11: the distinct-order-value cumulations route through the
+# distributed two-pass prefix sum (operators/distrank.py) — the |V|
+# table is value-cardinality and the single-partition windows were
+# latent scale cliffs. Bit-identical (strict prefix = inclusive - c).
 
 # ---------------------------------------------------------------------------
 # 1. Exact skewness & kurtosis of order value.
@@ -324,8 +332,9 @@ def q_bowley_quartile_skew(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
     )
     counts = v.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.withColumn("ce", F.sum("c").over(w))
+    cum, _nv, _t = global_prefix_sums(
+        counts, [F.col("v").asc()], {"ce": F.col("c")}
+    )
     tot = cum.agg(F.sum("c").alias("n"))
     j = cum.crossJoin(F.broadcast(tot))
     quart = j.agg(
@@ -473,11 +482,10 @@ def q_trimmed_mean_orders(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
     )
     counts = v.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    w_ce = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_cb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn("ce", F.sum("c").over(w_ce)).withColumn(
-        "cb", F.coalesce(F.sum("c").over(w_cb), F.lit(0))
+    cum, _nv, _t = global_prefix_sums(
+        counts, [F.col("v").asc()], {"ce": F.col("c")}
     )
+    cum = cum.withColumn("cb", F.col("ce") - F.col("c"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = counts.agg(
         F.sum("c").alias("n"),
