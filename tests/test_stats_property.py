@@ -20,6 +20,19 @@ _cents = st.integers(min_value=1, max_value=500)
 _cents_list = st.lists(_cents, min_size=2, max_size=25)
 
 
+def _round6(x: float) -> float:
+    """HALF_UP 6-dp rounding — what Spark's round() and DuckDB's round()
+    both do. Python's round() is half-EVEN, so a reference value landing
+    exactly on a .5e-6 tie (easy with small-integer ratios: 212/512 =
+    0.4140625) disagrees by 1e-6 and fails the 1e-9 tolerance (found by
+    hypothesis in r11's full suite on gini)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _write_orders_cents(spark, path, cents_list, year=1995):
     rows = [
         (i, i, "O", c / 100.0, dt.datetime(year, 6, 1), "3-MEDIUM")
@@ -104,7 +117,7 @@ def test_gini_matches_sorted_rank_formula(spark, tmp_path, cents):
         n * tot
     )
     assert got["n"] == n and got["total_cents"] == tot
-    assert abs(got["gini"] - round(g, 6)) <= 1e-9
+    assert abs(got["gini"] - _round6(g)) <= 1e-9
 
 
 @settings(
@@ -124,7 +137,7 @@ def test_trimmed_mean_matches_sorted_slice(spark, tmp_path, cents):
     mid = s[k : len(s) - k]
     ref = sum(mid) / len(mid) / 100.0
     assert got["trimmed_each"] == k
-    assert abs(got["trimmed_mean_dollars"] - round(ref, 6)) <= 1e-9
+    assert abs(got["trimmed_mean_dollars"] - _round6(ref)) <= 1e-9
 
 
 @settings(
@@ -148,7 +161,7 @@ def test_bowley_quartiles_match_inverse_ecdf(spark, tmp_path, cents):
     assert (got["q1_cents"], got["q2_cents"], got["q3_cents"]) == (q1, q2, q3)
     if q3 != q1:
         ref = (q3 + q1 - 2 * q2) / (q3 - q1)
-        assert abs(got["bowley_skew"] - round(ref, 6)) <= 1e-9
+        assert abs(got["bowley_skew"] - _round6(ref)) <= 1e-9
     else:
         assert got["bowley_skew"] is None
 
@@ -222,10 +235,10 @@ def test_mann_kendall_matches_naive_pairs(spark, tmp_path, cents):
     )
     var = (n * (n - 1) * (2 * n + 5) - tie) / 18
     assert got["n_months"] == n and got["s_stat"] == s
-    assert abs(got["var_s_6"] - round(var, 6)) <= 1e-9
+    assert abs(got["var_s_6"] - _round6(var)) <= 1e-9
     if var > 0:
         z = (s - 1) / var**0.5 if s > 0 else ((s + 1) / var**0.5 if s < 0 else 0.0)
-        assert abs(got["z_6"] - round(z, 6)) <= 1e-9
+        assert abs(got["z_6"] - _round6(z)) <= 1e-9
 
 
 @settings(
@@ -315,11 +328,11 @@ def test_benford_report_matches_counter(spark, tmp_path, cents):
     n = len(cents)
     for d, p in _BENFORD_P:
         assert out[d]["obs_count"] == obs.get(d, 0)
-        assert abs(out[d]["expected_6"] - round(n * p, 6)) <= 1e-9
+        assert abs(out[d]["expected_6"] - _round6(n * p)) <= 1e-9
         assert (
             abs(
                 out[d]["chi2_term_6"]
-                - round((obs.get(d, 0) - n * p) ** 2 / (n * p), 6)
+                - _round6((obs.get(d, 0) - n * p) ** 2 / (n * p))
             )
             <= 1e-9
         )
@@ -329,7 +342,7 @@ def test_benford_report_matches_counter(spark, tmp_path, cents):
     naive = sum(
         (cells.get(ll, 0) - n / 100) ** 2 / (n / 100) for ll in range(100)
     )
-    assert abs(uni["chi2_6"] - round(naive, 6)) <= 1e-6
+    assert abs(uni["chi2_6"] - _round6(naive)) <= 1e-6
     assert uni["cells_present"] == len(cells)
 
 
@@ -369,7 +382,7 @@ def test_auc_rank_identity_matches_naive_pairs(spark, tmp_path, items):
     ties = sum(1 for p in pos for q in neg if p == q)
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
-    assert abs(got["auc_6"] - round(auc, 6)) <= 1e-9
+    assert abs(got["auc_6"] - _round6(auc)) <= 1e-9
 
 
 @settings(
