@@ -11,12 +11,23 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prosnet_prefect_pipelines_spark.operators import distrank
 from prosnet_prefect_pipelines_spark.operators.distrank import (
     global_rank_prefix_sum,
     global_row_number,
     ntile_from_rn,
     with_global_ntile,
 )
+
+
+@pytest.fixture(params=["small", "distributed"])
+def placement(request, monkeypatch):
+    """Run every equivalence test on BOTH adaptive placements: the
+    single-partition-window fast path and the two-pass distributed
+    protocol (threshold 0 forces it)."""
+    if request.param == "distributed":
+        monkeypatch.setattr(distrank, "_SMALL_ROWS", 0)
+    return request.param
 
 
 def _ids(spark, n, parts=7):
@@ -28,7 +39,7 @@ def _ids(spark, n, parts=7):
 
 
 @pytest.mark.parametrize("n", [0, 1, 2, 3, 10, 97, 1000])
-def test_global_row_number_matches_window(spark, n):
+def test_global_row_number_matches_window(spark, n, placement):
     df = _ids(spark, n)
     order = [F.col("key").asc(), F.col("uid").asc()]
     got, total = global_row_number(df, order, out="rn")
@@ -41,7 +52,7 @@ def test_global_row_number_matches_window(spark, n):
 
 @pytest.mark.parametrize("n,k", [(1, 3), (2, 3), (3, 3), (9, 3), (10, 3),
                                  (11, 3), (97, 10), (1000, 7), (5, 10)])
-def test_ntile_closed_form_matches_window(spark, n, k):
+def test_ntile_closed_form_matches_window(spark, n, k, placement):
     df = _ids(spark, n)
     order = [F.col("key").desc(), F.col("uid").asc()]
     got = with_global_ntile(df, order, k, "t")
@@ -52,7 +63,7 @@ def test_ntile_closed_form_matches_window(spark, n, k):
 
 
 @pytest.mark.parametrize("n", [0, 1, 13, 500])
-def test_global_rank_prefix_sum_matches_windows(spark, n):
+def test_global_rank_prefix_sum_matches_windows(spark, n, placement):
     df = _ids(spark, n).withColumn("val", (F.col("uid") * 7 - 3).cast("long"))
     order = [F.col("key").desc(), F.col("uid").asc()]
     got, total_rows, total_sum = global_rank_prefix_sum(
