@@ -40,7 +40,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.operators.distrank import (
-    global_prefix_sums,
+    prefix_sums,
 )
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
@@ -128,7 +128,7 @@ def q_wasserstein1_returns(spark, sf_dir):
     vals = _vals(spark, sf_dir)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         vals, [F.col("x").asc()],
         {"cc1": F.col("c1"), "cc2": F.col("c2")}, rn_out="_rn",
     )
@@ -201,7 +201,7 @@ def q_cvm_two_sample(spark, sf_dir):
     vals = _vals(spark, sf_dir)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         vals, [F.col("x").asc()], {"cc1": F.col("c1"), "cc2": F.col("c2")}
     )
     cum = cum.select(
@@ -287,7 +287,7 @@ def q_energy_distance_returns(spark, sf_dir):
     tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     # strict prefixes via inclusive - own term; the weighted sums
     # cumulate as DECIMAL(38,0) (c*x products overflow a long at scale)
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         vals, [F.col("x").asc()],
         {
             "_le1": F.col("c1"),

@@ -214,7 +214,7 @@ def q_qte_decile_gaps(spark, sf_dir):
 
     Ref semantics: SURVEY §2 A2/O1/J4 (extension X-QTE)."""
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_prefix_sums,
+        prefix_sums,
     )
 
     vals = _vals(spark, sf_dir)
@@ -222,7 +222,7 @@ def q_qte_decile_gaps(spark, sf_dir):
     # both cumulations in one distributed two-pass layout (r11: the
     # distinct-value table is value-cardinality — it grows with the
     # corpus, so the single-partition window was a latent scale cliff)
-    cum, _nv, _tots = global_prefix_sums(
+    cum = prefix_sums(
         vals, [F.col("x").asc()], {"cc1": F.col("c1"), "cc2": F.col("c2")}
     )
     cum = cum.select("x", "cc1", "cc2")
@@ -291,7 +291,7 @@ def q_cliffs_delta_returns(spark, sf_dir):
 
     Ref semantics: SURVEY §2 A2/O1 (extension X-CLIFFS)."""
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_prefix_sums,
+        prefix_sums,
     )
 
     vals = _vals(spark, sf_dir)
@@ -301,7 +301,7 @@ def q_cliffs_delta_returns(spark, sf_dir):
     # cumulation (r11: value-cardinality table, see qte above); the
     # strict prefix is the exact identity lt2 = le2 - c2 — no second
     # window, no COALESCE (le2 always exists)
-    cum, _nv, _tots = global_prefix_sums(
+    cum = prefix_sums(
         vals, [F.col("x").asc()], {"le2": F.col("c2")}
     )
     cum = cum.select(

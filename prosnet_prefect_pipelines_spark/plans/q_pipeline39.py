@@ -76,7 +76,7 @@ def q_zipf_curve_report(spark, sf_dir):
     old single-partition rank window was the same scale-killer the r8
     verdict flagged in rfm_segments)."""
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_row_number,
+        prefix_sums,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -85,8 +85,8 @@ def q_zipf_curve_report(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    ranked, _ = global_row_number(
-        counts, [F.col("c").desc(), F.col("token").asc()], out="rank"
+    ranked = prefix_sums(
+        counts, [F.col("c").desc(), F.col("token").asc()], rn_out="rank"
     )
     binned = ranked.select(
         F.expr(f"CAST({_BIN_CASE_SQL} AS BIGINT)").alias("rank_bin"), "token", "c"

@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.model import read_events
 from prosnet_prefect_pipelines_spark.operators.distrank import (
-    global_prefix_sums,
+    prefix_sums,
 )
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
@@ -110,7 +110,7 @@ def q_concurrent_sessions_profile(spark, sf_dir):
         sess.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
     )
     agg = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         agg, [F.col("t").asc()], {"conc": F.col("d")}
     )
     sweep = cum.select("conc")
@@ -307,7 +307,7 @@ def q_equi_depth_histogram(spark, sf_dir):
     per_v = pts.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
     # r11: |V| distinct prices is value-cardinality — cumulate via the
     # distributed two-pass prefix sum instead of one partition
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         per_v, [F.col("cents").asc()], {"hi_pos": F.col("cnt")}
     )
     vals = cum.select(

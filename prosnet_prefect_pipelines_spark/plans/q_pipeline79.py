@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.operators.distrank import (
-    global_prefix_sums,
+    prefix_sums,
 )
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
@@ -107,7 +107,7 @@ def q_ks_statistic_exact(spark, sf_dir):
         F.sum("a1").alias("n1"),
         F.sum("a2").alias("n2"),
     )
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         per_v, [F.col("v").asc()], {"c1": F.col("a1"), "c2": F.col("a2")}
     )
     at_value = cum.select("c1", "c2")
@@ -178,7 +178,7 @@ def q_mannwhitney_u_exact(spark, sf_dir):
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("a2"),
     )
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         per_v, [F.col("v").asc()], {"tot": F.col("a1") + F.col("a2")}
     )
     cum = cum.select(
@@ -268,7 +268,7 @@ def q_spearman_rank_corr(spark, sf_dir):
 
     def _ranks(col: str, out: str):
         per_v = pairs.groupBy(col).agg(F.sum("c").alias("cnt"))
-        cum, _nv, _t = global_prefix_sums(
+        cum = prefix_sums(
             per_v, [F.col(col).asc()], {"_ci": F.col("cnt")}
         )
         return cum.select(

@@ -58,10 +58,10 @@ def _doubled_ranks(v, part_cols: list[str]):
             2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1,
         )
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_prefix_sums,
+        prefix_sums,
     )
 
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         counts, [F.col("v6").asc()], {"_ci": F.col("c")}
     )
     return cum.withColumn(

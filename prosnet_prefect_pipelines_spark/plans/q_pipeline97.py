@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.operators.distrank import (
-    global_prefix_sums,
+    prefix_sums,
 )
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
@@ -127,7 +127,7 @@ def q_wilcoxon_signed_rank(spark, sf_dir):
         F.count(F.lit(1)).alias("c"),
         F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cpos"),
     )
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         counts, [F.col("v6").asc()], {"_ci": F.col("c")}
     )
     dr = cum.withColumn(
@@ -329,7 +329,7 @@ def q_gini_customer_spend(spark, sf_dir):
     counts = spend.groupBy(F.col("cents").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         counts, [F.col("v").asc()], {"_ci": F.col("c")}
     )
     cum = cum.withColumn("cb", F.col("_ci") - F.col("c"))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.operators.distrank import (
-    global_prefix_sums,
+    prefix_sums,
 )
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 
@@ -332,7 +332,7 @@ def q_bowley_quartile_skew(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
     )
     counts = v.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         counts, [F.col("v").asc()], {"ce": F.col("c")}
     )
     tot = cum.agg(F.sum("c").alias("n"))
@@ -482,7 +482,7 @@ def q_trimmed_mean_orders(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
     )
     counts = v.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    cum, _nv, _t = global_prefix_sums(
+    cum = prefix_sums(
         counts, [F.col("v").asc()], {"ce": F.col("c")}
     )
     cum = cum.withColumn("cb", F.col("ce") - F.col("c"))
