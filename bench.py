@@ -262,6 +262,22 @@ ATTRIBUTIONS = {
         "Magnitude bound 2.2x: a real multiplicative regression still "
         "surfaces."
     ),
+    "r23_preference_session_spike": (
+        "BENCH_DETAIL_r23 carried the round's one unattributed regression: "
+        "stream_preference_margin_monitor warm 5.165 -> 12.596 s vs r22 "
+        "(ratio 2.44, beyond the r22_host_load_spike 2.2x bound), confirms "
+        "6.68/8.52 s. Isolated r12 by the fresh-session x3 protocol "
+        "(scripts/isolate_query.py, artifacts/isolate_preference_r12.jsonl): "
+        "three fresh JVMs measured warm x3 floors 5.93/5.56/5.83 s — AT the "
+        "r22 baseline (5.165) within host noise, below the in-bench "
+        "confirms and below the driver round-8 measurement (8.66 s, "
+        "BENCH_DETAIL_r20). Code-identical by construction: git diff over "
+        "plans/q_pipeline117.py + streaming/ between the r8 close "
+        "(5bbddb0) and the r23 bench tree is empty. The r23 spike was "
+        "in-session accumulation/load transient, not a regression; r23's "
+        "recorded warm_s (6.676, the confirm floor) already pairs the next "
+        "round warm-to-warm at steady state."
+    ),
     "warm_variance_confirmed": (
         "Auto-attributed by the in-bench confirm pass (r7): this "
         "WARM-mode flag was re-run x2 in the same session and the best "
@@ -293,6 +309,32 @@ ATTRIBUTION_RATIO_BOUND = 1.75
 ATTRIBUTION_RATIO_BOUND_OF = {
     "r11_distrank_protocol": 2.5,
     "r22_host_load_spike": 2.2,
+    "r23_preference_session_spike": 2.6,
+}
+
+# Attribution expiry (r9 ADVICE low: static attributions never expired,
+# so a genuine future regression below the widened bound in any mapped
+# query would be auto-attributed to a one-time r11/r22 event forever).
+# Each one-time key lists the LAST prior round it was measured against:
+# the attribution applies only while the query's comparison round is at
+# or before that round; once a clean post-event baseline exists the
+# widened bound stops applying and the standard gate takes over. Keys
+# absent here (knn_join_batch, pagerank_nations — documented PERMANENT
+# plan-shape sensitivities) never expire.
+ATTRIBUTION_MAX_PREV_ROUND = {
+    # cold-planning variance events: any post-event round pairs
+    # warm-to-warm against a recorded steady state
+    "r5_cold_variance": 6,
+    "r6_cold_variance": 7,
+    "scc_components": 7,
+    # the distrank protocol overhead entered the record across r21-r23;
+    # r12 removed the plan-build job entirely (lazy in-plan offsets),
+    # so comparisons against r23+ baselines need no widened bound
+    "r11_distrank_protocol": 23,
+    # one-time host/session events of the r22-r23 window
+    "r22_neardup_session_drift": 23,
+    "r22_host_load_spike": 23,
+    "r23_preference_session_spike": 23,
 }
 
 # query -> ATTRIBUTIONS key. The r5 verdict found the headline counter
@@ -340,7 +382,7 @@ ATTRIBUTION_OF = {
     "mann_whitney_u": "r11_distrank_protocol",
     "stream_neardup_monitor": "r22_neardup_session_drift",
     "stream_length_bias_monitor": "r22_host_load_spike",
-    "stream_preference_margin_monitor": "r22_host_load_spike",
+    "stream_preference_margin_monitor": "r23_preference_session_spike",
     "stream_ann_topk_monitor": "r22_host_load_spike",
 }
 
@@ -532,27 +574,61 @@ def main() -> None:
     calib_shuffle_samples = [_shuffle_probe() for _ in range(3)]
     calib_shuffle = sorted(calib_shuffle_samples)[1]
 
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        rows[name] = n
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # release checkpointed RDD blocks from iterative operators: the
-        # explicit sweep is deterministic (ContextCleaner-via-GC only
-        # frees blocks after both GCs run and is asynchronous), and
-        # accumulated blocks degrade later queries
-        del df
-        from prosnet_prefect_pipelines_spark.session import sweep_persistent_rdds
+    # --repeat=N (r9 verdict item 5): the r22 episode measured a 1.6x
+    # same-code spread across four identical benches under fleet-
+    # neighbor load — one single-shot pass under that regime produces a
+    # round artifact that contradicts its neighbors. With N>1 the cold
+    # pass runs N times and each query records its per-run times plus
+    # the MEDIAN as the headline timing; also auto-engaged (2 extra
+    # passes) when the end-of-bench calibration resample drifts >1.25x
+    # from the start-of-bench floor (load arrived mid-run).
+    repeat = 1
+    for arg in sys.argv[1:]:
+        if arg.startswith("--repeat"):
+            repeat = int(arg.split("=", 1)[1] if "=" in arg else 3)
 
-        sweep_persistent_rdds(spark)
-        import gc
+    def _cold_pass() -> tuple[dict[str, float], dict[str, int]]:
+        pass_t: dict[str, float] = {}
+        pass_rows: dict[str, int] = {}
+        for name in names:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            pass_t[name] = round(time.time() - t0, 3)
+            pass_rows[name] = n
+            print(f"# {name}: {n} rows in {pass_t[name]}s", file=sys.stderr)
+            # release checkpointed RDD blocks from iterative operators:
+            # the explicit sweep is deterministic (ContextCleaner-via-GC
+            # only frees blocks after both GCs run and is asynchronous),
+            # and accumulated blocks degrade later queries
+            del df
+            from prosnet_prefect_pipelines_spark.session import (
+                sweep_persistent_rdds,
+            )
 
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+            sweep_persistent_rdds(spark)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        return pass_t, pass_rows
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    cold_passes: list[dict[str, float]] = []
+    timings, rows = _cold_pass()
+    cold_passes.append(timings)
+    for _ in range(repeat - 1):
+        extra, _r = _cold_pass()
+        cold_passes.append(extra)
+    if len(cold_passes) > 1:
+        timings = {
+            n: _median([p[n] for p in cold_passes if n in p])
+            for n in cold_passes[0]
+        }
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -593,6 +669,38 @@ def main() -> None:
     sweep_persistent_rdds(spark)
     calib_samples += [_cpu_probe() for _ in range(3)]
     calib_shuffle_samples += [_shuffle_probe() for _ in range(2)]
+
+    # mid-run calibration drift: end-of-bench floor vs start-of-bench
+    # floor. >1.25x either way means the host changed speed UNDER the
+    # run (the r22 fleet-load regime); a single-shot cold pass from
+    # such a session is one sample of a bimodal distribution, so
+    # auto-engage the median-of-3 protocol (2 extra passes) unless the
+    # caller already asked for repeats.
+    start_floor = min(calib_samples[:5])
+    end_floor = min(calib_samples[5:])
+    calib_drift = round(end_floor / start_floor, 3) if start_floor else None
+    repeat_engaged = False
+    if (
+        repeat == 1
+        and calib_drift is not None
+        and not (1 / 1.25 <= calib_drift <= 1.25)
+    ):
+        repeat_engaged = True
+        print(
+            f"# mid-run calibration drift {calib_drift} — engaging "
+            "median-of-3 cold protocol (2 extra passes)",
+            file=sys.stderr,
+        )
+        for _ in range(2):
+            extra, _r = _cold_pass()
+            cold_passes.append(extra)
+        timings = {
+            n: _median([p[n] for p in cold_passes if n in p])
+            for n in cold_passes[0]
+        }
+        total = round(sum(timings.values()), 3)
+        sweep_persistent_rdds(spark)
+        calib_samples += [_cpu_probe() for _ in range(2)]
 
     rounds = _prior_rounds()
     prev_map = _per_query_prev(rounds)
@@ -808,6 +916,22 @@ def main() -> None:
             n
         ) * _host_factor(n) * (1 + REGRESSION_PCT)
 
+    def _static_attribution(n: str) -> str | None:
+        """The query's static attribution key, or None when it has
+        none, its ratio exceeds the key's documented magnitude bound,
+        or the key has EXPIRED for this comparison (the query pairs
+        against a round newer than the one-time event's last measured
+        round — see ATTRIBUTION_MAX_PREV_ROUND)."""
+        key = ATTRIBUTION_OF.get(n)
+        if key is None:
+            return None
+        if prev_map[n][0] > ATTRIBUTION_MAX_PREV_ROUND.get(key, 10**9):
+            return None
+        bound = ATTRIBUTION_RATIO_BOUND_OF.get(key, ATTRIBUTION_RATIO_BOUND)
+        if pair(n)[0] / pair(n)[1] > bound:
+            return None
+        return key
+
     regressions_beyond_host = sorted(
         (
             {
@@ -825,20 +949,13 @@ def main() -> None:
                     else {}
                 ),
                 **(
-                    {"attribution_key": ATTRIBUTION_OF[n]}
-                    if n in ATTRIBUTION_OF
-                    and pair(n)[0] / pair(n)[1]
-                    <= ATTRIBUTION_RATIO_BOUND_OF.get(
-                        ATTRIBUTION_OF[n], ATTRIBUTION_RATIO_BOUND
-                    )
+                    {"attribution_key": _static_attribution(n)}
+                    if _static_attribution(n) is not None
                     else {}
                 ),
                 **(
                     {"attribution_key": f"{delta_mode[n]}_variance_confirmed"}
-                    if (
-                        n not in ATTRIBUTION_OF
-                        or pair(n)[0] / pair(n)[1] > ATTRIBUTION_RATIO_BOUND
-                    )
+                    if _static_attribution(n) is None
                     and _confirmed_variance(n)
                     else {}
                 ),
@@ -919,6 +1036,29 @@ def main() -> None:
         "value_per_calib": round(total / calib, 2) if calib else None,
         "n_queries": len(timings),
         "queries": timings,
+        **(
+            {
+                "cold_runs": {
+                    n: [p[n] for p in cold_passes if n in p]
+                    for n in cold_passes[0]
+                },
+                "cold_spread": {
+                    n: round(
+                        (max(runs) - min(runs)) / timings[n], 3
+                    )
+                    for n, runs in (
+                        (n, [p[n] for p in cold_passes if n in p])
+                        for n in cold_passes[0]
+                    )
+                    if timings[n] > 0
+                },
+            }
+            if len(cold_passes) > 1
+            else {}
+        ),
+        "repeat": len(cold_passes),
+        "repeat_engaged": repeat_engaged,
+        "calib_drift_mid_run": calib_drift,
         "warm_s": warm_s,
         "warm_runs": warm_runs,
         "rows": rows,

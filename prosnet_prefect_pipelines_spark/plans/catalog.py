@@ -8,6 +8,14 @@ re-exports QUERIES/ORACLES. Conventions (driver contract):
 - float aggregates computed over DECIMAL (exact, order-independent) and
   cast to DOUBLE at the end, so both engines produce bit-identical values
 - timestamps never returned raw — always formatted to strings (UTC)
+- plan construction is job-free by default: a catalog callable should
+  only BUILD the DataFrame. The documented exceptions run bounded
+  Spark jobs at construction (eager index checkpoints in the ANN/PQ
+  plans; distrank's EAGER wrappers ``global_prefix_sums``/
+  ``global_row_number``/``global_rank_prefix_sum`` when downstream
+  arithmetic needs driver-side ints) — each is flagged in its
+  docstring; the lazy ``prefix_sums``/``with_global_ntile`` forms are
+  the default for new work
 """
 
 from __future__ import annotations

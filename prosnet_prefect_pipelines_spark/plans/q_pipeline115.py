@@ -348,13 +348,10 @@ def q_ann_index_merge(spark, sf_dir):
     )
 
 
-@register("ann_cell_traffic_report", oracle=TRAFFIC_SQL, covers=["A2", "J2"])
-def q_ann_cell_traffic_report(spark, sf_dir):
-    """Per-cell serving telemetry: index occupancy x probe traffic =
-    the candidate volume each cell's equi-join partition pays — the
-    report that decides when a hot cell must split (n_cells is the IVF
-    scale lever). One aggregation per side over the same assignment
-    used by the monitor; the join is |cells|-sized."""
+def _traffic_report(spark, sf_dir):
+    """The per-cell (cell, n_indexed, n_probes, candidate_volume)
+    telemetry frame — shared by the report query, the rebalance plan
+    and the serving probe's rebalance trigger (streaming/serving.py)."""
     db, cents = _ivf_index(spark, sf_dir)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -383,4 +380,85 @@ def q_ann_cell_traffic_report(spark, sf_dir):
             (F.col("n_indexed") * F.coalesce(F.col("n_probes"), F.lit(0).cast("long"))
              ).alias("candidate_volume"),
         )
+    )
+
+
+@register("ann_cell_traffic_report", oracle=TRAFFIC_SQL, covers=["A2", "J2"])
+def q_ann_cell_traffic_report(spark, sf_dir):
+    """Per-cell serving telemetry: index occupancy x probe traffic =
+    the candidate volume each cell's equi-join partition pays — the
+    report that decides when a hot cell must split (n_cells is the IVF
+    scale lever). One aggregation per side over the same assignment
+    used by the monitor; the join is |cells|-sized."""
+    return _traffic_report(spark, sf_dir)
+
+
+REBALANCE_SQL = f"""
+WITH {_PROBE_CTES},
+occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_indexed FROM db GROUP BY cell),
+tr AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes GROUP BY cell),
+rep AS (
+    SELECT o.cell, o.n_indexed,
+           COALESCE(t.n_probes, 0) AS n_probes,
+           o.n_indexed * COALESCE(t.n_probes, 0) AS candidate_volume
+    FROM occ o LEFT JOIN tr t ON o.cell = t.cell
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(candidate_volume) AS HUGEINT) AS tot_vol,
+           CAST(SUM(n_indexed) AS HUGEINT) AS tot_idx
+    FROM rep
+)
+SELECT r.cell, r.n_indexed, r.n_probes, r.candidate_volume,
+       CASE WHEN CAST(r.candidate_volume AS HUGEINT) * n_cells > 4 * tot_vol
+                THEN 'split'
+            WHEN 4 * CAST(r.n_indexed AS HUGEINT) * n_cells < tot_idx
+                THEN 'merge'
+            ELSE 'keep' END AS decision
+FROM rep r CROSS JOIN tot
+"""
+
+
+@register("ann_rebalance_plan", oracle=REBALANCE_SQL, covers=["A2", "J2"])
+def q_ann_rebalance_plan(spark, sf_dir):
+    """The rebalance decision the traffic report is documented to
+    drive (r9 verdict item 6), as exact integer comparisons against
+    corpus means so both engines agree bit-for-bit:
+
+    - SPLIT a cell whose candidate volume exceeds 4x the mean volume
+      (candidate_volume * n_cells > 4 * total_volume) — its equi-join
+      partition is the serving hot spot;
+    - MERGE a cell whose occupancy falls below a quarter of the mean
+      (4 * n_indexed * n_cells < total_indexed) — centroid waste;
+    - KEEP otherwise.
+
+    The thresholds are the classic IVF imbalance-factor heuristics;
+    everything stays |cells|-sized (one broadcast 1-row total), so the
+    decision costs nothing beyond the report itself. The streaming ANN
+    serving probe runs this same frame and reports hot-cell counts as
+    its rebalance trigger telemetry."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rep = _traffic_report(spark, sf_dir)
+    tot = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(dec(F.col("candidate_volume"))).alias("tot_vol"),
+        F.sum(dec(F.col("n_indexed"))).alias("tot_idx"),
+    )
+    return rep.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_indexed",
+        "n_probes",
+        "candidate_volume",
+        F.when(
+            dec(F.col("candidate_volume")) * F.col("n_cells")
+            > 4 * F.col("tot_vol"),
+            F.lit("split"),
+        )
+        .when(
+            4 * dec(F.col("n_indexed")) * F.col("n_cells")
+            < F.col("tot_idx"),
+            F.lit("merge"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
     )

@@ -239,11 +239,34 @@ def ann_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
         out_dir
     ).count()
     shutil.rmtree(work, ignore_errors=True)
+    # rebalance trigger (r9 verdict item 6): the serving probe runs the
+    # |cells|-sized occupancy x traffic decision frame
+    # (q_pipeline115.ann_rebalance_plan — the oracle-paired twin) and
+    # reports hot/waste cell counts next to the latency, so the
+    # monitor's telemetry carries the signal that schedules a centroid
+    # retrain instead of leaving the report a dashboard orphan.
+    t0 = time.time()
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline115 import (
+        q_ann_rebalance_plan,
+    )
+
+    decisions = {
+        r["decision"]: r["n"]
+        for r in q_ann_rebalance_plan(spark, sf_dir)
+        .groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     return {
         "rebuild_s": rebuild_s,
         "serving_s": serving_s,
         "increment_queries": n_inc,
         "topk_rows": n_out,
+        "rebalance_probe_s": round(time.time() - t0, 3),
+        "cells_split": int(decisions.get("split", 0)),
+        "cells_merge": int(decisions.get("merge", 0)),
+        "cells_keep": int(decisions.get("keep", 0)),
+        "rebalance_triggered": bool(decisions.get("split", 0)),
     }
 
 

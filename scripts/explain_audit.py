@@ -533,14 +533,13 @@ AUDITS = {
     "sql_tpch_q2": [
         ("partial_", "correlated min-cost subquery decorrelates to an aggregate join"),
     ],
-    # NB: the per-user RFM aggregate sits behind the distrank
-    # checkpoint barrier since r11 (the quintile offsets job forces the
-    # lazy checkpoint at plan-build), so partial_ is no longer visible
-    # in the final explain; the map-side combine is pinned by the
-    # sibling rfm_segments' pre-r11 audits and the shared read path.
+    # r12: distrank is lazy/in-plan — no checkpoint barrier, so the
+    # full subtree (per-user aggregate, offset broadcast, _gpid-keyed
+    # rank windows) is visible and machine-asserted again.
     "rfm_segmentation": [
+        ("partial_", "per-user RFM aggregates combine map-side"),
         ("BroadcastHashJoin", "distrank offset tables broadcast back"),
-        ("Window", "quintile cumulation keyed by _gpid, never global"),
+        ("Window keyed by _gpid", "quintile rank windows partition on the range-block id, never global"),
     ],
     "wap_publish_gate": [
         ("partial_", "contract rules are conditional aggregates"),
@@ -603,13 +602,12 @@ AUDITS = {
     "apriori_triples": [
         ("BroadcastHashJoin", "frequent-pair prune tables broadcast (apriori gate)"),
     ],
-    # NB: rfm_segments' per-user aggregate sits behind the distrank
-    # localCheckpoint barrier (offsets job runs at plan-build), so its
-    # partial_ property is asserted on the structurally-identical
-    # sibling rfm_segmentation; here we assert the rank never goes
-    # single-partition (the r8 verdict's weak-pair fix)
+    # r12: lazy distrank exposes the full subtree; the rank-never-
+    # global claim is machine-matched on the Window's partition spec
+    # (the r8 verdict's weak-pair fix, now a real assertion)
     "rfm_segments": [
-        ("Window", "ntile via distrank: rank windows keyed by _gpid, never global"),
+        ("partial_", "per-user RFM aggregates combine map-side"),
+        ("Window keyed by _gpid", "ntile via distrank: rank windows partition on the range-block id, never global"),
     ],
     "rake_keywords": [
         ("Window", "phrase ids = running stopword count per doc"),
@@ -1084,15 +1082,13 @@ AUDITS = {
         ("Window", "median cumulation windows PARTITIONED by group"),
     ],
     # --- batch 97: paired/categorical/concentration statistics ---
-    # NB: the orders scan sits behind the distrank checkpoint barrier
-    # since r11, so PushedFilters is no longer visible in the final
-    # explain (the year filter still reaches the scan inside the
-    # materialized subplan — pinned by the sibling yoy tests that share
-    # the read path).
+    # r12: lazy distrank removed the checkpoint barrier, so the year
+    # filter's pushdown is visible and asserted again.
     "wilcoxon_signed_rank": [
+        ("PushedFilters", "the 1995/1996 year filter reaches the orders scan"),
         ("BroadcastHashJoin", "the distrank offset table broadcasts"),
         ("partial_", "the final rank-sum aggregate combines map-side"),
-        ("Window", "rank cumulation keyed by _gpid, never global"),
+        ("Window keyed by _gpid", "rank cumulation partitions on the range-block id, never global"),
     ],
     "chi2_independence": [
         ("BroadcastHashJoin", "region/nation dims broadcast into orders"),
@@ -1701,6 +1697,10 @@ FORBIDDEN = {
     "calibration_bins_report": ["Exchange SinglePartition", "CartesianProduct"],
     # batch 96: keyed aggs + cell-sized cross joins (broadcast BNLJ is
     # the intended 1-row/20-row combine); fact rows never join fact rows
+    # batch 115 addition (r12): the rebalance decision joins the
+    # |cells|-sized report against a broadcast 1-row total — the BNLJ
+    # is the intended combine; only a true product is forbidden
+    "ann_rebalance_plan": ["CartesianProduct"],
     "kruskal_wallis_h": ["CartesianProduct"],
     "mann_whitney_u": ["CartesianProduct"],
     "spearman_rho_price_recency": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -1808,13 +1808,47 @@ _ARG_MATCHED_NEEDLES = {
 }
 
 
+# Node-scoped needles (r9 verdict item 2 / what's-wrong #3: the
+# distrank audit rows asserted a bare "Window" substring while the
+# "keyed by _gpid, never global" half of the claim was prose — a
+# label, not a check). Each maps to (node-name prefix, token): the
+# needle fires iff some `(id) <node>` DETAIL block carries the token
+# in its attribute lines — for Window nodes the partition spec prints
+# inside `Arguments: [...windowspecdefinition(_gpid#123, ...)...]`, so
+# requiring `_gpid#` INSIDE a Window block is the machine form of
+# "the rank window is partitioned by the range-block id".
+_NODE_ARG_NEEDLES = {
+    "Window keyed by _gpid": ("Window", "_gpid#"),
+}
+
+
+def _node_arg_hit(plan: str, node_prefix: str, token: str) -> bool:
+    """True iff any `(id) NodeName` detail block whose NodeName starts
+    with ``node_prefix`` contains ``token`` in its attribute lines."""
+    import re
+
+    blk_re = re.compile(r"^\((\d+)\)\s+(\S+)")
+    in_block = False
+    for ln in plan.splitlines():
+        m = blk_re.match(ln)
+        if m:
+            in_block = m.group(2).startswith(node_prefix)
+        elif in_block and token in ln:
+            return True
+    return False
+
+
 def plan_feature_hit(plan: str, needle: str) -> bool:
     """True iff the plan exhibits ``needle``: Arguments-based exchange
     matching for the needles the formatted output never prints
-    literally, plain substring otherwise."""
+    literally, node-scoped token matching for _NODE_ARG_NEEDLES,
+    plain substring otherwise."""
     token = _ARG_MATCHED_NEEDLES.get(needle)
     if token is not None:
         return bool(_exchange_arg_ids(plan, token))
+    node = _NODE_ARG_NEEDLES.get(needle)
+    if node is not None:
+        return _node_arg_hit(plan, *node)
     return needle in plan
 
 
@@ -1855,6 +1889,50 @@ _BOUNDED_KEY_NAMES = {
     # config-sized constructs (k cells / bands / tiles fixed by args)
     "cell", "cid", "decile", "tertile", "quintile", "tile", "band",
     "plane", "sub", "code", "grp_mod",
+    # distrank's range-block id: spark_partition_id() after a range
+    # exchange — bounded by spark.sql.shuffle.partitions (config), the
+    # key of the protocol's in-plan offsets aggregate (r12)
+    "_gpid",
+}
+
+# Per-query bounded-cardinality attributions (r9 verdict item 3: 19
+# single-partition survivors were identified only by Catalyst alias
+# names like 'k'/'s'/'bucket' and marked reviewed-bounded with no
+# machine trail — a future entity-keyed 'k' could slip through).
+# After the r12 resolver below (which chases `expr AS alias#id`
+# definitions through the plan), the residue that cannot be PROVEN
+# bounded from the plan text alone must carry an explicit (query, key)
+# attribution stating the bounding argument; an unclassified key
+# WITHOUT one now FAILS the audit instead of passing with a printed
+# warning.
+SINGLE_PARTITION_KEY_ATTRIBUTION: dict[tuple[str, str], str] = {
+    ("concurrency_profile", "hour_bucket"): (
+        "epoch-hour (t div 3.6e9 us): calendar cardinality — grows with "
+        "elapsed time, never with corpus size (the catalog's documented "
+        "calendar class; the div-constant form is not auto-provable "
+        "because the divisor is a plain literal)"
+    ),
+    ("auc_exact_rank", "s"): (
+        "distinct score levels: s = round(max(l_discount)*100) over the "
+        "0.00-0.10 discount value grid -> <= 11 distinct scores "
+        "(q_pipeline105); bounded by the score DOMAIN, not the corpus"
+    ),
+    ("cumulative_gains_by_score", "s"): (
+        "same <= 11-level score grid as auc_exact_rank (shared "
+        "q_pipeline105 scoring)"
+    ),
+    ("psi_drift", "bucket"): (
+        "PSI cells: bucket = least(floor(value/W), N-1) clipped to "
+        "N=10 fixed-width cells (q_pipeline60), plus the 10-row "
+        "generate_series ring — config-sized by construction"
+    ),
+    ("watermark_lag_profile", "blk"): (
+        "arrival blocks = |events| / 65536 (q_pipeline36._BLOCK): the "
+        "documented |V|-bound decomposition of the sequential "
+        "running-max replay — the single-partition stage sees a 65536x "
+        "reduction of the stream, tunable via _BLOCK at deployment "
+        "scale"
+    ),
 }
 
 
@@ -1873,71 +1951,229 @@ def _node_detail_block(plan: str, node_id: int) -> str:
     return "\n".join(out)
 
 
+# Expression forms whose output cardinality is provably bounded no
+# matter the input: calendar-unit extraction (grows with elapsed time,
+# never corpus size — the catalog's documented class). Matched on the
+# LOWERCASED defining expression.
+_CALENDAR_MARKERS = (
+    "year(", "month(", "quarter(", "dayofweek(", "dayofmonth(",
+    "weekofyear(", "hour(", "minute(", "date_trunc(", " as date)",
+)
+
+
+def _defining_expr(plan: str, name: str, attr_id: str) -> str | None:
+    """The expression text `expr` from the first `expr AS name#id`
+    occurrence in the plan (Project/Aggregate Results lines), extracted
+    by a backward bracket-balanced scan so nested calls and commas
+    inside the expression survive."""
+    import re
+
+    m = re.search(rf" AS {re.escape(name)}#{attr_id}(?![0-9])", plan)
+    if not m:
+        return None
+    pos, depth, j = m.start(), 0, m.start() - 1
+    while j >= 0:
+        c = plan[j]
+        if c in ")]":
+            depth += 1
+        elif c in "([":
+            if depth == 0:
+                break
+            depth -= 1
+        elif (c == "," and depth == 0) or c == "\n":
+            break
+        j -= 1
+    expr = plan[j + 1 : pos].strip()
+    return expr or None
+
+
+def _classify_attr(
+    plan: str, name: str, attr_id: str, depth: int = 4
+) -> tuple[str, str]:
+    """Cardinality class of attribute name#attr_id: 'entity',
+    'bounded', or 'unknown'. Unrecognized names resolve through their
+    defining expression (r9 verdict item 3: Catalyst aliases like 'k'
+    hid the source cardinality from the class tables)."""
+    low = name.lower()
+    if low in _ENTITY_KEY_NAMES:
+        return "entity", f"entity key '{name}'"
+    if low in _BOUNDED_KEY_NAMES:
+        return "bounded", f"bounded key '{name}'"
+    if depth <= 0:
+        return "unknown", f"'{name}' (alias-resolution depth exhausted)"
+    expr = _defining_expr(plan, name, attr_id)
+    if expr is None:
+        return "unknown", f"'{name}' (no defining expression in plan)"
+    return _classify_expr(plan, expr, name, depth)
+
+
+def _strip_outer_casts(expr: str) -> str:
+    """Peel `cast(<inner> as <type>)` wrappers off the WHOLE expression."""
+    import re
+
+    s = expr.strip()
+    while True:
+        m = re.fullmatch(
+            r"cast\((.*) as \w+(?:\(\d+(?:,\d+)?\))?\)", s, re.I | re.S
+        )
+        if not m:
+            return s
+        s = m.group(1).strip()
+
+
+def _strip_calendar_calls(expr: str) -> str:
+    """Remove every balanced `<calendar-fn>(...)` segment (and
+    `cast(... as date)` segments) so the residue shows what the
+    expression computes OUTSIDE calendar extraction. Used to make the
+    calendar rule whole-expression: `year(d)*12 + month(d)` leaves no
+    attribute in the residue (bounded), while `x + month(d)` leaves
+    `x#n` (NOT provably bounded by the calendar class alone)."""
+    fns = [mk for mk in _CALENDAR_MARKERS if mk.endswith("(")]
+    out = expr
+    while True:
+        low = out.lower()
+        hit = None
+        for mk in fns:
+            i = low.find(mk)
+            if i >= 0:
+                hit = (i, i + len(mk) - 1)
+                break
+        if hit is None:
+            # cast(... as date): find a cast segment ending in 'as date)'
+            j = low.find(" as date)")
+            if j < 0:
+                return out
+            # walk back to the matching 'cast('
+            k = low.rfind("cast(", 0, j)
+            if k < 0:
+                return out
+            hit = (k, k + len("cast(") - 1)
+        i, popen = hit
+        depth, k = 0, popen
+        while k < len(out):
+            if out[k] == "(":
+                depth += 1
+            elif out[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out = out[:i] + out[k + 1 :]
+
+
+def _classify_expr(
+    plan: str, expr: str, alias: str, depth: int
+) -> tuple[str, str]:
+    """Cardinality class of a defining expression. Order matters:
+
+    1. a WHOLE-expression modulo-by-literal is provably bounded even
+       over an entity key (`(x % 7)`, cast-wrapped or pmod-form; a
+       modulo merely occurring INSIDE a larger expression proves
+       nothing — r12 fixed exactly that false pass on a
+       floor-division block id whose inlined jitter carried a '% 10');
+    2. any ENTITY source otherwise taints the expression (conservative:
+       a bounding wrapper we can't prove keeps the FAIL);
+    3. calendar-unit extraction is the documented bounded class — but
+       only when the WHOLE expression reduces to calendar calls
+       (stripping them must leave no attribute references);
+    4. all-bounded sources make the derivation bounded;
+    5. anything else stays unknown (per-query attribution required).
+    """
+    import re
+
+    core = _strip_outer_casts(expr)
+    if re.fullmatch(
+        r"\(?\s*[A-Za-z_][\w#]*\s*%\s*\d+\s*\)?", core
+    ) or re.fullmatch(r"pmod\(\s*[A-Za-z_][\w#]*\s*,\s*\d+\s*\)", core, re.I):
+        return "bounded", f"'{alias}' = modulo-literal expression"
+    srcs = re.findall(r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)", expr)
+    ent = sorted(
+        {n for n, _ in srcs if n.lower() in _ENTITY_KEY_NAMES}
+    )
+    if ent:
+        return "entity", f"'{alias}' derived from entity keys {ent}"
+    low = expr.lower()
+    if any(mk in low for mk in _CALENDAR_MARKERS):
+        residue = _strip_calendar_calls(expr)
+        if not re.search(r"[A-Za-z_][A-Za-z_0-9]*#\d+", residue):
+            return "bounded", f"'{alias}' = calendar-unit expression"
+    if not srcs:
+        return "unknown", f"'{alias}' (no source attributes resolved)"
+    sub_unknown: list[str] = []
+    for n, i in srcs:
+        cls, why = _classify_attr(plan, n, i, depth - 1)
+        if cls == "entity":
+            return "entity", f"'{alias}' <- {why}"
+        if cls == "unknown":
+            sub_unknown.append(why)
+    if sub_unknown:
+        return "unknown", f"'{alias}' <- " + "; ".join(sorted(set(sub_unknown)))
+    return (
+        "bounded",
+        f"'{alias}' derived from bounded sources "
+        f"{sorted({n for n, _ in srcs})}",
+    )
+
+
 def _agg_key_class(plan: str, agg_id: int) -> tuple[str, str]:
     """(class, detail) for the grouping keys of aggregate node agg_id:
-    class is 'entity', 'bounded', or 'unknown'."""
+    class is 'entity', 'bounded', or 'unknown'. Every key resolves
+    through the generic alias chaser (_classify_attr), which subsumes
+    the old _groupingexpression special case: Catalyst's hoisted
+    grouping expressions are just one more `expr AS alias#id` hop."""
     import re
 
     blk = _node_detail_block(plan, agg_id)
     keys_m = re.search(r"Keys(?: \[\d+\])?\s*:\s*\[(.*?)\]\s*$", blk, re.M)
     if not keys_m:
         return "unknown", "no Keys line"
-    names = set()
-    for attr, attr_id in re.findall(
+    keys = re.findall(
         r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)", keys_m.group(1)
-    ):
-        if attr == "_groupingexpression":
-            # Catalyst hoists a grouping EXPRESSION into an internal
-            # attr; the user-facing alias lives in the final
-            # aggregate's Results line (`_groupingexpression#7L AS
-            # user_id#1L`) and the source columns in the defining
-            # Project (`(id#0L % 7) AS _groupingexpression#7L`) —
-            # resolve through both so entity keys can't hide behind
-            # an expression wrapper.
-            alias = re.search(
-                rf"_groupingexpression#{attr_id}L? AS ([A-Za-z_][A-Za-z_0-9]*)#",
-                plan,
-            )
-            if alias:
-                names.add(alias.group(1).lower())
-                continue
-            defn = re.search(
-                rf"^.*\]: \[.*?([^,\[]+) AS _groupingexpression#{attr_id}L?",
-                plan,
-                re.M,
-            )
-            if defn:
-                names |= {
-                    n.lower()
-                    for n, _ in re.findall(
-                        r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)", defn.group(1)
-                    )
-                }
-                continue
-            names.add(attr.lower())
-        else:
-            names.add(attr.lower())
-    if not names:  # Keys []: a global aggregate -> one row, bounded
+    )
+    if not keys:  # Keys []: a global aggregate -> one row, bounded
         return "bounded", "global aggregate (one row)"
-    ent = sorted(names & _ENTITY_KEY_NAMES)
-    if ent:
-        return "entity", f"entity-cardinality keys {ent}"
-    if names <= _BOUNDED_KEY_NAMES:
-        return "bounded", f"bounded keys {sorted(names)}"
-    return "unknown", f"unclassified keys {sorted(names - _BOUNDED_KEY_NAMES)}"
+    details: list[str] = []
+    unknown: list[str] = []
+    for name, attr_id in keys:
+        if name == "_groupingexpression":
+            # prefer the user-facing alias when Catalyst re-exports the
+            # hoisted expression (`_groupingexpression#7L AS user_id#1L`)
+            al = re.search(
+                rf"_groupingexpression#{attr_id}L? AS "
+                rf"([A-Za-z_][A-Za-z_0-9]*)#(\d+)",
+                plan,
+            )
+            if al:
+                name, attr_id = al.group(1), al.group(2)
+        cls, why = _classify_attr(plan, name, attr_id)
+        if cls == "entity":
+            return "entity", f"entity-cardinality: {why}"
+        details.append(why)
+        if cls == "unknown":
+            unknown.append(name.lower())
+    if unknown:
+        return "unknown", "unclassified keys " + str(sorted(set(unknown)))
+    return "bounded", "; ".join(details)
 
 
-def single_partition_bounded(plan: str) -> tuple[bool, str]:
+def single_partition_bounded(
+    plan: str, query_name: str | None = None
+) -> tuple[bool, str]:
     """True iff every `(id) Exchange` detail block whose arguments say
     SinglePartition roots a tree subtree containing an aggregate node
     whose grouping keys are NOT entity-cardinality (see the class
     tables above — r8 verdict item 1: post-aggregation is necessary
     but not sufficient; the keys decide whether the aggregate output
-    is bounded). Parses the indented tree section of
-    `explain("formatted")` output (a node's children are the following
-    lines with deeper indentation) and the `(id) NodeName` detail
-    blocks. Subquery trees (`===== Subqueries =====` sections) are
-    parsed the same way — their node ids share the global numbering."""
+    is bounded). r12: keys the class tables don't name resolve through
+    their defining expressions (_classify_attr); keys that STILL come
+    back unknown FAIL unless the (query, key) pair carries an explicit
+    SINGLE_PARTITION_KEY_ATTRIBUTION stating the bounding argument —
+    unclassified no longer passes with a printed warning. Parses the
+    indented tree section of `explain("formatted")` output (a node's
+    children are the following lines with deeper indentation) and the
+    `(id) NodeName` detail blocks. Subquery trees
+    (`===== Subqueries =====` sections) are parsed the same way —
+    their node ids share the global numbering."""
     import re
 
     lines = plan.splitlines()
@@ -1978,6 +2214,31 @@ def single_partition_bounded(plan: str) -> tuple[bool, str]:
                 f"Exchange SinglePartition ({sp}) rides on {detail} — "
                 "grows with the corpus; needs the distrank two-pass rewrite"
             )
+        if kclass == "unknown":
+            import re as _re
+
+            keys = _re.findall(r"unclassified keys \[(.*?)\]", detail)
+            names = (
+                [k.strip(" '\"") for k in keys[0].split(",")] if keys else []
+            )
+            attributed = [
+                k
+                for k in names
+                if (query_name, k) in SINGLE_PARTITION_KEY_ATTRIBUTION
+            ]
+            missing = [k for k in names if k not in attributed]
+            if missing or not names:
+                return False, (
+                    f"Exchange SinglePartition ({sp}) rides on {detail} — "
+                    f"key(s) {missing or '?'} neither resolve to a bounded "
+                    "class nor carry a SINGLE_PARTITION_KEY_ATTRIBUTION "
+                    "entry; classify or attribute the bounding argument"
+                )
+            detail += " | attributed: " + "; ".join(
+                f"'{k}': "
+                + SINGLE_PARTITION_KEY_ATTRIBUTION[(query_name, k)]
+                for k in attributed
+            )
         classes.append(f"({sp}) {detail}")
     return True, (
         f"{len(sp_ids)} SinglePartition exchange(s), each fed by a keyed "
@@ -1996,7 +2257,11 @@ def main() -> None:
     sections = [
         "# PLANS — physical-plan audit of representative queries",
         "",
-        f"Generated by `python scripts/explain_audit.py` at `{sf_dir}`.",
+        f"Generated by `python scripts/explain_audit.py` at `{sf_dir}`",
+        "with NO environment overrides — since r12 the distrank",
+        "protocol has exactly one (distributed, in-plan) placement, so",
+        "the audited plans are the production plans by construction",
+        "and this artifact is reproducible from the command alone.",
         "Each section lists the plan properties asserted for scale",
         "(pushdown, broadcast, partial aggregation) and the formatted plan.",
         "",
@@ -2021,7 +2286,7 @@ def main() -> None:
             plan = buf.getvalue()
         sections.append(f"## {name}\n")
         for needle, why in checks:
-            ok = needle in plan
+            ok = plan_feature_hit(plan, needle)
             mark = "x" if ok else " "
             sections.append(f"- [{mark}] `{needle}`: {why}")
             if not ok:
@@ -2038,7 +2303,7 @@ def main() -> None:
                     f"- [x] SinglePartition exempt: {SINGLE_PARTITION_EXEMPT[name]}"
                 )
             else:
-                ok, why = single_partition_bounded(plan)
+                ok, why = single_partition_bounded(plan, name)
                 mark = "x" if ok else " "
                 sections.append(
                     f"- [{mark}] cardinality-bounded single-partition: {why} — "

@@ -118,9 +118,9 @@ def test_single_partition_cardinality_class(spark, ea):
     """r8 verdict item 1: post-aggregation is necessary but NOT
     sufficient — an aggregate keyed by an ENTITY column (one row per
     user/doc) still grows with the corpus and must FAIL the invariant;
-    a bounded-dimension key passes with its class named; an
-    unclassifiable derived key passes via the shape test but prints
-    the keys for review."""
+    a bounded-dimension key passes with its class named; r12: an
+    aliased derived key resolves through its defining expression
+    (modulo-literal here) instead of passing as 'unclassified'."""
 
     def ranked_over(key_alias: str):
         return (
@@ -137,7 +137,129 @@ def test_single_partition_cardinality_class(spark, ea):
     assert not ok and "entity-cardinality" in why, why
 
     ok, why = ea.single_partition_bounded(_formatted(ranked_over("nation")))
-    assert ok and "bounded keys" in why, why
+    assert ok and "bounded key 'nation'" in why, why
 
+    # the alias-resolution hole (r9 verdict item 3): 'mystery' is in no
+    # class table, but its defining expression (id % 7) is provably
+    # bounded — the resolver must find it instead of shrugging
     ok, why = ea.single_partition_bounded(_formatted(ranked_over("mystery")))
-    assert ok and "unclassified keys ['mystery']" in why, why
+    assert ok and ("modulo-literal" in why or "bounded sources" in why), why
+
+
+def test_single_partition_unresolvable_key_fails_unless_attributed(spark, ea):
+    """r12: a key that neither classifies nor resolves (a scan column
+    with no defining expression in the plan) FAILS the invariant —
+    unless the (query, key) pair carries an explicit bounded-
+    cardinality attribution stating the bounding argument."""
+    df = (
+        spark.createDataFrame([(i % 3,) for i in range(30)], "mystery long")
+        .groupBy("mystery")
+        .agg(F.sum("mystery").alias("s"))
+        .select(
+            "mystery", F.row_number().over(Window.orderBy("s")).alias("rn")
+        )
+    )
+    plan = _formatted(df)
+    ok, why = ea.single_partition_bounded(plan, "some_query")
+    assert not ok and "SINGLE_PARTITION_KEY_ATTRIBUTION" in why, why
+
+    ea.SINGLE_PARTITION_KEY_ATTRIBUTION[("some_query", "mystery")] = (
+        "test: 3 distinct values by construction"
+    )
+    try:
+        ok, why = ea.single_partition_bounded(plan, "some_query")
+        assert ok and "attributed" in why, why
+    finally:
+        del ea.SINGLE_PARTITION_KEY_ATTRIBUTION[("some_query", "mystery")]
+
+
+def test_entity_key_cannot_hide_behind_alias(spark, ea):
+    """A derived key whose DEFINING expression references an entity
+    column (and is not a provably bounding form) must classify entity
+    and FAIL — the exact hole the r9 verdict warned about: 'a future
+    entity-keyed k could slip through as reviewed-bounded'."""
+    df = (
+        spark.createDataFrame([(i,) for i in range(30)], "user_id long")
+        .groupBy((F.col("user_id") * 2).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("k", F.row_number().over(Window.orderBy("c")).alias("rn"))
+    )
+    ok, why = ea.single_partition_bounded(_formatted(df), "q")
+    assert not ok and "entity" in why, why
+
+
+def test_window_keyed_by_gpid_needle(spark, ea):
+    """The distrank audit rows' 'never global' claim is machine-
+    matched (r9 what's-wrong #3): the needle fires only when a Window
+    detail block's partition spec carries _gpid."""
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        prefix_sums,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 11).alias("v"), F.col("id").alias("uid")
+    )
+    ranked = prefix_sums(
+        df, [F.col("v").asc(), F.col("uid").asc()], rn_out="rn"
+    )
+    assert ea.plan_feature_hit(_formatted(ranked), "Window keyed by _gpid")
+
+    plain = df.select(
+        "v", F.row_number().over(Window.orderBy("v", "uid")).alias("rn")
+    )
+    assert not ea.plan_feature_hit(
+        _formatted(plain), "Window keyed by _gpid"
+    )
+
+
+def test_modulo_inside_larger_expression_is_not_bounding(spark, ea):
+    """r12 false-pass regression: a '% literal' occurring INSIDE a
+    larger expression (a jittered block id: floor((x + CASE x%10...)
+    / 65536)) bounds nothing — the key grows with |rows|/65536 and
+    must FAIL (unknown, no attribution), not classify modulo-literal."""
+    df = (
+        spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+        .groupBy(
+            F.floor(
+                (
+                    F.col("event_id")
+                    + F.when(
+                        F.col("event_id") % 10 == 0, F.lit(5)
+                    ).otherwise(F.lit(0))
+                )
+                / 65536
+            ).alias("blk")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("blk", F.row_number().over(Window.orderBy("c")).alias("rn"))
+    )
+    ok, why = ea.single_partition_bounded(_formatted(df), "q")
+    assert not ok and "blk" in why, why
+
+
+def test_calendar_rule_is_whole_expression(spark, ea):
+    """`year(d)*12 + month(d)` is calendar-bounded; `x + month(d)` is
+    not (the non-calendar source x survives the strip and must drive
+    the classification)."""
+    base = spark.createDataFrame(
+        [(i, "2024-0%d-01" % (i % 9 + 1)) for i in range(20)],
+        "x long, d string",
+    ).select("x", F.col("d").cast("date").alias("d"))
+
+    cal = (
+        base.groupBy(
+            (F.year("d") * 12 + F.month("d")).alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("m", F.row_number().over(Window.orderBy("c")).alias("rn"))
+    )
+    ok, why = ea.single_partition_bounded(_formatted(cal), "q")
+    assert ok and ("calendar-unit" in why or "bounded sources" in why), why
+
+    mixed = (
+        base.groupBy((F.col("x") + F.month("d")).alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("m", F.row_number().over(Window.orderBy("c")).alias("rn"))
+    )
+    ok, why = ea.single_partition_bounded(_formatted(mixed), "q")
+    assert not ok, why

@@ -207,3 +207,48 @@ def test_monitor_equals_batch_ivf_split(spark, sf_dir, emb):
         for r in P.q_stream_ann_topk_monitor(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rebalance_decision_matches_closed_form(spark, sf_dir):
+    """ann_rebalance_plan (r12) re-derives its split/merge/keep labels
+    from the traffic report by the documented integer inequalities —
+    the plan frame must agree with a driver-side recomputation."""
+    rep = {
+        r.cell: (r.n_indexed, r.n_probes, r.candidate_volume)
+        for r in P.q_ann_cell_traffic_report(spark, sf_dir).collect()
+    }
+    plan = {
+        r.cell: r.decision
+        for r in P.q_ann_rebalance_plan(spark, sf_dir).collect()
+    }
+    n_cells = len(rep)
+    tot_vol = sum(v for _, _, v in rep.values())
+    tot_idx = sum(i for i, _, _ in rep.values())
+    assert set(plan) == set(rep)
+    for cell, (ni, _np, cv) in rep.items():
+        if cv * n_cells > 4 * tot_vol:
+            want = "split"
+        elif 4 * ni * n_cells < tot_idx:
+            want = "merge"
+        else:
+            want = "keep"
+        assert plan[cell] == want, (cell, ni, cv, plan[cell], want)
+
+
+def test_rebalance_flags_planted_hot_and_waste_cells(spark, monkeypatch):
+    """Planted skew: a cell carrying ~99% of the candidate volume must
+    SPLIT; a near-empty cell must MERGE; the middle stays KEEP."""
+    rows = [(0, 100, 1000, 100000)] + [
+        (i, 10, 10, 100) for i in range(1, 7)
+    ] + [(7, 1, 0, 0)]
+    fake = spark.createDataFrame(
+        rows, "cell long, n_indexed long, n_probes long, candidate_volume long"
+    )
+    monkeypatch.setattr(P, "_traffic_report", lambda s, d: fake)
+    got = {
+        r.cell: r.decision
+        for r in P.q_ann_rebalance_plan(spark, "unused").collect()
+    }
+    assert got[0] == "split"
+    assert got[7] == "merge"
+    assert all(got[i] == "keep" for i in range(1, 7))
