@@ -865,22 +865,23 @@ def pq_index(
     n_cells_coarse: int = 4,
     n_cells_code: int = 4,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(xarr, assign, codebooks): the maintained IVF-PQ serving index —
+    """(xcodes, assign, codebooks): the maintained IVF-PQ serving index —
     coarse cell assignments plus PQ codes pivoted to ONE row per vector
-    with its codeword vectors and scaled norms carried as sub-ordered
-    arrays (extracted from ``ivf_pq_topk`` in r11 so the streaming
-    serving monitor maintains the SAME structure the batch query scans).
+    as (xid, cell, _xp codeword positions, _xn2 scaled reconstruction
+    norm) — the LUT ADC candidate payload (extracted from
+    ``ivf_pq_topk`` in r11 so the streaming serving monitor maintains
+    the SAME structure the batch query scans; repacked r12 from inline
+    codeword VECTORS to positions: the vector-carrying form made the
+    "ADC" per-candidate cost equal a raw cosine and erased the
+    candidate-byte shrink — measured 12x slower than raw at 10M
+    candidates, artifacts/stress_centroid_probe_r12.json).
 
     Build shape: single-row-group local parquet runs every per-subspace
     kmeans round single-task — the source is fanned out once so all
     training rounds, the encode and the assignment scan run with full
     parallelism; assignment/codebooks/codes are each materialized once
     (id-sized metadata frames) because the chain re-derives kmeans per
-    reference without a barrier. The old (cell, sub)-grained candidate
-    join shuffled |pairs| x n_sub rows and re-aggregated the whole
-    score matrix (measured 25M rows / ~25 s warm at sf0.1);
-    array-carrying keeps the pair join at |pairs| rows and needs no
-    re-agg (~4 s warm, values unchanged — exact integer arithmetic)."""
+    reference without a barrier."""
     from prosnet_prefect_pipelines_spark.session import fan_out
 
     df = fan_out(df)
@@ -898,28 +899,10 @@ def pq_index(
         .select(F.col("id").alias("xid"), "sub", "code")
         .localCheckpoint(eager=True)
     )
-    xarr = (
-        codes.join(
-            F.broadcast(
-                cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
-            ),
-            on=["sub", "code"],
-        )
-        .join(assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid")
-        .groupBy("xid", "cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "sub",
-                        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2"),
-                        F.col("cv").alias("cv"),
-                    )
-                )
-            ).alias("_xs")
-        )
+    xcodes = pq_codes_positional(codes, cbs).join(
+        assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid"
     )
-    return xarr, assign, cbs
+    return xcodes, assign, cbs
 
 
 def pq_query_slices(vec: Column, dim: int, n_sub: int) -> Column:
@@ -950,6 +933,131 @@ def adc_cos_column(n_sub: int) -> Column:
     )
 
 
+# --- LUT ADC (r12) ----------------------------------------------------------
+#
+# adc_cos_column above recomputes every per-subspace dot PER CANDIDATE
+# PAIR against codeword VECTORS carried inline — per-candidate work
+# equal to a raw dim-length cosine plus struct overhead, and no
+# candidate-byte shrink at all (measured r12,
+# artifacts/stress_centroid_probe_r12.json: 10M candidates scored in
+# ~40 s "ADC" vs ~3.3 s raw cosine). True ADC hoists those dots to a
+# per-QUERY lookup table — |codebook| entries computed once per query —
+# and candidates carry only their codeword POSITIONS (n_sub ints) plus
+# one precomputed reconstruction-norm long, so per-candidate work drops
+# from O(dim) multiplies to n_sub integer array reads and the join
+# payload shrinks to the codes the PQ literature promises. Every scaled
+# integer is the SAME expression adc_cos_column computes, so scores are
+# bit-identical (tests/test_streaming_ivfpq.py pins it).
+
+
+def pq_codebook_array(cbs: DataFrame) -> DataFrame:
+    """-> one-row (_cbarr): the codebook entries sorted by (sub, cid).
+    An entry's POSITION in this array is the code position
+    :func:`pq_codes_positional` stores and :func:`pq_query_lut` indexes
+    — the shared ordering that makes the LUT lookup line up."""
+    return cbs.select(
+        F.struct(F.col("sub"), F.col("cid"), F.col("cv")).alias("_e")
+    ).agg(F.array_sort(F.collect_list("_e")).alias("_cbarr"))
+
+
+def pq_query_lut(vec: Column, cbarr: Column, dim: int, n_sub: int) -> Column:
+    """Per-query flat ADC lookup table ``_qlut``: entry j =
+    round(dot(q_{sub_j}, cv_j) * 1e9) as long for the j-th codebook
+    entry in (sub, cid) order — the identical integer-scaled
+    per-subspace term ``adc_cos_column`` computes per candidate,
+    hoisted to once per (query, codeword)."""
+    sub_dim = dim // n_sub
+    return F.transform(
+        cbarr,
+        lambda e: F.round(
+            dot(F.slice(vec, e["sub"] * sub_dim + 1, sub_dim), e["cv"]) * 1e9
+        ).cast("long"),
+    )
+
+
+def pq_codes_positional(codes: DataFrame, cbs: DataFrame) -> DataFrame:
+    """-> (xid, _xp array<int>, _xn2 long): per vector, the positions of
+    its per-subspace codewords in the (sub, cid)-sorted codebook array
+    (sub order), plus the precomputed scaled reconstruction norm
+    Σ_s round(||c_s||² * 1e9) — the LUT path's candidate payload:
+    n_sub ints + one long instead of inline codeword vectors. The
+    position window runs over the |codebook| rows (n_sub x n_codes,
+    config-sized)."""
+    pos = (
+        cbs.select(
+            "sub",
+            F.col("cid").alias("code"),
+            F.round(F.col("cv_norm2") * 1e9).cast("long").alias("_n2"),
+        )
+        .withColumn(
+            "_pos", F.row_number().over(Window.orderBy("sub", "code")) - 1
+        )
+    )
+    return (
+        codes.join(F.broadcast(pos), on=["sub", "code"])
+        .groupBy("xid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("_pos")))
+                ),
+                lambda e: e["_pos"],
+            ).alias("_xp"),
+            F.sum("_n2").alias("_xn2"),
+        )
+    )
+
+
+def pq_structs_array(codes: DataFrame, cbs: DataFrame) -> DataFrame:
+    """-> (xid, _xs): the pre-r12 vector-carrying candidate form
+    (sub-ordered structs of scaled norm + codeword VECTOR), kept as the
+    REFERENCE twin for :func:`adc_cos_column` — the LUT path's
+    bit-identity is pinned against it
+    (tests/test_streaming_ivfpq.py). Not a production path: carrying
+    codeword vectors per candidate erases PQ's byte shrink and costs a
+    full dim-length dot per pair."""
+    return (
+        codes.join(
+            F.broadcast(
+                cbs.select("sub", F.col("cid").alias("code"), "cv", "cv_norm2")
+            ),
+            on=["sub", "code"],
+        )
+        .groupBy("xid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "sub",
+                        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("n2"),
+                        F.col("cv").alias("cv"),
+                    )
+                )
+            ).alias("_xs")
+        )
+    )
+
+
+def adc_cos_lut(n_sub: int) -> Column:
+    """LUT ADC cosine between a query row's ``_qlut``/``qn`` and an
+    index row's ``_xp``/``_xn2`` — bit-identical to
+    :func:`adc_cos_column` (same scaled-integer dots, summed in the
+    same subspace order; same precomputed norm longs; same final
+    rounded division) with per-candidate work reduced to n_sub array
+    reads."""
+    adc_dot_s = sum(
+        F.element_at(
+            F.col("_qlut"), F.element_at(F.col("_xp"), s + 1) + 1
+        )
+        for s in range(n_sub)
+    )
+    return F.round(
+        (adc_dot_s / F.lit(1e9))
+        / (F.col("qn") * F.sqrt(F.col("_xn2") / F.lit(1e9))),
+        6,
+    )
+
+
 def ivf_pq_topk(
     df: DataFrame,
     id_col: str,
@@ -976,34 +1084,40 @@ def ivf_pq_topk(
     """
     from prosnet_prefect_pipelines_spark.session import fan_out
 
-    xarr, assign, _cbs = pq_index(
+    xcodes, assign, cbs = pq_index(
         df, id_col, vec_col, dim, n_sub, n_cells_coarse, n_cells_code
     )
-    sub_dim = dim // n_sub
-    qarr = fan_out(assign).select(
-        F.col("id").alias("qid"),
-        "cell",
-        norm(F.col("v")).alias("qn"),
-        pq_query_slices(F.col("v"), dim, n_sub).alias("_qs"),
+    qarr = (
+        fan_out(assign)
+        .crossJoin(F.broadcast(pq_codebook_array(cbs)))
+        .select(
+            F.col("id").alias("qid"),
+            "cell",
+            norm(F.col("v")).alias("qn"),
+            pq_query_lut(F.col("v"), F.col("_cbarr"), dim, n_sub).alias(
+                "_qlut"
+            ),
+        )
     )
-    adc_cos = adc_cos_column(n_sub)
     # broadcast only while the encoded index fits comfortably on every
-    # executor: |corpus| rows x (dim doubles of codewords + n_sub scaled
-    # norms + struct overhead). assign is an eager checkpoint, so the
-    # row count is metadata-cheap. Above _PQ_BROADCAST_BYTES the pair
-    # stage becomes a shuffled equi-join on cell — the 100 TB shape,
-    # where neither side is driver-resident.
+    # executor: |corpus| rows x (n_sub code positions + one norm long +
+    # row overhead) — the r12 positional repack shrinks this ~30x vs
+    # the codeword-vector form, so far larger indexes stay on the fast
+    # broadcast plan. assign is an eager checkpoint, so the row count
+    # is metadata-cheap. Above _PQ_BROADCAST_BYTES the pair stage
+    # becomes a shuffled equi-join on cell — the 100 TB shape, where
+    # neither side is driver-resident.
     n_x = assign.count()
-    est_xarr_bytes = n_x * (sub_dim * n_sub * 8 + n_sub * 24 + 64)
+    est_xcodes_bytes = n_x * (n_sub * 4 + 8 + 48)
     xside = (
-        F.broadcast(xarr)
-        if est_xarr_bytes <= _PQ_BROADCAST_BYTES
-        else xarr.repartition("cell")
+        F.broadcast(xcodes)
+        if est_xcodes_bytes <= _PQ_BROADCAST_BYTES
+        else xcodes.repartition("cell")
     )
     scored = (
         qarr.join(xside, on="cell")
         .filter(F.col("qid") != F.col("xid"))
-        .select("qid", "xid", adc_cos.alias("adc_cos"))
+        .select("qid", "xid", adc_cos_lut(n_sub).alias("adc_cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("xid"))
     return (

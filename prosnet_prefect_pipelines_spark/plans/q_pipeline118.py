@@ -14,7 +14,8 @@ each query picks its nearest coarse cell entirely map-side (broadcast
 centroid array, nprobe=1 — ``ivf_pq_topk``'s documented
 simplification), probes the encoded index with one stream-static
 equi-join, and is ADC-scored (integer-scaled per-subspace terms,
-``similarity.adc_cos_column``) with batch-local exact top-3.
+``similarity.adc_cos_lut`` over a per-query lookup table, r12) with
+batch-local exact top-3.
 
 Replay-oracle argument (same as batches 113-115): a query id arrives
 exactly once and all its candidates come from the static side, so the
@@ -202,11 +203,14 @@ _PQ_INDEX_CACHE: dict = {}
 
 
 def _pq_serving_index(spark, sf_dir):
-    """-> (xarr (xid, cell, _xs), carr one-row broadcast centroid array).
+    """-> (xcodes (xid, cell, _xp, _xn2), carr one-row broadcast
+    centroid array, cbarr one-row broadcast codebook array).
 
-    xarr is the even-half encoded index (``similarity.pq_index``) as an
-    eager checkpoint; carr carries the coarse centroid table as ONE
-    array row so the per-batch probe plan is independent of n_cells."""
+    xcodes is the even-half encoded index (``similarity.pq_index``,
+    r12 positional-codes form) as an eager checkpoint; carr carries
+    the coarse centroid table as ONE array row so the per-batch probe
+    plan is independent of n_cells; cbarr carries the codebook entries
+    the per-query ADC lookup table is built from."""
     from prosnet_prefect_pipelines_spark.session import protect_checkpoint
 
     app_id = spark.sparkContext.applicationId
@@ -221,12 +225,14 @@ def _pq_serving_index(spark, sf_dir):
         .filter(F.col("vec_id") % 2 == 0)
         .select("vec_id", "embedding")
     )
-    xarr, _assign, _cbs = S.pq_index(
+    xcodes, _assign, cbs = S.pq_index(
         even, "vec_id", "embedding", dim=64,
         n_sub=_PQ_SUB, n_cells_coarse=_PQ_CELLS, n_cells_code=_PQ_CELLS,
     )
-    xarr = xarr.localCheckpoint(eager=True)
-    protect_checkpoint(xarr)
+    xcodes = xcodes.localCheckpoint(eager=True)
+    protect_checkpoint(xcodes)
+    cbarr_df = S.pq_codebook_array(cbs).localCheckpoint(eager=True)
+    protect_checkpoint(cbarr_df)
     cents = (
         even.select(
             F.col("vec_id").alias("cid"),
@@ -239,8 +245,8 @@ def _pq_serving_index(spark, sf_dir):
     )
     protect_checkpoint(cents)
     carr = S.centroid_array(cents)
-    _PQ_INDEX_CACHE[key] = (xarr, carr)
-    return xarr, carr
+    _PQ_INDEX_CACHE[key] = (xcodes, carr, cbarr_df)
+    return xcodes, carr, cbarr_df
 
 
 @register("stream_ann_ivfpq_monitor", oracle=IVFPQ_MONITOR_SQL,
@@ -253,7 +259,7 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
     the same even/odd halves for any micro-batch slicing."""
     from pyspark.sql.window import Window
 
-    xarr, carr = _pq_serving_index(spark, sf_dir)
+    xcodes, carr, cbarr = _pq_serving_index(spark, sf_dir)
 
     stream, _stage = _query_stream(spark, sf_dir)
     src = stream.repartition(spark.sparkContext.defaultParallelism)
@@ -278,8 +284,17 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
         .select(
             "qid",
             "qn",
+            "qv",
             F.col("_probe.cid").alias("cell"),
-            S.pq_query_slices(F.col("qv"), 64, _PQ_SUB).alias("_qs"),
+        )
+        .crossJoin(F.broadcast(cbarr))
+        .select(
+            "qid",
+            "qn",
+            "cell",
+            S.pq_query_lut(F.col("qv"), F.col("_cbarr"), 64, _PQ_SUB).alias(
+                "_qlut"
+            ),
         )
     )
     # stream-static equi-join against the encoded index: candidate rows
@@ -287,8 +302,8 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
     # Broadcast is bench-appropriate; at index sizes past the
     # _PQ_BROADCAST_BYTES gate the batch path shuffles on cell and the
     # monitor would stage the index as a keyed table instead.
-    cands = probes.join(F.broadcast(xarr), on="cell").select(
-        "qid", "xid", S.adc_cos_column(_PQ_SUB).alias("adc_cos")
+    cands = probes.join(F.broadcast(xcodes), on="cell").select(
+        "qid", "xid", S.adc_cos_lut(_PQ_SUB).alias("adc_cos")
     )
 
     out_dir = tempfile.mkdtemp(prefix="ann_ivfpq_monitor_")

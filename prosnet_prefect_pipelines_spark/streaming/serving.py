@@ -285,7 +285,7 @@ def ivfpq_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
         _pq_serving_index,
     )
 
-    xarr, carr = _pq_serving_index(spark, sf_dir)
+    xcodes, carr, cbarr = _pq_serving_index(spark, sf_dir)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % 2 == 1)
@@ -324,12 +324,18 @@ def ivfpq_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
                 ).alias("_p"),
             )
             .select(
-                "qid", "qn",
+                "qid", "qn", "qv",
                 F.col("_p.cid").alias("cell"),
-                S.pq_query_slices(F.col("qv"), 64, _PQ_SUB).alias("_qs"),
             )
-            .join(F.broadcast(xarr), on="cell")
-            .select("qid", "xid", S.adc_cos_column(_PQ_SUB).alias("adc_cos"))
+            .crossJoin(F.broadcast(cbarr))
+            .select(
+                "qid", "qn", "cell",
+                S.pq_query_lut(
+                    F.col("qv"), F.col("_cbarr"), 64, _PQ_SUB
+                ).alias("_qlut"),
+            )
+            .join(F.broadcast(xcodes), on="cell")
+            .select("qid", "xid", S.adc_cos_lut(_PQ_SUB).alias("adc_cos"))
         )
 
         def _sink(bdf, _bid):

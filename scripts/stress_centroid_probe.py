@@ -102,16 +102,18 @@ def main() -> None:
         "id", F.col("v").alias("embedding")
     )
     n_cells = max(8, n_index // 2000)
-    xarr, _assign, _codebooks = S.pq_index(
+    xcodes, _assign, cbs = S.pq_index(
         idx, "id", "embedding", DIM, n_sub=4, n_cells_coarse=n_cells
     )
+    cbarr = S.pq_codebook_array(cbs).localCheckpoint(eager=True)
+    protect_checkpoint(cbarr)
     raw_db = (
         S.ivf_assign(idx, "id", "embedding", n_cells=n_cells, rank_limit=1)
         .select(F.col("id").alias("neighbor"), "v", "nv", "cell")
         .localCheckpoint(eager=True)
     )
     protect_checkpoint(raw_db)
-    code_db = xarr.localCheckpoint(eager=True)  # (xid, cell, _xs)
+    code_db = xcodes.localCheckpoint(eager=True)  # (xid, cell, _xp, _xn2)
     protect_checkpoint(code_db)
     queries = (
         vectors(spark, n_queries, DIM)
@@ -171,15 +173,22 @@ def main() -> None:
             ).alias("cos"),
         ).where(F.col("cos").isNotNull()),
     )
-    # ADC: the q_pipeline118 shape — query subvector slices joined
-    # against the encoded index, integer-scaled per-subspace terms
+    # ADC: the q_pipeline118 LUT shape (r12) — a per-query lookup
+    # table built once against the broadcast codebook array, candidates
+    # carry codeword POSITIONS only, scoring = n_sub integer reads
     out["adc_scoring"] = _time(
-        "ADC (PQ codes)",
-        lambda: probed.withColumn(
-            "_qs", S.pq_query_slices(F.col("qv"), DIM, 4)
+        "ADC (PQ codes, LUT)",
+        lambda: probed.crossJoin(F.broadcast(cbarr))
+        .select(
+            "qid",
+            "qn",
+            "cell",
+            S.pq_query_lut(F.col("qv"), F.col("_cbarr"), DIM, 4).alias(
+                "_qlut"
+            ),
         )
         .join(code_db, on="cell")
-        .select("qid", "xid", S.adc_cos_column(4).alias("acos"))
+        .select("qid", "xid", S.adc_cos_lut(4).alias("acos"))
         .where(F.col("acos").isNotNull()),
     )
     out["adc_over_raw"] = round(

@@ -80,10 +80,22 @@ def test_monitor_equals_batch_ivfpq_split(spark, sf_dir):
     """Batch twin computed WITHOUT streaming and WITHOUT the map-side
     probe: coarse assignment by the window-ranked cosine (the oracle's
     shape), ADC scoring against the same maintained index."""
-    xarr, carr = P._pq_serving_index(spark, sf_dir)
+    xcodes, carr, _cbarr = P._pq_serving_index(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     odd = emb.filter(F.col("vec_id") % 2 == 1)
-    even = emb.filter(F.col("vec_id") % 2 == 0)
+    even = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    # REFERENCE index: the pre-r12 vector-carrying struct form scored by
+    # adc_cos_column — an independent implementation of the same ADC
+    # arithmetic, so equality here PINS the LUT path's bit-identity
+    cbs_ref = S.pq_codebooks(
+        even, "vec_id", "embedding", 64, P._PQ_SUB, P._PQ_CELLS
+    )
+    codes_ref = S.pq_encode_with(
+        even, "vec_id", "embedding", 64, cbs_ref, P._PQ_SUB
+    ).select(F.col("id").alias("xid"), "sub", "code")
+    xarr = S.pq_structs_array(codes_ref, cbs_ref).join(
+        xcodes.select("xid", "cell"), on="xid"
+    )
     cents = (
         even.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .orderBy("cid")
@@ -144,11 +156,12 @@ def test_ivfpq_monitor_resumes_exactly_once(spark, tmp_path):
         )
 
     index_src = _emb(range(0, 40, 2))
-    xarr, _assign, _cbs = S.pq_index(
+    xcodes, _assign, _cbs = S.pq_index(
         index_src, "vec_id", "embedding", dim=64, n_sub=4,
         n_cells_coarse=4, n_cells_code=4,
     )
-    xarr = xarr.localCheckpoint(eager=True)
+    xcodes = xcodes.localCheckpoint(eager=True)
+    cbarr = S.pq_codebook_array(_cbs).localCheckpoint(eager=True)
     cents = (
         index_src.select(
             F.col("vec_id").alias("cid"),
@@ -176,12 +189,18 @@ def test_ivfpq_monitor_resumes_exactly_once(spark, tmp_path):
                 ).alias("_p"),
             )
             .select(
-                "qid", "qn",
+                "qid", "qn", "qv",
                 F.col("_p.cid").alias("cell"),
-                S.pq_query_slices(F.col("qv"), 64, 4).alias("_qs"),
             )
-            .join(F.broadcast(xarr), on="cell")
-            .select("qid", "xid", S.adc_cos_column(4).alias("adc_cos"))
+            .crossJoin(F.broadcast(cbarr))
+            .select(
+                "qid", "qn", "cell",
+                S.pq_query_lut(F.col("qv"), F.col("_cbarr"), 64, 4).alias(
+                    "_qlut"
+                ),
+            )
+            .join(F.broadcast(xcodes), on="cell")
+            .select("qid", "xid", S.adc_cos_lut(4).alias("adc_cos"))
         )
 
     def _run():
