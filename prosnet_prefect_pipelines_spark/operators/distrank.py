@@ -175,6 +175,51 @@ def prefix_sums(
     )
 
 
+def prefix_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out: str,
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + an exact running MAX(value) OVER (ORDER BY order_by
+    [ROWS UNBOUNDED PRECEDING .. {-1 | CURRENT ROW}]) column — the
+    fully lazy distributed form for associative extrema (running
+    high-watermarks, record-to-date curves). Same in-plan layout as
+    :func:`prefix_sums`: per-partition maxima are a bounded
+    ``_gpid``-keyed aggregate, their exclusive prefix max broadcasts
+    back, and each row takes greatest(partition-local running max,
+    prior-partitions max). ``greatest`` skips NULLs, so the first
+    partition (NULL offset) and — under ``exclusive=True`` — each
+    partition's first row (empty local frame) reproduce the
+    single-partition window's NULL/identity semantics exactly.
+
+    ``order_by`` must be a TOTAL ordering. Runs no job at
+    construction."""
+    parts = _ranged_parts(df, order_by, {}, num_partitions).withColumn(
+        "_gmv", value
+    )
+    stats = parts.groupBy("_gpid").agg(F.max("_gmv").alias("_gm"))
+    woff = Window.orderBy("_gpid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = stats.select(
+        "_gpid", F.max("_gm").over(woff).alias("_gmoff")
+    )
+    w = Window.partitionBy("_gpid").orderBy(*order_by)
+    frame = w.rowsBetween(
+        Window.unboundedPreceding, -1 if exclusive else 0
+    )
+    return (
+        parts.join(F.broadcast(off), on="_gpid")
+        .withColumn(
+            out, F.greatest(F.max("_gmv").over(frame), F.col("_gmoff"))
+        )
+        .drop("_gpid", "_gmv", "_gmoff")
+    )
+
+
 def global_prefix_sums(
     df: DataFrame,
     order_by: list[Column],

@@ -301,14 +301,17 @@ def q_vocab_growth_deciles(spark, sf_dir):
 
     Ref semantics: SURVEY §2 A2/O1 (extension X-HEAPS-DECILES)."""
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_row_number,
+        prefix_sums,
     )
 
     tk, _ = _freq(spark, sf_dir)
-    dranks, n_docs = global_row_number(
-        tk.select("doc_id").distinct(), [F.col("doc_id").asc()], out="rk"
+    dranks = prefix_sums(
+        tk.select("doc_id").distinct(), [F.col("doc_id").asc()], rn_out="rk"
     )
-    dd = spark.createDataFrame([(n_docs,)], "nd long")
+    # |docs| as a broadcast 1-row dim instead of a driver int (r12: the
+    # count over the protocol's persisted block keeps the whole plan
+    # job-free at construction)
+    dd = dranks.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     first_seen = (
         tk.join(dranks, on="doc_id")
         .groupBy("token")

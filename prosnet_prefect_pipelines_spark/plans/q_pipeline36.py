@@ -161,11 +161,15 @@ def q_watermark_lag_profile(spark, sf_dir):
     # associative scan, so decompose it instead of sorting the whole
     # stream on one partition (the original global window): (1) a
     # BLOCK-partitioned running max inside fixed arrival-key blocks,
-    # (2) a prefix max over the per-block maxima (an unpartitioned
-    # window, but over the post-aggregation blocks table — N/65536
-    # rows), (3) hwm = greatest(prior-blocks prefix, local running
-    # max). Identical to the sequential replay; the single-partition
-    # stage is bounded by the block count, tunable via _BLOCK.
+    # (2) an exclusive prefix max over the per-block maxima — since r12
+    # via the distributed ``distrank.prefix_max`` protocol, so even the
+    # blocks table (N/65536 rows, corpus-growing) never funnels through
+    # one partition, (3) hwm = greatest(prior-blocks prefix, local
+    # running max). Identical to the sequential replay at every stage.
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        prefix_max,
+    )
+
     _BLOCK = 65536
     arr = arr.withColumn("blk", F.floor(F.col("arrival_key") / _BLOCK))
     wloc = (
@@ -174,10 +178,10 @@ def q_watermark_lag_profile(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     blocks = arr.groupBy("blk").agg(F.max("ts").alias("blk_max"))
-    wpre = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = blocks.select(
-        "blk", F.max("blk_max").over(wpre).alias("prev_hwm")
-    )
+    prefix = prefix_max(
+        blocks, [F.col("blk").asc()], F.col("blk_max"), "prev_hwm",
+        exclusive=True,
+    ).select("blk", "prev_hwm")
     lag = (
         arr.withColumn("local_hwm", F.max("ts").over(wloc))
         .join(F.broadcast(prefix), "blk")

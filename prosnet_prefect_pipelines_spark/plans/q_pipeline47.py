@@ -95,17 +95,20 @@ def _quintile_scores(rfm, col: str, invert: bool):
     cumulation, n folded in as a literal) and leaves the score join to
     AQE (broadcast while small, shuffle at scale)."""
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_rank_prefix_sum,
+        prefix_sums,
     )
 
     direction = F.col(col).desc() if invert else F.col(col).asc()
     dist = rfm.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-    cum, _n_vals, n = global_rank_prefix_sum(
-        dist, [direction], F.col("cnt"), rn_out="_vrn", cum_out="cum"
-    )
-    score = F.expr(f"CAST((cum - 1) * 5 div {n} + 1 AS BIGINT)")
+    cum = prefix_sums(dist, [direction], {"cum": F.col("cnt")}, rn_out="_vrn")
+    # n (the population total) as a broadcast 1-row dim — same integer
+    # quintile arithmetic as the old driver-side literal, job-free at
+    # construction (r12)
+    tot = cum.agg(F.sum("cnt").cast("long").alias("_qn"))
+    score = F.expr("CAST((cum - 1) * 5 div _qn + 1 AS BIGINT)")
     return rfm.select("user_id", col).join(
-        cum.select(col, score.alias("score")), col
+        cum.crossJoin(F.broadcast(tot)).select(col, score.alias("score")),
+        col,
     ).select("user_id", "score")
 
 

@@ -171,34 +171,41 @@ def q_pareto_share_report(spark, sf_dir):
     free from the offset pass and fold into the spine predicate as
     literals — bit-identical to the window form."""
     from prosnet_prefect_pipelines_spark.operators.distrank import (
-        global_rank_prefix_sum,
+        prefix_sums,
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    ranked, n, total = global_rank_prefix_sum(
+    ranked = prefix_sums(
         rev,
         [F.col("cents").desc(), F.col("o_custkey").asc()],
-        F.col("cents"),
+        {"cum": F.col("cents")},
         rn_out="rn",
-        cum_out="cum",
+    )
+    # n (customer count) and total (revenue) as a broadcast 1-row dim
+    # over the protocol's persisted block — the same integer spine
+    # predicate and ppm arithmetic as the old driver-side literals,
+    # with zero jobs at construction (r12)
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("_pn"),
+        F.sum("cents").cast("long").alias("_ptot"),
     )
     spine = spark.createDataFrame(
         [(1,), (5,), (10,), (20,), (50,)], "pct long"
-    )
+    ).crossJoin(F.broadcast(stats))
     j = F.broadcast(spine).join(
         ranked,
         ranked["rn"]
-        == F.greatest(F.lit(1), F.expr(f"CAST({n} AS BIGINT) * pct div 100")),
+        == F.greatest(F.lit(1), F.expr("_pn * pct div 100")),
     )
     return j.groupBy("pct").agg(
         F.max("cum").cast("long").alias("cum_cents"),
         F.max(
             F.expr(
                 "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div "
-                f"CAST({total} AS BIGINT) AS BIGINT)"
+                "CAST(_ptot AS BIGINT) AS BIGINT)"
             )
         ).alias("share_ppm"),
     )

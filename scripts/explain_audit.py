@@ -1926,13 +1926,11 @@ SINGLE_PARTITION_KEY_ATTRIBUTION: dict[tuple[str, str], str] = {
         "N=10 fixed-width cells (q_pipeline60), plus the 10-row "
         "generate_series ring — config-sized by construction"
     ),
-    ("watermark_lag_profile", "blk"): (
-        "arrival blocks = |events| / 65536 (q_pipeline36._BLOCK): the "
-        "documented |V|-bound decomposition of the sequential "
-        "running-max replay — the single-partition stage sees a 65536x "
-        "reduction of the stream, tunable via _BLOCK at deployment "
-        "scale"
-    ),
+    # ("watermark_lag_profile", "blk") was attributed here briefly in
+    # r12 (blocks = |events|/65536, corpus-growing); the same round
+    # removed the need: the blocks prefix max now runs on the
+    # distributed distrank.prefix_max protocol, so no single-partition
+    # exchange rides on blk at all.
 }
 
 

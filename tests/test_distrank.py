@@ -180,3 +180,44 @@ def test_ntile_from_rn_col_matches_python_form(spark, n, k):
         for r in rows.select(ntile_from_rn(F.col("rn"), n, k).alias("t")).collect()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize("exclusive", [False, True])
+@pytest.mark.parametrize("n", [0, 1, 2, 13, 500])
+def test_prefix_max_matches_window(spark, n, exclusive):
+    from prosnet_prefect_pipelines_spark.operators.distrank import prefix_max
+
+    df = _ids(spark, n).withColumn(
+        "val", ((F.col("uid") * 37) % 211 - 100).cast("long")
+    )
+    order = [F.col("key").asc(), F.col("uid").asc()]
+    got = prefix_max(df, order, F.col("val"), "hwm", exclusive=exclusive)
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1 if exclusive else 0
+    )
+    want = df.withColumn("hwm", F.max("val").over(w))
+    assert sorted(
+        (r.key, r.uid, r.val, r.hwm) for r in got.collect()
+    ) == sorted((r.key, r.uid, r.val, r.hwm) for r in want.collect())
+
+
+def test_prefix_max_is_job_free_at_construction(spark):
+    from prosnet_prefect_pipelines_spark.operators.distrank import prefix_max
+
+    sc = spark.sparkContext
+    group = "prefix-max-construction-probe"
+    sc.setJobGroup(group, "construction must be job-free")
+    try:
+        df = _ids(spark, 500)
+        out = prefix_max(
+            df,
+            [F.col("key").asc(), F.col("uid").asc()],
+            F.col("uid"),
+            "hwm",
+            exclusive=True,
+        )
+        ids = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(ids) == []
+    assert out.count() == 500
