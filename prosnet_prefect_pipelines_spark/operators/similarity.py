@@ -983,15 +983,26 @@ def pq_codes_positional(codes: DataFrame, cbs: DataFrame) -> DataFrame:
     n_sub ints + one long instead of inline codeword vectors. The
     position window runs over the |codebook| rows (n_sub x n_codes,
     config-sized)."""
-    pos = (
-        cbs.select(
-            "sub",
-            F.col("cid").alias("code"),
-            F.round(F.col("cv_norm2") * 1e9).cast("long").alias("_n2"),
-        )
-        .withColumn(
-            "_pos", F.row_number().over(Window.orderBy("sub", "code")) - 1
-        )
+    n2 = cbs.select(
+        "sub",
+        F.col("cid").alias("code"),
+        F.round(F.col("cv_norm2") * 1e9).cast("long").alias("_n2"),
+    )
+    # global (sub, code)-order position WITHOUT a global window: rank
+    # within sub (parallel, keyed) + per-sub offsets from a bounded
+    # 'sub'-keyed aggregate (the distrank offsets shape) — the sort is
+    # sub-major, so offset(sub) + within-sub rank IS the flat position
+    # the (sub, cid)-sorted codebook array assigns
+    pos_in_sub = n2.withColumn(
+        "_ps",
+        F.row_number().over(Window.partitionBy("sub").orderBy("code")) - 1,
+    )
+    woff = Window.orderBy("sub").rowsBetween(Window.unboundedPreceding, -1)
+    offs = n2.groupBy("sub").agg(F.count(F.lit(1)).alias("_c")).select(
+        "sub", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
+    )
+    pos = pos_in_sub.join(F.broadcast(offs), on="sub").withColumn(
+        "_pos", (F.col("_off") + F.col("_ps")).cast("int")
     )
     return (
         codes.join(F.broadcast(pos), on=["sub", "code"])

@@ -1701,6 +1701,12 @@ FORBIDDEN = {
     # |cells|-sized report against a broadcast 1-row total — the BNLJ
     # is the intended combine; only a true product is forbidden
     "ann_rebalance_plan": ["CartesianProduct"],
+    # r12 LUT ADC: the codebook-position offsets introduce ONE
+    # single-partition prefix window fed by a 'sub'-keyed aggregate
+    # (n_sub rows — config cardinality, the distrank offsets shape),
+    # so the generated blanket 'Exchange SinglePartition' ban is
+    # replaced by the cardinality-class invariant + product ban
+    "ann_ivf_pq_topk": ["CartesianProduct"],
     "kruskal_wallis_h": ["CartesianProduct"],
     "mann_whitney_u": ["CartesianProduct"],
     "spearman_rho_price_recency": ["CartesianProduct", "BroadcastNestedLoopJoin"],
