@@ -278,6 +278,25 @@ ATTRIBUTIONS = {
         "recorded warm_s (6.676, the confirm floor) already pairs the next "
         "round warm-to-warm at steady state."
     ),
+    "r24_code_speedup_residual": (
+        "BENCH_DETAIL_r24 carries fleet_residual_warning with the "
+        "ratios INVERTED from every prior episode: blended host ratio "
+        "0.984 (same-speed host by both probes) vs median per-query "
+        "ratio 0.822 — the catalog ran 18% faster than r23 on an "
+        "unchanged host. The residual detector cannot distinguish "
+        "uniform code IMPROVEMENT from uniform drift; this one is "
+        "improvement, attributable commit-by-commit: the r12 lazy "
+        "distrank rewrite removed a ~0.5-1 s plan-build job from all "
+        "21 converted queries (trimmed_mean 1.72 -> 0.72, wilcoxon "
+        "1.04 -> 0.80, gini/ks/qte/etc. similar), the LUT ADC repack "
+        "cut the PQ paths (ann_ivf_pq_topk warm 4.42 -> 3.63, IVF-PQ "
+        "serving 0.58 -> 0.46), and the streaming monitors' r23 "
+        "session-spike baselines normalized (preference 12.6 -> ~5.5). "
+        "The warning is working as designed — it flags any uniform "
+        "move — and the gate correctly fell back to the capped median "
+        "(host_estimator: median_fallback), under which 0 regressions "
+        "were unattributed."
+    ),
     "warm_variance_confirmed": (
         "Auto-attributed by the in-bench confirm pass (r7): this "
         "WARM-mode flag was re-run x2 in the same session and the best "
