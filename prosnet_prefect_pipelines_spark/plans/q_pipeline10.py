@@ -233,15 +233,23 @@ def q_concurrency_profile(spark, sf_dir):
     per_bucket = inner.groupBy("hour_bucket").agg(
         F.sum("d").alias("bucket_total"), F.max("inner_run").alias("inner_peak")
     )
-    w_carry = Window.orderBy("hour_bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    # cross-bucket carry on the distributed prefix-sum protocol (r12):
+    # hour buckets are calendar-bounded, but the lazy distrank form
+    # costs nothing extra and leaves NO unpartitioned stage keyed by
+    # the bucket at all — carry_in = inclusive prefix minus own total,
+    # exactly the old exclusive frame
+    from prosnet_prefect_pipelines_spark.operators.distrank import (
+        prefix_sums,
     )
-    return per_bucket.select(
+
+    cum = prefix_sums(
+        per_bucket,
+        [F.col("hour_bucket").asc()],
+        {"_carry_inc": F.col("bucket_total")},
+    )
+    return cum.select(
         "hour_bucket",
-        (
-            F.coalesce(F.sum("bucket_total").over(w_carry), F.lit(0))
-            + F.col("inner_peak")
-        )
+        (F.col("_carry_inc") - F.col("bucket_total") + F.col("inner_peak"))
         .cast("long")
         .alias("peak_concurrent"),
     )
@@ -498,6 +506,70 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(
         emb, "vec_id", "embedding", dim=64,
         n_sub=_PQ_SUB, n_cells_coarse=4, n_cells_code=4, k=3,
+    )
+
+
+PQ_RECALL_SQL = f"""
+WITH exact_pairs AS (
+    SELECT x.vec_id AS qid, y.vec_id AS xid,
+           round({_ivfpq_cos64('x.embedding', 'y.embedding')}, 6) AS cos
+    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+),
+exact_topk AS (
+    SELECT qid, xid FROM (
+        SELECT qid, xid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, xid) AS rn
+        FROM exact_pairs
+    ) t WHERE rn <= 3
+),
+approx_topk AS (SELECT qid, xid FROM ({IVFPQ_SQL.strip()}) a)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.xid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit,
+       CAST(SUM(CASE WHEN a.xid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_ppm
+FROM exact_topk e
+LEFT JOIN approx_topk a ON e.qid = a.qid AND e.xid = a.xid
+"""
+
+
+@register("pq_recall_report", oracle=PQ_RECALL_SQL, covers=["O6", "A2"])
+def q_pq_recall_report(spark, sf_dir):
+    """Recall instrumentation for the QUANTIZED serving tier (r12 —
+    the quality gauge next to the LUT speed fix): exact brute-force
+    cosine top-3 left-joined against the IVF-PQ ADC top-3, recall in
+    integer ppm. This is the dial for (n_sub, n_cells_code, nprobe):
+    the quantization loss the 14x candidate-scoring speedup and ~30x
+    byte shrink pay for is MEASURED every round, not assumed — the
+    same discipline ann_recall_report applies to the LSH tier. At
+    deployment scale the exact side runs on a sampled query panel
+    (brute force is the verification tier); both sides here compose
+    already-oracled queries, one keyed join + one count."""
+    from prosnet_prefect_pipelines_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, "vec_id", "embedding", k=3, dim=64).select(
+        F.col("id").alias("qid"), F.col("neighbor").alias("xid")
+    )
+    approx = q_ann_ivf_pq_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("xid").alias("a_xid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["qid"] == approx["a_qid"]) & (exact["xid"] == approx["a_xid"]),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("a_xid").isNotNull(), 1).otherwise(0)).alias(
+            "n_hit"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN a_xid IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("recall_ppm"),
     )
 
 

@@ -1701,6 +1701,10 @@ FORBIDDEN = {
     # |cells|-sized report against a broadcast 1-row total — the BNLJ
     # is the intended combine; only a true product is forbidden
     "ann_rebalance_plan": ["CartesianProduct"],
+    # r12: recall gauge for the quantized tier — the exact side is the
+    # documented brute-force verification tier (broadcast NLJ, like
+    # ann_recall_report); only a true product is forbidden
+    "pq_recall_report": ["CartesianProduct"],
     # r12 LUT ADC: the codebook-position offsets introduce ONE
     # single-partition prefix window fed by a 'sub'-keyed aggregate
     # (n_sub rows — config cardinality, the distrank offsets shape),
@@ -1912,12 +1916,10 @@ _BOUNDED_KEY_NAMES = {
 # WITHOUT one now FAILS the audit instead of passing with a printed
 # warning.
 SINGLE_PARTITION_KEY_ATTRIBUTION: dict[tuple[str, str], str] = {
-    ("concurrency_profile", "hour_bucket"): (
-        "epoch-hour (t div 3.6e9 us): calendar cardinality — grows with "
-        "elapsed time, never with corpus size (the catalog's documented "
-        "calendar class; the div-constant form is not auto-provable "
-        "because the divisor is a plain literal)"
-    ),
+    # ("concurrency_profile", "hour_bucket") was attributed here
+    # briefly in r12 (epoch-hours, calendar class); the same round
+    # moved the cross-bucket carry onto distrank.prefix_sums, so no
+    # single-partition exchange rides on the bucket at all.
     ("auc_exact_rank", "s"): (
         "distinct score levels: s = round(max(l_discount)*100) over the "
         "0.00-0.10 discount value grid -> <= 11 distinct scores "
