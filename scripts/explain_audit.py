@@ -1705,6 +1705,8 @@ FORBIDDEN = {
     # documented brute-force verification tier (broadcast NLJ, like
     # ann_recall_report); only a true product is forbidden
     "pq_recall_report": ["CartesianProduct"],
+    "pq_rerank_topk": ["CartesianProduct"],
+    "pq_rerank_recall_report": ["CartesianProduct"],
     # r12 LUT ADC: the codebook-position offsets introduce ONE
     # single-partition prefix window fed by a 'sub'-keyed aggregate
     # (n_sub rows — config cardinality, the distrank offsets shape),
