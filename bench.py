@@ -118,6 +118,7 @@ HEADLINE = [
     # r10 tail rotation: the AQE-starvation fixes (SCALE round-10) get
     # round-over-round timing so a silent re-starvation would show
     "ann_ivf_pq_topk",        # composed IVF-PQ ADC path (25.7 -> 5.1s r10)
+    "pq_rerank_topk",         # two-stage serving: ADC pool + exact rerank (r12)
     "llm_corpus_pipeline_v3", # round-3 flagship composition (17.1 -> 3.3s r10)
     "bigram_lm_score",        # corpus bigram LM stats (15.4 -> 2.7s r10)
     "session_similarity_topk",  # shingle self-join topk (15.7 -> 6.2s r10)

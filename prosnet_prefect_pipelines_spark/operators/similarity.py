@@ -1078,6 +1078,7 @@ def ivf_pq_topk(
     n_cells_coarse: int = 4,
     n_cells_code: int = 4,
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ asymmetric-distance top-k — the composed quantized-search
     scale path: coarse cells bound the candidate set (IVF), PQ codes
@@ -1098,8 +1099,19 @@ def ivf_pq_topk(
     xcodes, assign, cbs = pq_index(
         df, id_col, vec_col, dim, n_sub, n_cells_coarse, n_cells_code
     )
+    # nprobe > 1: the query side re-assigns against the coarse
+    # centroids keeping its nprobe nearest cells (the coverage dial the
+    # recall gauges measure — the INDEX side always lives in its rank-1
+    # home cell, so a candidate pair still appears exactly once)
+    qside = (
+        assign
+        if nprobe == 1
+        else ivf_assign(
+            df, id_col, vec_col, n_cells=n_cells_coarse, rank_limit=nprobe
+        ).select(F.col("id"), "v", "nv", "cell")
+    )
     qarr = (
-        fan_out(assign)
+        fan_out(qside)
         .crossJoin(F.broadcast(pq_codebook_array(cbs)))
         .select(
             F.col("id").alias("qid"),

@@ -1707,6 +1707,8 @@ FORBIDDEN = {
     "pq_recall_report": ["CartesianProduct"],
     "pq_rerank_topk": ["CartesianProduct"],
     "pq_rerank_recall_report": ["CartesianProduct"],
+    "ann_ivf_pq_nprobe2": ["CartesianProduct"],
+    "pq_recall_nprobe2_report": ["CartesianProduct"],
     # r12 LUT ADC: the codebook-position offsets introduce ONE
     # single-partition prefix window fed by a 'sub'-keyed aggregate
     # (n_sub rows — config cardinality, the distrank offsets shape),

@@ -247,3 +247,60 @@ def test_ivfpq_monitor_resumes_exactly_once(spark, tmp_path):
     )
     want = {(r.qid, r.xid, r.adc_cos) for r in batch.collect()}
     assert both == want
+
+
+def test_rerank_is_exact_over_the_adc_pool(spark, sf_dir):
+    """Two-stage invariant (r12): pq_rerank_topk's winners are (a) a
+    subset of the ADC top-10 candidate pool and (b) EXACTLY the
+    brute-force cosine top-3 restricted to that pool — the stage-2 join
+    eliminates within-pool quantization ranking error by
+    construction."""
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators.similarity import (
+        dot as _dot,
+        ivf_pq_topk,
+        norm as _norm,
+    )
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline10 import (
+        _RERANK_POOL,
+        q_pq_rerank_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pool = ivf_pq_topk(
+        emb, "vec_id", "embedding", dim=64, n_sub=4,
+        n_cells_coarse=4, n_cells_code=4, k=_RERANK_POOL,
+    ).select("qid", "xid")
+    got = {(r.qid, r.xid, r.cos) for r in q_pq_rerank_topk(spark, sf_dir).collect()}
+    pool_set = {(r.qid, r.xid) for r in pool.collect()}
+    assert {(q, x) for q, x, _ in got} <= pool_set
+
+    qv = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qv"),
+        _norm(F.col("embedding")).alias("_qn"),
+    )
+    xv = emb.select(
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("_xv"),
+        _norm(F.col("embedding")).alias("_xn"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("xid"))
+    want = {
+        (r.qid, r.xid, r.cos)
+        for r in pool.join(qv, on="qid").join(xv, on="xid")
+        .select(
+            "qid", "xid",
+            F.round(
+                _dot(F.col("_qv"), F.col("_xv"))
+                / (F.col("_qn") * F.col("_xn")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("qid", "xid", "cos")
+        .collect()
+    }
+    assert got == want
