@@ -864,6 +864,7 @@ def pq_index(
     n_sub: int = 4,
     n_cells_coarse: int = 4,
     n_cells_code: int = 4,
+    protect: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(xcodes, assign, codebooks): the maintained IVF-PQ serving index —
     coarse cell assignments plus PQ codes pivoted to ONE row per vector
@@ -881,8 +882,18 @@ def pq_index(
     training rounds, the encode and the assignment scan run with full
     parallelism; assignment/codebooks/codes are each materialized once
     (id-sized metadata frames) because the chain re-derives kmeans per
-    reference without a barrier."""
-    from prosnet_prefect_pipelines_spark.session import fan_out
+    reference without a barrier.
+
+    ``protect=True`` marks every materialized frame session-lifetime
+    (sweep-exempt) and ALSO eagerly checkpoints the assembled xcodes —
+    the memoized-serving-structure mode (batch-115 precedent): callers
+    that maintain ONE index per (session, dataset) pass it so the
+    between-query RDD sweep cannot evict the index the cached plan
+    references."""
+    from prosnet_prefect_pipelines_spark.session import (
+        fan_out,
+        protect_checkpoint,
+    )
 
     df = fan_out(df)
     assign = ivf_assign(
@@ -902,6 +913,10 @@ def pq_index(
     xcodes = pq_codes_positional(codes, cbs).join(
         assign.select(F.col("id").alias("xid"), F.col("cell")), on="xid"
     )
+    if protect:
+        xcodes = xcodes.localCheckpoint(eager=True)
+        for frame in (assign, cbs, xcodes):
+            protect_checkpoint(frame)
     return xcodes, assign, cbs
 
 
@@ -1079,6 +1094,7 @@ def ivf_pq_topk(
     n_cells_code: int = 4,
     k: int = 3,
     nprobe: int = 1,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ asymmetric-distance top-k — the composed quantized-search
     scale path: coarse cells bound the candidate set (IVF), PQ codes
@@ -1096,7 +1112,10 @@ def ivf_pq_topk(
     """
     from prosnet_prefect_pipelines_spark.session import fan_out
 
-    xcodes, assign, cbs = pq_index(
+    # a prebuilt (xcodes, assign, cbs) makes this a pure QUERY over a
+    # maintained serving structure (the production shape); without one
+    # the index is built per call
+    xcodes, assign, cbs = index or pq_index(
         df, id_col, vec_col, dim, n_sub, n_cells_coarse, n_cells_code
     )
     # nprobe > 1: the query side re-assigns against the coarse
