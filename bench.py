@@ -298,6 +298,26 @@ ATTRIBUTIONS = {
         "(host_estimator: median_fallback), under which 0 regressions "
         "were unattributed."
     ),
+    "r26_length_bias_session_spike": (
+        "BENCH_DETAIL_r26 carried the round's one unattributed "
+        "regression: stream_length_bias_monitor warm 5.395 -> 8.116 s "
+        "vs r25 (ratio 1.50 beyond the 1.153 host factor), with the "
+        "in-bench confirm re-runs WORSENING to 9.19/9.32 s — the "
+        "pattern that survives the variance-confirm pass. Isolated r13 "
+        "by the fresh-session x3 protocol (scripts/isolate_query.py, "
+        "artifacts/isolate_length_bias_r13.jsonl): six fresh JVMs; "
+        "discarding the first (contaminated by a concurrent pytest, "
+        "load 17.9 recorded in-artifact), warm x3 floors were "
+        "6.20/5.58/8.43/6.82/5.60 s under sustained EXTERNAL host load "
+        "12-21 (1-minute load averages recorded per session) — two "
+        "independent sessions AT the r25 baseline (5.395) and every "
+        "session below the 9.2/9.3 in-bench confirms. Code-identical "
+        "by construction: plans/q_pipeline116.py + streaming/ "
+        "untouched since the r8 close. The r26 spike (and its "
+        "worsening confirms) was session accumulation under mid-run "
+        "fleet load, not a code regression; warm history 4.9-8.3 s "
+        "across r20-r26 brackets every fresh-session floor measured."
+    ),
     "warm_variance_confirmed": (
         "Auto-attributed by the in-bench confirm pass (r7): this "
         "WARM-mode flag was re-run x2 in the same session and the best "
@@ -330,6 +350,7 @@ ATTRIBUTION_RATIO_BOUND_OF = {
     "r11_distrank_protocol": 2.5,
     "r22_host_load_spike": 2.2,
     "r23_preference_session_spike": 2.6,
+    "r26_length_bias_session_spike": 2.0,
 }
 
 # Attribution expiry (r9 ADVICE low: static attributions never expired,
@@ -355,6 +376,9 @@ ATTRIBUTION_MAX_PREV_ROUND = {
     "r22_neardup_session_drift": 23,
     "r22_host_load_spike": 23,
     "r23_preference_session_spike": 23,
+    # the r26 in-bench spike is attributed (isolate_length_bias_r13);
+    # comparisons against r27+ baselines use the standard gate
+    "r26_length_bias_session_spike": 26,
 }
 
 # query -> ATTRIBUTIONS key. The r5 verdict found the headline counter
@@ -401,7 +425,7 @@ ATTRIBUTION_OF = {
     "kruskal_wallis_h": "r11_distrank_protocol",
     "mann_whitney_u": "r11_distrank_protocol",
     "stream_neardup_monitor": "r22_neardup_session_drift",
-    "stream_length_bias_monitor": "r22_host_load_spike",
+    "stream_length_bias_monitor": "r26_length_bias_session_spike",
     "stream_preference_margin_monitor": "r23_preference_session_spike",
     "stream_ann_topk_monitor": "r22_host_load_spike",
 }
@@ -607,7 +631,38 @@ def main() -> None:
         if arg.startswith("--repeat"):
             repeat = int(arg.split("=", 1)[1] if "=" in arg else 3)
 
-    def _cold_pass() -> tuple[dict[str, float], dict[str, int]]:
+    # per-pass provenance (r10 ADVICE, medium): repeat/auto-engaged
+    # passes after the first used to reuse the session-memoized PQ/
+    # corpus indexes (and, for auto-engaged passes, a fully JIT-warmed
+    # JVM), so the 'cold' median was biased low vs prior true-cold
+    # baselines and an index-build regression was invisible. Passes
+    # >= 2 now RESET all memoized fixtures first (reset_memo_fixtures)
+    # so every pass pays the same first-touch builds pass 1 paid, and
+    # each pass records {memo_reset, after_warm} so cross-round
+    # comparisons can verify they are like-for-like.
+    cold_pass_provenance: list[dict] = []
+
+    def _cold_pass(
+        reset_memo: bool = False, after_warm: bool = False
+    ) -> tuple[dict[str, float], dict[str, int]]:
+        if reset_memo:
+            from prosnet_prefect_pipelines_spark.session import (
+                reset_memo_fixtures,
+            )
+
+            n_reset = reset_memo_fixtures(spark)
+            print(
+                f"# cold pass: reset memoized fixtures "
+                f"({n_reset} RDDs dropped)",
+                file=sys.stderr,
+            )
+        cold_pass_provenance.append(
+            {
+                "pass": len(cold_pass_provenance) + 1,
+                "memo_reset": reset_memo,
+                "after_warm": after_warm,
+            }
+        )
         pass_t: dict[str, float] = {}
         pass_rows: dict[str, int] = {}
         for name in names:
@@ -642,7 +697,7 @@ def main() -> None:
     timings, rows = _cold_pass()
     cold_passes.append(timings)
     for _ in range(repeat - 1):
-        extra, _r = _cold_pass()
+        extra, _r = _cold_pass(reset_memo=True)
         cold_passes.append(extra)
     if len(cold_passes) > 1:
         timings = {
@@ -712,7 +767,7 @@ def main() -> None:
             file=sys.stderr,
         )
         for _ in range(2):
-            extra, _r = _cold_pass()
+            extra, _r = _cold_pass(reset_memo=True, after_warm=True)
             cold_passes.append(extra)
         timings = {
             n: _median([p[n] for p in cold_passes if n in p])
@@ -995,6 +1050,27 @@ def main() -> None:
         warm_runs.setdefault(n, runs)
         warm_s[n] = min(warm_s.get(n, float("inf")), min(runs))
 
+    # Best-known-warm totals (r10 verdict item 6): the cold first-shot
+    # total is dominated by measurement noise under host load (r24
+    # 140.4 -> r26 228.7 s on near-identical code, 17/18 flags
+    # auto-attributed to variance), so the headline also reports the
+    # sum of each query's best-known steady-state this round — warm
+    # where a warm run exists (slowest-N warm pass + confirm re-runs),
+    # the cold number otherwise (fast queries, where cold ~= warm).
+    # The cross-round warm comparison pairs best-known to best-known.
+    def _best_now(n: str) -> float:
+        return min(warm_s.get(n, float("inf")), timings[n])
+
+    def _best_prev(n: str) -> float:
+        _rnd, prev_cold, prev_warm, _calib = prev_map[n]
+        return min(
+            prev_warm if prev_warm is not None else float("inf"), prev_cold
+        )
+
+    warm_total = round(sum(_best_now(n) for n in timings), 3)
+    shared_warm_total = round(sum(_best_now(n) for n in deltas), 3)
+    prev_shared_warm_total = round(sum(_best_prev(n) for n in deltas), 3)
+
     # Steady-state serving probes (r7 verdict item 2): the availableNow
     # replay rebuilds monitor state from scratch, so the stateful
     # monitors' headline rows measure REBUILD; the serving probe times a
@@ -1078,6 +1154,10 @@ def main() -> None:
         ),
         "repeat": len(cold_passes),
         "repeat_engaged": repeat_engaged,
+        "cold_pass_provenance": cold_pass_provenance,
+        "warm_total": warm_total,
+        "shared_warm_total": shared_warm_total,
+        "prev_shared_warm_total": prev_shared_warm_total,
         "calib_drift_mid_run": calib_drift,
         "warm_s": warm_s,
         "warm_runs": warm_runs,
@@ -1120,6 +1200,16 @@ def main() -> None:
                 os.replace(
                     path, os.path.join(art_dir, os.path.basename(path))
                 )
+    # scratch logs retire the same way (r10 verdict item 3): root-level
+    # *.log / *.err from audits/probes/ad-hoc runs move to artifacts/
+    try:
+        sys.path.insert(0, os.path.join(_here(), "scripts"))
+        from retire_logs import retire_scratch_logs
+
+        for base in retire_scratch_logs(_here()):
+            print(f"# retired scratch log {base} -> artifacts/", file=sys.stderr)
+    except Exception as exc:
+        print(f"# scratch-log retirement skipped: {exc!r}", file=sys.stderr)
     if regressions:
         print(f"# regressions vs {prev_round}: {json.dumps(regressions)}", file=sys.stderr)
     if fleet_residual_warn:
@@ -1144,11 +1234,14 @@ def main() -> None:
         "calib_spark_agg_sec": calib,
         "calib_shuffle_sec": calib_shuffle,
         "value_per_calib": round(total / calib, 2) if calib else None,
+        "warm_total": warm_total,
         "shared_vs_prev": (
             {
                 "prev": prev_round,
                 "now_s": shared_total,
                 "prev_s": prev_shared_total,
+                "now_warm_s": shared_warm_total,
+                "prev_warm_s": prev_shared_warm_total,
                 "host_ratio": host_ratio,
                 "host_estimator": host_estimator,
                 "fleet_residual_warning": fleet_residual_warn,

@@ -64,7 +64,10 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
-def _col_dt(values: dict, name: str) -> tuple[Column, str]:
+def _col_dt(values: dict, name: str) -> tuple[Column, str | None]:
+    """(column, cast type) for a values entry; ``None`` type means the
+    column is carried into the persisted block UNCAST (prefix_max's
+    value keeps its native type)."""
     v = values[name]
     return v if isinstance(v, tuple) else (v, "long")
 
@@ -80,7 +83,22 @@ def _ranged_parts(
     entry. Persisted LAZILY so the offsets branch and the main branch
     read one copy with one frozen partition assignment (persist also
     pins ``spark_partition_id()`` against any recompute raciness —
-    range boundaries are sampled once, at materialization)."""
+    range boundaries are sampled once, at materialization).
+
+    Every ``_gval{i}`` value expression is evaluated INSIDE this block
+    — the offsets branch and the main branch then read the same frozen
+    evaluation, so a nondeterministic or order-dependent value
+    expression cannot diverge between the per-partition aggregates and
+    the row-level running frame (the r12 ADVICE prefix_max finding).
+
+    PERSIST CONTRACT (caller-must-sweep): the block stays persisted
+    after the query's action completes — a job-free construction has no
+    hook to unpersist deterministically. Harnesses and long-lived
+    sessions embedding these plans must call
+    ``session.sweep_persistent_rdds`` between independent queries (the
+    bench and self-sweep already do); otherwise one MEMORY_AND_DISK
+    range block per executed distrank plan accumulates until LRU
+    eviction."""
     parts = (
         df.repartitionByRange(num_partitions, *order_by)
         if num_partitions
@@ -91,7 +109,9 @@ def _ranged_parts(
     )
     for i, name in enumerate(values):
         col, dt = _col_dt(values, name)
-        parts = parts.withColumn(f"_gval{i}", col.cast(dt))
+        parts = parts.withColumn(
+            f"_gval{i}", col if dt is None else col.cast(dt)
+        )
     return parts.persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -196,10 +216,13 @@ def prefix_max(
     single-partition window's NULL/identity semantics exactly.
 
     ``order_by`` must be a TOTAL ordering. Runs no job at
-    construction."""
-    parts = _ranged_parts(df, order_by, {}, num_partitions).withColumn(
-        "_gmv", value
-    )
+    construction. The value expression is evaluated inside the shared
+    persisted block (``(value, None)`` = carry uncast), not after it,
+    so the offsets branch and the row-level frame read one frozen
+    evaluation even for order-dependent expressions."""
+    parts = _ranged_parts(
+        df, order_by, {"_gmv": (value, None)}, num_partitions
+    ).withColumnRenamed("_gval0", "_gmv")
     stats = parts.groupBy("_gpid").agg(F.max("_gmv").alias("_gm"))
     woff = Window.orderBy("_gpid").rowsBetween(
         Window.unboundedPreceding, -1

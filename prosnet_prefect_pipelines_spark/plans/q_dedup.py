@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from prosnet_prefect_pipelines_spark.operators import dedup as D
 from prosnet_prefect_pipelines_spark.operators import graph as G
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 CORPUS_CTE = """
 corpus AS (
@@ -62,8 +63,8 @@ jac AS (
 """
 
 
-_CORPUS_CACHE: dict = {}
-_PAIRS_CACHE: dict = {}
+_CORPUS_CACHE: dict = register_memo_cache({})
+_PAIRS_CACHE: dict = register_memo_cache({})
 
 
 def _memoized(cache: dict, spark, sf_dir, build):

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 # ---------------------------------------------------------------------------
 # k-anonymity audit
@@ -526,7 +527,7 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
 # measurement artifact, not workload (saved ~2.5-3 s warm per query;
 # oracle hashes unchanged because the index is a pure function of the
 # frozen inputs)
-_PQ_BATCH_CACHE: dict = {}
+_PQ_BATCH_CACHE: dict = register_memo_cache({})
 
 
 def _pq_batch_index(spark, sf_dir):
@@ -549,10 +550,13 @@ def _pq_batch_index(spark, sf_dir):
 
 
 _RERANK_POOL = 10  # ADC candidate pool width the exact pass re-ranks
+# measured default (r13 pool sweep, artifacts/sweep_rerank_pool_r13):
+# see SCALE.md — pool widens the exact stage linearly; the recall twin
+# queries gauge what each width buys on the adversarial corpus
 
-PQ_RERANK_SQL = (
-    _IVFPQ_CTES
-    + f""",
+# shared exact-rerank tail over any CTE stack that ends in `scored`
+# (qid, xid, adc_cos): pool by ADC, re-rank the pool by exact cosine
+_RERANK_TAIL_SQL = f""",
 rerank_cand AS (
     SELECT qid, xid FROM (
         SELECT *, row_number() OVER (
@@ -573,7 +577,8 @@ SELECT qid, xid, cos FROM (
     FROM rerank_exact
 ) t WHERE rn <= 3
 """
-)
+
+PQ_RERANK_SQL = _IVFPQ_CTES + _RERANK_TAIL_SQL
 
 
 @register("pq_rerank_topk", oracle=PQ_RERANK_SQL, covers=["O6", "J1", "O1"])

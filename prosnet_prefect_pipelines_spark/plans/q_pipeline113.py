@@ -49,6 +49,7 @@ from prosnet_prefect_pipelines_spark.plans.q_dedup import (
 )
 from prosnet_prefect_pipelines_spark.plans.q_pipeline33 import _docs_stream
 from prosnet_prefect_pipelines_spark.streaming import neardup as N
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _THRESHOLD = 0.5
 _BUCKET_CAP = 32
@@ -88,7 +89,7 @@ WHERE j.jaccard >= {_THRESHOLD}
 # mirrors that: first invocation builds (the cold cost stays honest),
 # later invocations probe the existing index — the same
 # session-lifetime-fixture pattern as q_dedup.corpus, sweep-protected.
-_INDEX_CACHE: dict = {}
+_INDEX_CACHE: dict = register_memo_cache({})
 
 
 def _static_index(spark, sf_dir):

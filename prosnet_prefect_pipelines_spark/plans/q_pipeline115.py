@@ -47,6 +47,7 @@ from prosnet_prefect_pipelines_spark.operators import similarity as S
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 from prosnet_prefect_pipelines_spark.plans.q_similarity import _cos
 from prosnet_prefect_pipelines_spark.streaming.staging import replay_stage
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _N_CELLS = 8
 _NPROBE = 2
@@ -93,7 +94,7 @@ SELECT id, neighbor, cos FROM ranked WHERE rn <= {_K}
 
 # the static IVF index is a MAINTAINED serving structure, not a per-run
 # rebuild — memoized per (session, sf) like the batch-113 LSH index
-_INDEX_CACHE: dict = {}
+_INDEX_CACHE: dict = register_memo_cache({})
 
 
 def _ivf_index(spark, sf_dir):

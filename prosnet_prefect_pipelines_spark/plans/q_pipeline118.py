@@ -59,6 +59,7 @@ from prosnet_prefect_pipelines_spark.plans.q_pipeline10 import (
     _ivfpq_cos64,
 )
 from prosnet_prefect_pipelines_spark.plans.q_pipeline115 import _query_stream
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _K = 3
 _EVEN = "vec_id % 2 = 0"
@@ -199,7 +200,7 @@ SELECT qid, xid, adc_cos FROM (
 
 # the encoded index is a MAINTAINED serving structure — memoized per
 # (session, sf) and checkpoint-protected, like batch 115's IVF index
-_PQ_INDEX_CACHE: dict = {}
+_PQ_INDEX_CACHE: dict = register_memo_cache({})
 
 
 def _pq_serving_index(spark, sf_dir):

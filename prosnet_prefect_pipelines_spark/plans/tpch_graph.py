@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 # DuckDB-side definition. MUST stay semantically identical to
 # triples_from_tpch() below; both derive only from the parquet views.
@@ -136,7 +137,7 @@ triples AS (
 # dozen catalog queries read it, and without memoization each re-scans
 # the 5 source tables across 20+ union branches. localCheckpoint keeps
 # the built rows as blocks — the shared-dimension-view pattern.
-_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = register_memo_cache({})
 
 
 def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,41 +101,94 @@ def unpersist_checkpoint(df) -> None:
         pass
 
 
-# rdd ids of SESSION-LIFETIME checkpointed fixtures (the memoized
-# corpus / lsh-pair / triples views shared across catalog queries):
-# sweep_persistent_rdds must never unpersist these — a lazy
-# localCheckpoint that one query materialized and a later query reuses
-# is unrecoverable once its blocks are dropped (lineage is truncated).
-_PROTECTED_CKPT_IDS: set[int] = set()
+# (app_id, rdd_id) pairs of SESSION-LIFETIME checkpointed fixtures
+# (the memoized corpus / lsh-pair / triples / PQ-index views shared
+# across catalog queries): sweep_persistent_rdds must never unpersist
+# these — a lazy localCheckpoint that one query materialized and a
+# later query reuses is unrecoverable once its blocks are dropped
+# (lineage is truncated). Keyed by application id because RDD ids
+# restart near 0 in a new SparkContext within the same Python process:
+# a bare-int registry could collide a stale protected id with an
+# unrelated fresh RDD and permanently exempt it from the sweep
+# (r12 ADVICE finding).
+_PROTECTED_CKPT_IDS: set[tuple[str, int]] = set()
+
+# registered memoized-fixture caches (plan modules' per-(app_id, sf)
+# dicts of checkpointed serving structures). Central registry so a
+# harness can reset ALL memoized state to first-touch conditions in
+# one call — see :func:`reset_memo_fixtures`.
+_MEMO_CACHES: list[dict] = []
+
+
+def register_memo_cache(cache: dict) -> dict:
+    """Register a plan module's memoized-fixture dict; returns it so
+    modules can write ``_CACHE: dict = register_memo_cache({})``."""
+    _MEMO_CACHES.append(cache)
+    return cache
+
+
+def _app_id(spark_or_df) -> str:
+    sess = getattr(spark_or_df, "sparkSession", spark_or_df)
+    return sess.sparkContext.applicationId
 
 
 def protect_checkpoint(df) -> None:
     """Mark a checkpointed fixture as session-lifetime (sweep-exempt)."""
     try:
-        _PROTECTED_CKPT_IDS.add(df._jdf.queryExecution().analyzed().rdd().id())
+        _PROTECTED_CKPT_IDS.add(
+            (_app_id(df), int(df._jdf.queryExecution().analyzed().rdd().id()))
+        )
     except Exception:
         pass
+
+
+def reset_memo_fixtures(spark: SparkSession) -> int:
+    """Reset every memoized serving structure to first-touch state.
+
+    Clears all registered memo caches (:func:`register_memo_cache`),
+    drops every checkpoint protection, and sweeps the now-unprotected
+    blocks; returns the number of RDDs unpersisted. After this call the
+    session measures like a fresh one for fixture/index build purposes:
+    the next query that touches a memoized corpus / LSH pair frame /
+    PQ index rebuilds it from scratch. The bench's repeat-cold passes
+    call this so pass 2..N include the same index-build work pass 1
+    paid (r10 ADVICE: memoized indexes made repeat 'cold' medians
+    biased low and hid index-build regressions from the gate).
+    """
+    for cache in _MEMO_CACHES:
+        cache.clear()
+    _PROTECTED_CKPT_IDS.clear()
+    return sweep_persistent_rdds(spark)
 
 
 def sweep_persistent_rdds(spark: SparkSession) -> int:
     """Unpersist every non-protected persistent RDD; returns the count.
 
-    Legal between independent queries in this engine: the only
-    ``persist()`` is the near-dup monitor's foreachBatch barrier, which
-    is released inside the same micro-batch, so persistent blocks are
-    either ``localCheckpoint`` fixpoint/stream state — dead once the
-    owning query's result has been collected — or the memoized fixture
-    views, which register via :func:`protect_checkpoint` and are
-    skipped. Long one-session harnesses (bench, the 570-query
-    self-sweep) otherwise accumulate every round's blocks until LRU
-    eviction starts thrashing MEMORY_AND_DISK spills mid-measurement.
+    Legal between independent queries in this engine, whose persistent
+    blocks fall into exactly three classes: (1) ``localCheckpoint``
+    fixpoint/stream state — dead once the owning query's result has
+    been collected; (2) the memoized fixture views and serving indexes,
+    which register via :func:`protect_checkpoint` and are skipped; and
+    (3) the lazy distrank range blocks (``operators/distrank.py
+    _ranged_parts`` persists MEMORY_AND_DISK inside the returned plan)
+    plus the near-dup monitor's foreachBatch barrier — both dead after
+    their query's action completes, and released HERE: the distrank
+    APIs are deliberately job-free at construction so they cannot
+    unpersist deterministically themselves, and their contract is
+    caller-must-sweep (harnesses call this between queries; long-lived
+    embedding servers must do the same or accumulate one range block
+    per distrank plan executed). Stale protections from stopped
+    SparkContexts are pruned by app id — they can never match again.
     """
     n = 0
     try:
+        app = spark.sparkContext.applicationId
+        stale = {t for t in _PROTECTED_CKPT_IDS if t[0] != app}
+        _PROTECTED_CKPT_IDS.difference_update(stale)
         it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
         while it.hasNext():
             e = it.next()
-            if int(e.getKey()) in _PROTECTED_CKPT_IDS:
+            if (app, int(e.getKey())) in _PROTECTED_CKPT_IDS:
                 continue
             e.getValue().unpersist(False)
             n += 1

@@ -2331,6 +2331,12 @@ def main() -> None:
     for name, needle in failures:
         print(f"MISSING {name}: {needle}")
     print(f"PLANS.md written; {len(failures)} missing properties")
+    try:  # root-level scratch-log hygiene (r10 verdict item 3)
+        from retire_logs import retire_scratch_logs
+
+        retire_scratch_logs()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -68,3 +68,69 @@ def test_memoized_corpus_survives_sweep(spark, sf_dir):
     sweep_persistent_rdds(spark)
     n2 = corpus(spark, sf_dir).count()  # same memoized frame, post-sweep
     assert n1 == n2 > 0
+
+
+def test_protection_is_app_scoped(spark):
+    """Protected ids are keyed by application id (r12 ADVICE): a stale
+    id recorded under a dead SparkContext must not exempt a fresh RDD
+    with the colliding integer id from the sweep."""
+    from prosnet_prefect_pipelines_spark.session import _PROTECTED_CKPT_IDS
+
+    sweep_persistent_rdds(spark)
+    base = _n_persistent(spark)
+    ck = spark.range(300).localCheckpoint()
+    assert ck.count() == 300
+    rdd_id = int(ck._jdf.queryExecution().analyzed().rdd().id())
+    # simulate a stale protection from a previous context: same integer
+    # id, different app — the sweep must still release the block AND
+    # prune the stale entry
+    _PROTECTED_CKPT_IDS.add(("app-from-a-dead-context", rdd_id))
+    swept = sweep_persistent_rdds(spark)
+    assert swept >= 1
+    assert _n_persistent(spark) == base
+    assert ("app-from-a-dead-context", rdd_id) not in _PROTECTED_CKPT_IDS
+
+
+def test_reset_memo_fixtures_forces_rebuild(spark, sf_dir):
+    """reset_memo_fixtures returns the session to first-touch state:
+    caches empty, protections dropped, blocks swept — the next corpus()
+    call rebuilds rather than reusing a dangling checkpoint."""
+    from prosnet_prefect_pipelines_spark.plans.q_dedup import _CORPUS_CACHE, corpus
+    from prosnet_prefect_pipelines_spark.session import (
+        _PROTECTED_CKPT_IDS,
+        reset_memo_fixtures,
+    )
+
+    c = corpus(spark, sf_dir)
+    n1 = c.count()
+    assert _CORPUS_CACHE  # memoized
+    reset_memo_fixtures(spark)
+    assert not _CORPUS_CACHE
+    assert not _PROTECTED_CKPT_IDS
+    c2 = corpus(spark, sf_dir)
+    assert c2 is not c  # rebuilt, not the dangling frame
+    assert c2.count() == n1
+
+
+def test_all_plan_memo_caches_registered(spark):
+    """Every module-level *_CACHE dict in plans/ must be registered so
+    reset_memo_fixtures clears it (an unregistered cache would hand out
+    frames whose checkpoint blocks the reset just dropped)."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    import prosnet_prefect_pipelines_spark.plans as plans_pkg
+    from prosnet_prefect_pipelines_spark.plans import catalog
+    from prosnet_prefect_pipelines_spark.session import _MEMO_CACHES
+
+    catalog.load()  # import every plan module so registrations ran
+
+    plan_dir = _os.path.dirname(plans_pkg.__file__)
+    declared = 0
+    for path in _glob.glob(_os.path.join(plan_dir, "*.py")):
+        src = open(path).read()
+        declared += len(
+            _re.findall(r"^_[A-Z_]*CACHE[^=]*=", src, flags=_re.M)
+        )
+    assert declared == len(_MEMO_CACHES) > 0
