@@ -435,6 +435,19 @@ ATTRIBUTION_OF = {
 # instead of an unexplained flag. (VERDICT r2 asked for exactly this:
 # recall-gained-per-second recorded next to the regression.)
 KNOWN_TRADEOFFS = {
+    "pq_rerank_topk": (
+        "r13 widened the rerank pool 10 -> 50 BY MEASUREMENT "
+        "(artifacts/sweep_rerank_pool_r13.jsonl, SCALE.md table): "
+        "recall@3 90666 -> 276666 ppm (3.05x) for +0.41 s serving wall "
+        "at sf0.1 (warm 1.09 -> 1.50 s). The exact stage stays a "
+        "|queries| x pool keyed join (never a corpus pass), so the "
+        "cost is bounded and the recall-per-second knee sits at 50."
+    ),
+    "pq_rerank_recall_report": (
+        "Same r13 pool widening as pq_rerank_topk (it nests that "
+        "query): the exact-vs-rerank join now verifies a 5x-wider "
+        "pool; recall measured 276666 ppm (was 90666 at pool=10)."
+    ),
     "ann_rhp_lsh_topk": (
         "r2 added a second hash table + bucket_cap skew salting vs r1's "
         "single-table LSH: ~1.3x residual work buys multi-table recall "

@@ -549,10 +549,17 @@ def _pq_batch_index(spark, sf_dir):
     return idx
 
 
-_RERANK_POOL = 10  # ADC candidate pool width the exact pass re-ranks
-# measured default (r13 pool sweep, artifacts/sweep_rerank_pool_r13):
-# see SCALE.md — pool widens the exact stage linearly; the recall twin
-# queries gauge what each width buys on the adversarial corpus
+# ADC candidate pool width the exact pass re-ranks. Default CHOSEN BY
+# MEASUREMENT (r13 pool sweep, artifacts/sweep_rerank_pool_r13.jsonl +
+# SCALE.md table): on the adversarial i.i.d. corpus, widening the pool
+# 10 -> 50 took recall@3 from 90666 -> 276666 ppm (3.05x) for
+# +0.41 s serving wall at sf0.1 (1.09 -> 1.50 s), while the nprobe
+# dial alone bought only +12%; pool 50 -> 100 adds another 1.3x for
+# +0.68 s — diminishing. The exact stage is a |queries| x pool keyed
+# join, so at 100 TB its cost stays negligible next to the ADC scan —
+# pool=50 is the recall-per-second knee and ships as the default; the
+# recall-twin queries re-measure it every round.
+_RERANK_POOL = 50
 
 # shared exact-rerank tail over any CTE stack that ends in `scored`
 # (qid, xid, adc_cos): pool by ADC, re-rank the pool by exact cosine
@@ -581,19 +588,12 @@ SELECT qid, xid, cos FROM (
 PQ_RERANK_SQL = _IVFPQ_CTES + _RERANK_TAIL_SQL
 
 
-@register("pq_rerank_topk", oracle=PQ_RERANK_SQL, covers=["O6", "J1", "O1"])
-def q_pq_rerank_topk(spark, sf_dir):
-    """X-PQ-RERANK (r12): the two-stage retrieval pattern every
-    production quantized server runs — a WIDE candidate pool ranked by
-    cheap integer ADC over codes (stage 1: LUT scoring, top-10 per
-    query), then exact cosine on the ORIGINAL vectors for just those
-    10 candidates (stage 2: the only place raw vectors are read after
-    encoding — a |queries| x 10 keyed join, never a corpus pass).
-    Recovers most of the quantization loss pq_recall_report measures
-    on the pure-ADC path, at 10 exact cosines per query. Stage-1 plan
-    is ivf_pq_topk's (broadcast codebook LUT, positional codes,
-    size-gated index join); stage 2 is two keyed joins against the
-    vector table."""
+def _rerank_exact_topk(spark, sf_dir, nprobe: int = 1, pool: int | None = None):
+    """Shared two-stage retrieval body: ADC candidate pool of width
+    ``pool`` from the memoized batch index at the given ``nprobe``,
+    re-ranked by exact cosine on the original vectors (the only place
+    raw vectors are read after encoding — a |queries| x pool keyed
+    join, never a corpus pass), exact top-3 out."""
     from pyspark.sql.window import Window
 
     from prosnet_prefect_pipelines_spark.operators.similarity import (
@@ -604,7 +604,8 @@ def q_pq_rerank_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cand = ivf_pq_topk(
         emb, "vec_id", "embedding", dim=64,
-        n_sub=_PQ_SUB, n_cells_coarse=4, n_cells_code=4, k=_RERANK_POOL,
+        n_sub=_PQ_SUB, n_cells_coarse=4, n_cells_code=4,
+        k=pool or _RERANK_POOL, nprobe=nprobe,
         index=_pq_batch_index(spark, sf_dir),
     ).select("qid", "xid")
     qv = emb.select(
@@ -631,6 +632,24 @@ def q_pq_rerank_topk(spark, sf_dir):
         .filter(F.col("_rn") <= 3)
         .select("qid", "xid", "cos")
     )
+
+
+@register("pq_rerank_topk", oracle=PQ_RERANK_SQL, covers=["O6", "J1", "O1"])
+def q_pq_rerank_topk(spark, sf_dir):
+    """X-PQ-RERANK (r12; pool widened by the r13 measured sweep): the
+    two-stage retrieval pattern every production quantized server runs
+    — a WIDE candidate pool ranked by cheap integer ADC over codes
+    (stage 1: LUT scoring, top-_RERANK_POOL per query), then exact
+    cosine on the ORIGINAL vectors for just that pool (stage 2: the
+    only place raw vectors are read after encoding — a |queries| x
+    pool keyed join, never a corpus pass). Recovers most of the
+    quantization loss pq_recall_report measures on the pure-ADC path
+    at pool exact cosines per query (measured: 276666 ppm at pool=50
+    vs 90666 at the r12 pool=10 — the sweep table in SCALE.md).
+    Stage-1 plan is ivf_pq_topk's (broadcast codebook LUT, positional
+    codes, size-gated index join); stage 2 is two keyed joins against
+    the vector table."""
+    return _rerank_exact_topk(spark, sf_dir, nprobe=1)
 
 
 # nprobe=2 variant: the query side keeps its TWO nearest coarse cells
@@ -755,9 +774,9 @@ def q_pq_recall_nprobe2_report(spark, sf_dir):
     subspace codebooks the within-pool RANKING error dominates, so
     nprobe only pays when paired with the exact rerank stage (which
     eliminates that error by construction — pq_rerank_recall_report's
-    2.8x). This is precisely why production servers tune (nprobe,
-    rerank-pool) TOGETHER, and why these gauges exist as queries
-    rather than assumptions."""
+    8.6x at the measured pool=50 default). This is precisely why
+    production servers tune (nprobe, rerank-pool) TOGETHER, and why
+    these gauges exist as queries rather than assumptions."""
     from prosnet_prefect_pipelines_spark.operators.similarity import (
         cosine_topk,
     )
@@ -767,6 +786,96 @@ def q_pq_recall_nprobe2_report(spark, sf_dir):
         F.col("id").alias("qid"), F.col("neighbor").alias("xid")
     )
     approx = q_ann_ivf_pq_nprobe2(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("xid").alias("a_xid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["qid"] == approx["a_qid"]) & (exact["xid"] == approx["a_xid"]),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("a_xid").isNotNull(), 1).otherwise(0)).alias(
+            "n_hit"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN a_xid IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+# the composed production configuration (r13, closing the r10 verdict's
+# item 4): nprobe=2 coverage AND the exact rerank stage together — the
+# two dials that were each measured alone and each found insufficient
+# (nprobe-alone FLAT at 30000 ppm because quantization-inflated scores
+# displace true neighbors; rerank-alone capped by the unprobed cell's
+# coverage misses — 90666 ppm at the r12 pool=10, 276666 at pool=50)
+PQ_RERANK_NPROBE2_SQL = _IVFPQ_NPROBE2_CTES + _RERANK_TAIL_SQL
+
+
+@register("pq_rerank_nprobe2_topk", oracle=PQ_RERANK_NPROBE2_SQL,
+          covers=["O6", "J1", "O1"])
+def q_pq_rerank_nprobe2_topk(spark, sf_dir):
+    """The production serving configuration: both dials composed.
+    Stage 1 probes each query's TWO nearest coarse cells (coverage:
+    the true neighbor's cell is in the pool ~2x as often) and pools
+    the ADC top-_RERANK_POOL; stage 2 re-ranks that pool by exact
+    cosine
+    (eliminating the within-pool quantization ranking error that made
+    nprobe-alone flat). Same maintained index, same |queries| x pool
+    exact stage — the second probe only widens the cheap integer ADC
+    scan, which is why production servers tune (nprobe, rerank-pool)
+    together and ship exactly this shape."""
+    return _rerank_exact_topk(spark, sf_dir, nprobe=2)
+
+
+PQ_RERANK_NPROBE2_RECALL_SQL = f"""
+WITH exact_pairs AS (
+    SELECT x.vec_id AS qid, y.vec_id AS xid,
+           round({_ivfpq_cos64('x.embedding', 'y.embedding')}, 6) AS cos
+    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+),
+exact_topk AS (
+    SELECT qid, xid FROM (
+        SELECT qid, xid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, xid) AS rn
+        FROM exact_pairs
+    ) t WHERE rn <= 3
+),
+approx_topk AS (SELECT qid, xid FROM ({PQ_RERANK_NPROBE2_SQL.strip()}) a)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.xid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit,
+       CAST(SUM(CASE WHEN a.xid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_ppm
+FROM exact_topk e
+LEFT JOIN approx_topk a ON e.qid = a.qid AND e.xid = a.xid
+"""
+
+
+@register("pq_rerank_nprobe2_recall_report",
+          oracle=PQ_RERANK_NPROBE2_RECALL_SQL, covers=["O6", "A2"])
+def q_pq_rerank_nprobe2_recall_report(spark, sf_dir):
+    """Recall@3 of the composed (nprobe=2 + exact rerank) path — the
+    final point on the measured recall grid: 32000 ppm pure ADC,
+    30000 nprobe=2-alone, then at the r13 measured default pool=50:
+    276666 rerank-alone and 314666 composed (at the r12 pool=10 the
+    same ordering held: 90666 -> 101333; at pool=100 the composition
+    reaches 472666 — SCALE.md table). The delta over
+    pq_rerank_recall_report is exactly the coverage the second probe
+    recovers once the rerank stage has removed the ranking error that
+    masked it — the measured justification for shipping the dials
+    together."""
+    from prosnet_prefect_pipelines_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, "vec_id", "embedding", k=3, dim=64).select(
+        F.col("id").alias("qid"), F.col("neighbor").alias("xid")
+    )
+    approx = q_pq_rerank_nprobe2_topk(spark, sf_dir).select(
         F.col("qid").alias("a_qid"), F.col("xid").alias("a_xid")
     )
     joined = exact.join(
@@ -828,8 +937,9 @@ def q_pq_recall_report(spark, sf_dir):
     nearest neighbors sit near 90 deg) probed with nprobe=1 over 4
     coarse cells, so COVERAGE misses dominate; real clustered
     embeddings + production nprobe/cells lift this steeply, and the
-    rerank twin (pq_rerank_recall_report: 90666 ppm, 2.8x) shows the
-    within-pool ranking error separately."""
+    rerank twin (pq_rerank_recall_report: 276666 ppm at the measured
+    pool=50 default, 8.6x) shows the within-pool ranking error
+    separately."""
     from prosnet_prefect_pipelines_spark.operators.similarity import (
         cosine_topk,
     )
