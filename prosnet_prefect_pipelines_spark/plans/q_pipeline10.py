@@ -1158,3 +1158,357 @@ def q_pearson_corr(spark, sf_dir):
         .cast("long")
         .alias("pearson_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recall-SLO autotuner (r13 stretch): close the loop the rebalance
+# planner opened — pick (nprobe, rerank-pool) from MEASURED recall
+# gauges, not guesswork
+
+# the candidate grid the tuner evaluates in one pass (a VALUES inline
+# table both engines cross-join against the shared scored frame)
+_AUTOTUNE_CONFIGS = [(1, 10), (1, 50), (2, 10), (2, 50)]
+_AUTOTUNE_SLO_PPM = 250_000
+# cost model: one ADC candidate = n_sub LUT reads+adds; one exact
+# rerank cosine = dim mul-adds + norms ~ 32x that at dim=64/n_sub=4.
+# Deterministic integer weights so both engines agree bit-for-bit.
+_AUTOTUNE_EXACT_WEIGHT = 32
+
+
+def _adc_rank_sql(s: int) -> str:
+    """_adc_sql against the rank-carrying probe table ``qcells2r``:
+    each candidate keeps the rank of its home cell among the query's
+    probed cells (1 = home probe, 2 = second probe), so one scored
+    frame serves every nprobe config."""
+    lo = s * _PQ_SUBDIM
+    dot_q_cw = (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_SUBDIM}), "
+        f"i -> CAST(q.embedding[{lo} + i] AS DOUBLE) * CAST(cb.cv[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    norm2_cw = (
+        "list_reduce(list_transform(cb.cv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return f"""adcr{s} AS (
+    SELECT cq.id AS qid, o.id AS xid, cq.qrank AS qrank,
+           CAST(round(({dot_q_cw}) * 1000000000.0) AS BIGINT) AS d_scaled,
+           CAST(round(({norm2_cw}) * 1000000000.0) AS BIGINT) AS n2_scaled
+    FROM embeddings q
+    JOIN qcells2r cq ON cq.id = q.vec_id
+    JOIN cells cx ON cx.cell = cq.cell AND cx.id <> cq.id
+    JOIN out{s} o ON o.id = cx.id
+    JOIN c{s}1 cb ON cb.cid = o.code
+)"""
+
+
+AUTOTUNE_SQL = (
+    "WITH "
+    + ",".join(_pq_subspace_sql(s) for s in range(_PQ_SUB))
+    + f""",
+coarse AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 4
+),
+cells AS MATERIALIZED (
+    SELECT id, cell FROM (
+        SELECT e.vec_id AS id, c.cid AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_ivfpq_cos64('e.embedding', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse c
+    ) t WHERE rn = 1
+),
+qcells2r AS MATERIALIZED (
+    SELECT id, cell, rn AS qrank FROM (
+        SELECT e.vec_id AS id, c.cid AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_ivfpq_cos64('e.embedding', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse c
+    ) t WHERE rn <= 2
+),
+"""
+    + ",".join(_adc_rank_sql(s) for s in range(_PQ_SUB))
+    + f""",
+pairsr AS (
+    SELECT qid, xid, MIN(qrank) AS qrank,
+           SUM(d_scaled) AS ds, SUM(n2_scaled) AS ns
+    FROM ({" UNION ALL ".join(f"SELECT * FROM adcr{s}" for s in range(_PQ_SUB))}) u
+    GROUP BY qid, xid
+),
+qn AS (
+    SELECT vec_id AS qid, sqrt({_DOT64.format(a='embedding', b='embedding')}) AS qn
+    FROM embeddings
+),
+scoredr AS (
+    SELECT p.qid, p.xid, p.qrank,
+           round((p.ds / 1000000000.0)
+                 / (qn.qn * sqrt(p.ns / 1000000000.0)), 6) AS adc_cos
+    FROM pairsr p JOIN qn ON qn.qid = p.qid
+),
+configs AS (
+    SELECT * FROM (VALUES {", ".join(f"({np}, {pool})" for np, pool in _AUTOTUNE_CONFIGS)}) t(np, pool)
+),
+cand_all AS (
+    SELECT c.np, c.pool, s.qid, s.xid, s.adc_cos
+    FROM scoredr s JOIN configs c ON s.qrank <= c.np
+),
+adc_counts AS (
+    SELECT np, pool, CAST(COUNT(*) AS BIGINT) AS adc_rows
+    FROM cand_all GROUP BY np, pool
+),
+pooled AS (
+    SELECT np, pool, qid, xid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY np, pool, qid ORDER BY adc_cos DESC, xid) AS rn
+        FROM cand_all
+    ) t WHERE rn <= pool
+),
+rerank_counts AS (
+    SELECT np, pool, CAST(COUNT(*) AS BIGINT) AS rerank_rows
+    FROM pooled GROUP BY np, pool
+),
+reranked AS (
+    SELECT p.np, p.pool, p.qid, p.xid,
+           round({_ivfpq_cos64('q.embedding', 'x.embedding')}, 6) AS cos
+    FROM pooled p
+    JOIN embeddings q ON q.vec_id = p.qid
+    JOIN embeddings x ON x.vec_id = p.xid
+),
+approx3 AS (
+    SELECT np, pool, qid, xid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY np, pool, qid ORDER BY cos DESC, xid) AS rn
+        FROM reranked
+    ) t WHERE rn <= 3
+),
+exact_pairs AS (
+    SELECT x.vec_id AS qid, y.vec_id AS xid,
+           round({_ivfpq_cos64('x.embedding', 'y.embedding')}, 6) AS cos
+    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+),
+exact_topk AS (
+    SELECT qid, xid FROM (
+        SELECT qid, xid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, xid) AS rn
+        FROM exact_pairs
+    ) t WHERE rn <= 3
+),
+recall AS (
+    SELECT c.np, c.pool,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.xid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+    FROM exact_topk e CROSS JOIN configs c
+    LEFT JOIN approx3 a
+        ON a.np = c.np AND a.pool = c.pool
+       AND a.qid = e.qid AND a.xid = e.xid
+    GROUP BY c.np, c.pool
+),
+report AS (
+    SELECT r.np, r.pool, ac.adc_rows, rc.rerank_rows,
+           CAST(r.n_hit * 1000000 // r.n_exact AS BIGINT) AS recall_ppm,
+           CAST(ac.adc_rows + {_AUTOTUNE_EXACT_WEIGHT} * rc.rerank_rows
+                AS BIGINT) AS cost_units,
+           (r.n_hit * 1000000 // r.n_exact) >= {_AUTOTUNE_SLO_PPM}
+               AS meets_slo
+    FROM recall r
+    JOIN adc_counts ac ON ac.np = r.np AND ac.pool = r.pool
+    JOIN rerank_counts rc ON rc.np = r.np AND rc.pool = r.pool
+)
+SELECT CAST(np AS INTEGER) AS nprobe, CAST(pool AS INTEGER) AS pool,
+       adc_rows, rerank_rows, recall_ppm, cost_units, meets_slo,
+       row_number() OVER (
+           ORDER BY meets_slo DESC,
+                    CASE WHEN meets_slo THEN cost_units
+                         ELSE -recall_ppm END,
+                    np, pool) = 1 AS chosen
+FROM report
+"""
+)
+
+
+@register("ann_autotune_plan", oracle=AUTOTUNE_SQL,
+          covers=["O6", "A2", "J4"])
+def q_ann_autotune_plan(spark, sf_dir):
+    """X-ANN-AUTOTUNE (r13 stretch): the recall-SLO autotuner — the
+    serving-config loop-closer next to ann_rebalance_plan's centroid
+    loop. One pass scores the ADC candidates ONCE with each
+    candidate's probe rank attached (a candidate's home cell is rank 1
+    or 2 among the query's nearest cells), then evaluates the whole
+    (nprobe, pool) grid from that shared frame: per config, the ADC
+    pool, the exact rerank of just that pool, recall@3 vs brute force,
+    an analytic cost (adc_rows + 32 * rerank_rows — LUT reads vs
+    full-dim cosines), and a deterministic choice: the cheapest config
+    meeting the 250000 ppm SLO, else max recall.
+    At 100 TB the exact side runs on a sampled query panel (this is
+    the gauge tier, same as the recall reports) while the chosen
+    (nprobe, pool) feeds the serving path directly — configuration by
+    measurement, like the rebalance planner's split/merge decisions.
+    The choice window orders a CONFIG-GRID table (4 rows, inline
+    VALUES) — bounded cardinality by construction."""
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators.similarity import (
+        _PQ_BROADCAST_BYTES,
+        adc_cos_lut,
+        cosine_topk,
+        dot as _dot,
+        ivf_assign,
+        norm as _norm,
+        pq_codebook_array,
+        pq_query_lut,
+    )
+    from prosnet_prefect_pipelines_spark.session import fan_out
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xcodes, assign, cbs = _pq_batch_index(spark, sf_dir)
+
+    # query side with probe rank: ivf_assign(rank_limit=2) keeps each
+    # query's two nearest cells tagged cell_rank 1/2
+    qside = ivf_assign(emb, "vec_id", "embedding", n_cells=4, rank_limit=2)
+    qarr = (
+        fan_out(qside)
+        .crossJoin(F.broadcast(pq_codebook_array(cbs)))
+        .select(
+            F.col("id").alias("qid"),
+            "cell",
+            F.col("cell_rank").alias("qrank"),
+            _norm(F.col("v")).alias("qn"),
+            pq_query_lut(F.col("v"), F.col("_cbarr"), 64, _PQ_SUB).alias(
+                "_qlut"
+            ),
+        )
+    )
+    # same size-gated index join as ivf_pq_topk (broadcast while the
+    # positional-codes payload fits; shuffled cell equi-join above)
+    n_x = assign.count()
+    est_xcodes_bytes = n_x * (_PQ_SUB * 4 + 8 + 48)
+    xside = (
+        F.broadcast(xcodes)
+        if est_xcodes_bytes <= _PQ_BROADCAST_BYTES
+        else xcodes.repartition("cell")
+    )
+    scored = (
+        qarr.join(xside, on="cell")
+        .filter(F.col("qid") != F.col("xid"))
+        .select("qid", "xid", "qrank", adc_cos_lut(_PQ_SUB).alias("adc_cos"))
+    )
+
+    configs = spark.createDataFrame(_AUTOTUNE_CONFIGS, "np int, pool int")
+    cand_all = scored.join(
+        F.broadcast(configs), F.col("qrank") <= F.col("np")
+    ).select("np", "pool", "qid", "xid", "adc_cos")
+    adc_counts = cand_all.groupBy("np", "pool").agg(
+        F.count(F.lit(1)).cast("long").alias("adc_rows")
+    )
+    wpool = Window.partitionBy("np", "pool", "qid").orderBy(
+        F.col("adc_cos").desc(), F.col("xid")
+    )
+    pooled = (
+        cand_all.withColumn("_rn", F.row_number().over(wpool))
+        .filter(F.col("_rn") <= F.col("pool"))
+        .select("np", "pool", "qid", "xid")
+    )
+    rerank_counts = pooled.groupBy("np", "pool").agg(
+        F.count(F.lit(1)).cast("long").alias("rerank_rows")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qv"),
+        _norm(F.col("embedding")).alias("_qn2"),
+    )
+    xv = emb.select(
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("_xv"),
+        _norm(F.col("embedding")).alias("_xn"),
+    )
+    reranked = pooled.join(qv, on="qid").join(xv, on="xid").select(
+        "np",
+        "pool",
+        "qid",
+        "xid",
+        F.round(
+            _dot(F.col("_qv"), F.col("_xv")) / (F.col("_qn2") * F.col("_xn")),
+            6,
+        ).alias("cos"),
+    )
+    w3 = Window.partitionBy("np", "pool", "qid").orderBy(
+        F.col("cos").desc(), F.col("xid")
+    )
+    approx3 = (
+        reranked.withColumn("_rn", F.row_number().over(w3))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            F.col("np").alias("a_np"),
+            F.col("pool").alias("a_pool"),
+            F.col("qid").alias("a_qid"),
+            F.col("xid").alias("a_xid"),
+        )
+    )
+    exact = cosine_topk(emb, "vec_id", "embedding", k=3, dim=64).select(
+        F.col("id").alias("qid"), F.col("neighbor").alias("xid")
+    )
+    recall = (
+        exact.crossJoin(F.broadcast(configs))
+        .join(
+            approx3,
+            (F.col("np") == F.col("a_np"))
+            & (F.col("pool") == F.col("a_pool"))
+            & (F.col("qid") == F.col("a_qid"))
+            & (F.col("xid") == F.col("a_xid")),
+            "left",
+        )
+        .groupBy("np", "pool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("a_xid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    report = (
+        recall.join(adc_counts, on=["np", "pool"])
+        .join(rerank_counts, on=["np", "pool"])
+        .select(
+            "np",
+            "pool",
+            "adc_rows",
+            "rerank_rows",
+            F.expr("CAST(n_hit * 1000000 div n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            (
+                F.col("adc_rows")
+                + F.lit(_AUTOTUNE_EXACT_WEIGHT) * F.col("rerank_rows")
+            )
+            .cast("long")
+            .alias("cost_units"),
+            F.expr(
+                f"(n_hit * 1000000 div n_exact) >= {_AUTOTUNE_SLO_PPM}"
+            ).alias("meets_slo"),
+        )
+    )
+    # config-grid choice window: 4 inline-VALUES rows — bounded
+    # cardinality by construction (audit class: config table)
+    wchoice = Window.orderBy(
+        F.col("meets_slo").desc(),
+        F.when(F.col("meets_slo"), F.col("cost_units")).otherwise(
+            -F.col("recall_ppm")
+        ),
+        F.col("np"),
+        F.col("pool"),
+    )
+    return report.select(
+        F.col("np").cast("int").alias("nprobe"),
+        F.col("pool").cast("int").alias("pool"),
+        "adc_rows",
+        "rerank_rows",
+        "recall_ppm",
+        "cost_units",
+        "meets_slo",
+        (F.row_number().over(wchoice) == 1).alias("chosen"),
+    )

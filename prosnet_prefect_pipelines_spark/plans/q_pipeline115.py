@@ -51,6 +51,23 @@ from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _N_CELLS = 8
 _NPROBE = 2
+# absolute occupancy bound for the rebalance SPLIT rule (r13): the
+# relative imbalance rules compare cells to the CORPUS MEAN, so a
+# uniform 10x corpus growth — which multiplies every probe's candidate
+# scan 10x — was invisible to the planner (the monitors-10x stress
+# measured the fixed-8-cell IVF monitor going 32x superlinear at 10x
+# data with rebalance_triggered false). A cell above this occupancy is
+# a serving hot spot REGARDLESS of how its siblings look; splitting
+# until every cell is back under the bound is the C-grows-with-N
+# scaling the IVF literature prescribes (C ~ sqrt(N) at minimum; the
+# occupancy target decides the exponent). Sized as a per-probe exact-
+# scoring budget (512 64-dim cosines per (query, probed cell)): above
+# every base test-scale occupancy (max 250/cell — sf0.1 full-corpus
+# self-join at 8 cells) and below the measured 10x cliff (1250/cell,
+# where the fixed-8-cell monitor ran 32x superlinear and ivf_topk
+# measured 261 s vs 79 s at C=25 and 32.5 s at C=80 on the same
+# corpus — artifacts/stress_monitors_10x.json rebalance_demo).
+_SPLIT_OCCUPANCY = 512
 _K = 5
 
 _PROBE_CTES = f"""
@@ -413,6 +430,8 @@ tot AS (
 SELECT r.cell, r.n_indexed, r.n_probes, r.candidate_volume,
        CASE WHEN CAST(r.candidate_volume AS HUGEINT) * n_cells > 4 * tot_vol
                 THEN 'split'
+            WHEN r.n_indexed > 4096
+                THEN 'split'
             WHEN 4 * CAST(r.n_indexed AS HUGEINT) * n_cells < tot_idx
                 THEN 'merge'
             ELSE 'keep' END AS decision
@@ -429,11 +448,18 @@ def q_ann_rebalance_plan(spark, sf_dir):
     - SPLIT a cell whose candidate volume exceeds 4x the mean volume
       (candidate_volume * n_cells > 4 * total_volume) — its equi-join
       partition is the serving hot spot;
+    - SPLIT a cell whose ABSOLUTE occupancy exceeds _SPLIT_OCCUPANCY
+      (r13): relative rules are blind to uniform corpus growth — the
+      monitors-10x stress measured the fixed-cell monitor 32x
+      superlinear at 10x data with zero relative triggers — so a hard
+      per-cell scan bound fires on uniformly overgrown indexes and
+      prescribes the C ~ sqrt(N) cell-count growth;
     - MERGE a cell whose occupancy falls below a quarter of the mean
       (4 * n_indexed * n_cells < total_indexed) — centroid waste;
     - KEEP otherwise.
 
-    The thresholds are the classic IVF imbalance-factor heuristics;
+    The relative thresholds are the classic IVF imbalance-factor
+    heuristics;
     everything stays |cells|-sized (one broadcast 1-row total), so the
     decision costs nothing beyond the report itself. The streaming ANN
     serving probe runs this same frame and reports hot-cell counts as
@@ -455,6 +481,7 @@ def q_ann_rebalance_plan(spark, sf_dir):
             > 4 * F.col("tot_vol"),
             F.lit("split"),
         )
+        .when(F.col("n_indexed") > _SPLIT_OCCUPANCY, F.lit("split"))
         .when(
             4 * dec(F.col("n_indexed")) * F.col("n_cells")
             < F.col("tot_idx"),

@@ -30,6 +30,7 @@ Writes artifacts/stress_monitors_10x.json.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -48,6 +49,19 @@ MONITORS = [
     "stream_preference_margin_monitor",
     "stream_length_bias_monitor",  # the r26-flag query rides along
 ]
+
+
+def _write_single_file(df, dest: str) -> None:
+    """Write df as ONE parquet FILE at dest (not a directory): the
+    monitors' ``symlink_stage`` file-stream sources list top-level
+    files only, and the base testdata tables are single files — a
+    Spark-written directory at the same path streams ZERO rows (the
+    bug the first r13 stress run hit: scaled_rows 0 at 0.8 s)."""
+    tmp = dest + "_tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.replace(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def build_scaled_dir(spark, base: str, replicas: int) -> str:
@@ -74,7 +88,7 @@ def build_scaled_dir(spark, base: str, replicas: int) -> str:
     docs = (
         docs.withColumn(
             "doc_id",
-            (F.col("doc_id") + F.col("_rep") * KEY_STRIDE).cast("long"),
+            (F.col("doc_id") + F.col("_rep").cast("long") * F.lit(KEY_STRIDE).cast("long")).cast("long"),
         )
         .withColumn(
             "text",
@@ -84,15 +98,13 @@ def build_scaled_dir(spark, base: str, replicas: int) -> str:
         )
         .drop("_rep")
     )
-    docs.repartition(32).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
+    _write_single_file(docs, f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{base}/embeddings.parquet").select("*", reps)
     emb = (
         emb.withColumn(
             "vec_id",
-            (F.col("vec_id") + F.col("_rep") * KEY_STRIDE).cast("long"),
+            (F.col("vec_id") + F.col("_rep").cast("long") * F.lit(KEY_STRIDE).cast("long")).cast("long"),
         )
         .withColumn(
             "embedding",
@@ -105,18 +117,14 @@ def build_scaled_dir(spark, base: str, replicas: int) -> str:
         )
         .drop("_rep")
     )
-    emb.repartition(32).write.mode("overwrite").parquet(
-        f"{out}/embeddings.parquet"
-    )
+    _write_single_file(emb, f"{out}/embeddings.parquet")
 
     cust = spark.read.parquet(f"{base}/customer.parquet").select("*", reps)
     cust = cust.withColumn(
         "c_custkey",
-        (F.col("c_custkey") + F.col("_rep") * KEY_STRIDE).cast("long"),
+        (F.col("c_custkey") + F.col("_rep").cast("long") * F.lit(KEY_STRIDE).cast("long")).cast("long"),
     ).drop("_rep")
-    cust.repartition(32).write.mode("overwrite").parquet(
-        f"{out}/customer.parquet"
-    )
+    _write_single_file(cust, f"{out}/customer.parquet")
 
     for table in (
         "region",

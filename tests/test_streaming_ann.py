@@ -228,6 +228,8 @@ def test_rebalance_decision_matches_closed_form(spark, sf_dir):
     for cell, (ni, _np, cv) in rep.items():
         if cv * n_cells > 4 * tot_vol:
             want = "split"
+        elif ni > P._SPLIT_OCCUPANCY:  # r13 absolute occupancy rule
+            want = "split"
         elif 4 * ni * n_cells < tot_idx:
             want = "merge"
         else:
@@ -252,3 +254,34 @@ def test_rebalance_flags_planted_hot_and_waste_cells(spark, monkeypatch):
     assert got[0] == "split"
     assert got[7] == "merge"
     assert all(got[i] == "keep" for i in range(1, 7))
+
+
+def test_rebalance_occupancy_rule_fires_on_uniform_growth(spark, monkeypatch):
+    """r13: the relative rules are blind to UNIFORM corpus growth (the
+    monitors-10x stress measured the fixed-cell monitor 32x superlinear
+    with zero relative triggers), so cells uniformly above the absolute
+    _SPLIT_OCCUPANCY bound must all SPLIT — and the same occupancy
+    below the bound must all KEEP."""
+    over = P._SPLIT_OCCUPANCY + 1
+    rows = [(i, over, 100, over * 100) for i in range(8)]
+    fake = spark.createDataFrame(
+        rows, "cell long, n_indexed long, n_probes long, candidate_volume long"
+    )
+    monkeypatch.setattr(P, "_traffic_report", lambda s, d: fake)
+    got = {
+        r.cell: r.decision
+        for r in P.q_ann_rebalance_plan(spark, "unused").collect()
+    }
+    assert all(d == "split" for d in got.values()), got
+
+    under = P._SPLIT_OCCUPANCY // 2
+    rows = [(i, under, 100, under * 100) for i in range(8)]
+    fake = spark.createDataFrame(
+        rows, "cell long, n_indexed long, n_probes long, candidate_volume long"
+    )
+    monkeypatch.setattr(P, "_traffic_report", lambda s, d: fake)
+    got = {
+        r.cell: r.decision
+        for r in P.q_ann_rebalance_plan(spark, "unused").collect()
+    }
+    assert all(d == "keep" for d in got.values()), got
