@@ -1715,6 +1715,14 @@ FORBIDDEN = {
     # so the generated blanket 'Exchange SinglePartition' ban is
     # replaced by the cardinality-class invariant + product ban
     "ann_ivf_pq_topk": ["CartesianProduct"],
+    # r13: the composed (nprobe=2 + rerank) pair and the autotuner —
+    # same stack as their r12 siblings (broadcast codebook LUT, exact
+    # side = brute-force verification tier, config-grid broadcast
+    # cross joins are intended combines); only a true product is
+    # forbidden
+    "pq_rerank_nprobe2_topk": ["CartesianProduct"],
+    "pq_rerank_nprobe2_recall_report": ["CartesianProduct"],
+    "ann_autotune_plan": ["CartesianProduct"],
     "kruskal_wallis_h": ["CartesianProduct"],
     "mann_whitney_u": ["CartesianProduct"],
     "spearman_rho_price_recency": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -1943,6 +1951,16 @@ SINGLE_PARTITION_KEY_ATTRIBUTION: dict[tuple[str, str], str] = {
     # removed the need: the blocks prefix max now runs on the
     # distributed distrank.prefix_max protocol, so no single-partition
     # exchange rides on blk at all.
+    ("ann_autotune_plan", "np"): (
+        "config-grid axis: np/pool come from the 4-row inline "
+        "_AUTOTUNE_CONFIGS local relation (q_pipeline10) — the choice "
+        "window ranks the per-config REPORT (one row per grid cell), "
+        "bounded by the tuner's candidate grid, never by corpus rows"
+    ),
+    ("ann_autotune_plan", "pool"): (
+        "same 4-row _AUTOTUNE_CONFIGS grid as 'np' (the other axis of "
+        "the (nprobe, rerank-pool) candidate table)"
+    ),
 }
 
 
