@@ -74,3 +74,33 @@ def test_redelivery_idempotent(spark, sf_dir, tmp_path):
     finally:
         P117.replay_stage = orig
     assert got == ref
+
+
+def test_monitors_share_one_maintained_state(spark, sf_dir):
+    """The two metric queries read ONE maintained monitor (r11 opt):
+    after the margin monitor runs, the length-bias monitor must not
+    replay the stream — its rows derive from the memoized final stats."""
+    P117._FINAL_STATS_CACHE.clear()
+    _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+    assert len(P117._FINAL_STATS_CACHE) == 1
+    cached_df = next(iter(P117._FINAL_STATS_CACHE.values()))
+    got = _rows(P117.q_stream_length_bias_monitor(spark, sf_dir))
+    # still the same single entry (no second replay), same frame object
+    assert len(P117._FINAL_STATS_CACHE) == 1
+    assert next(iter(P117._FINAL_STATS_CACHE.values())) is cached_df
+    want = _rows(P116.q_length_bias_audit(spark, sf_dir))
+    assert got == want
+
+
+def test_memo_reset_forces_fresh_replay(spark, sf_dir):
+    """reset_memo_fixtures (the bench's repeat-cold reset) must clear
+    the maintained monitor state so a later pass pays the replay."""
+    from prosnet_prefect_pipelines_spark.session import reset_memo_fixtures
+
+    _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+    assert len(P117._FINAL_STATS_CACHE) == 1
+    reset_memo_fixtures(spark)
+    assert len(P117._FINAL_STATS_CACHE) == 0
+    got = _rows(P117.q_stream_preference_margin_monitor(spark, sf_dir))
+    want = _rows(P116.q_preference_margin_report(spark, sf_dir))
+    assert got == want
