@@ -49,6 +49,7 @@ from prosnet_prefect_pipelines_spark.plans.q_dedup import (
 )
 from prosnet_prefect_pipelines_spark.plans.q_pipeline33 import _docs_stream
 from prosnet_prefect_pipelines_spark.streaming import neardup as N
+from prosnet_prefect_pipelines_spark.streaming.tuning import stream_partitioning
 from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _THRESHOLD = 0.5
@@ -193,16 +194,27 @@ def q_stream_neardup_monitor(spark, sf_dir):
         finally:
             batch_df.unpersist()
 
-    q = (
-        N.stream_state_candidates(stream_bands, emit_bands=True)
-        .writeStream.foreachBatch(_sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_neardup_monitor replay timed out (300 s)")
+    # Adaptive state partitioning (opt r11, guide §2): AQE cannot
+    # coalesce inside Structured Streaming, so the witness state and
+    # every per-batch shuffle were pinned at the session default (cores)
+    # regardless of micro-batch size. Derive the count from the staged
+    # corpus instead (~4 band rows per doc, single-batch symlink stage);
+    # at bench scale this lands near the floor, at cluster scale the row
+    # estimate drives it back to full width.
+    est_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * 4
+    with stream_partitioning(spark, est_rows, n_batches=1):
+        q = (
+            N.stream_state_candidates(stream_bands, emit_bands=True)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_neardup_monitor replay timed out (300 s)"
+            )
 
     # returned LAZY (out_dir retained for the plan's lifetime — a few KB
     # of /tmp per replay): the exact-Jaccard verification stays visible
