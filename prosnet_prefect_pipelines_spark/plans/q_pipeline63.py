@@ -67,15 +67,24 @@ def q_bigram_lm_score(spark, sf_dir):
     doc-keyed rollup. No floats anywhere — p and fractions are
     truncating integer divisions, bit-identical across engines.
     """
-    from prosnet_prefect_pipelines_spark.session import fan_out
-
-    # the bigram explode feeds three aggregation branches; on the local
-    # single-row-group scan all three ran single-task (15.4 s warm ->
-    # ~2 s fanned at sf0.1)
-    docs = fan_out(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-            F.col("text").isNotNull()
-        )
+    # opt r11 (guide §2.4/§8): one corpus pass instead of three. The
+    # original shape exploded the corpus once per aggregation branch
+    # (c2, c1, scored — Spark replans shared lineage per branch), and
+    # shuffled the occurrence-sized scored stream for the per-doc
+    # rollup. Every decision only needs per-(doc, bigram) counts, so:
+    # fan out BY doc_id (single-row-group scan would otherwise run the
+    # explode single-task; doc_id is unique so the spread matches
+    # round-robin), explode once, pre-aggregate to (id, bg, cnt) —
+    # hashpartitioning(doc_id) satisfies the (id, bg) clustering, so no
+    # exchange — and localCheckpoint that block (house idiom for
+    # multi-consumer subtrees). c2/c1 are rollups of it and the final
+    # per-doc rollup inherits the doc_id partitioning: the only
+    # occurrence-sized work left in the plan is the single explode.
+    spark_ctx = spark.sparkContext
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark_ctx.defaultParallelism, "doc_id")
     )
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
@@ -93,16 +102,25 @@ def q_bigram_lm_score(spark, sf_dir):
     bg = docs.select(
         F.col("doc_id").alias("id"), F.explode(bigrams).alias("bg")
     )
-    w1 = F.substring_index(F.col("bg"), " ", 1)
-    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.select(w1.alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1")
+    # occurrences of the same bigram inside one doc share every scored
+    # value, so the occurrence multiplicity is carried as a weight (cnt)
+    # from here on — occurrence-exact by construction
+    dbc = (
+        bg.groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds c2, c1 and the rollup
     )
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    c2 = dbc.groupBy("bg").agg(F.sum("cnt").alias("c2"))
+    # prefix counts roll up from the bigram counts (c(w1 .) = sum of
+    # c(w1 w2) over w2) — a vocabulary-sized rollup of c2
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
     scored = (
-        bg.join(c2, "bg")
+        dbc.join(c2, "bg")
         .join(c1, w1 == F.col("w1"))
         .select(
             "id",
+            "cnt",
             F.expr("CAST(c2 * 1000000 AS DECIMAL(38,0)) div c1")
             .cast("long")
             .alias("p_micro"),
@@ -110,13 +128,13 @@ def q_bigram_lm_score(spark, sf_dir):
         )
     )
     return scored.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.expr("CAST(SUM(p_micro) AS DECIMAL(38,0)) div COUNT(1)")
+        F.expr("SUM(cnt)").cast("long").alias("n_bigrams"),
+        F.expr("CAST(SUM(p_micro * cnt) AS DECIMAL(38,0)) div SUM(cnt)")
         .cast("long")
         .alias("mean_bigram_p_micro"),
         F.expr(
-            "CAST(SUM(CASE WHEN bc <= 2 THEN 1 ELSE 0 END) * 1000000 "
-            "AS DECIMAL(38,0)) div COUNT(1)"
+            "CAST(SUM(CASE WHEN bc <= 2 THEN cnt ELSE 0 END) * 1000000 "
+            "AS DECIMAL(38,0)) div SUM(cnt)"
         )
         .cast("long")
         .alias("rare_bigram_frac_micro"),
