@@ -153,8 +153,14 @@ def _ivf_index(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     protect_checkpoint(cents)
-    _INDEX_CACHE[key] = (db, cents)
-    return db, cents
+    # the one-row centroid array the stream broadcasts is itself part
+    # of the maintained index: checkpointing it here removes the two
+    # collect_list aggregate jobs every micro-batch otherwise re-runs
+    # (opt r11 — the array is rebuilt only when the index is)
+    carr = S.centroid_array(cents).localCheckpoint(eager=True)
+    protect_checkpoint(carr)
+    _INDEX_CACHE[key] = (db, cents, carr)
+    return db, cents, carr
 
 
 def _query_stream(spark, sf_dir):
@@ -217,7 +223,12 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     so the choice is invisible to the oracle."""
     from pyspark.sql.window import Window
 
-    db, cents = _ivf_index(spark, sf_dir)
+    from prosnet_prefect_pipelines_spark.streaming.tuning import (
+        candidate_fanout,
+        pinned_partitions,
+    )
+
+    db, cents, carr = _ivf_index(spark, sf_dir)
 
     # a micro-batch is ONE staged file = one partition, and with the
     # index broadcast nothing downstream reshuffles — without fan-out
@@ -225,7 +236,6 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     # stress harness measured 159 s/batch at 20k queries x 40k index
     # vs 6 s fanned; scripts/stress_ann_serving.py)
     stream, stage = _query_stream(spark, sf_dir)
-    src = stream.repartition(spark.sparkContext.defaultParallelism)
 
     # estimated per-batch candidate volume: queries-per-file x nprobe x
     # mean cell occupancy. Parquet counts are metadata-only and the index
@@ -233,15 +243,22 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     n_stage_files = max(
         1, len([f for f in os.listdir(stage) if f.endswith(".parquet")])
     )
-    est_cands = (
-        (spark.read.parquet(stage).count() / n_stage_files)
-        * _NPROBE
-        * (db.count() / _N_CELLS)
-    )
+    qry_per_batch = spark.read.parquet(stage).count() / n_stage_files
+    est_cands = qry_per_batch * _NPROBE * (db.count() / _N_CELLS)
+    # opt r11 (guide §2): derive the replay width from the measured
+    # candidate volume instead of pinning it at the core count — the
+    # monitor is stateless and compute-bound, so candidates-per-task is
+    # the right unit; at bench scale (~62k cands/batch) the fixed 32-way
+    # fan-out plus the 32-partition window exchange was ~200 near-empty
+    # tasks per replay, at cluster volumes the estimate restores full
+    # width (cap 4x parallelism)
+    fan = candidate_fanout(spark, est_cands)
+    src = stream.repartition(fan)
     use_prune = est_cands >= _PRUNE_VOLUME_THRESHOLD
     # the centroid table rides along as ONE broadcast array row
-    # (stream-static, append-legal); plan cost independent of n_cells
-    carr = S.centroid_array(cents)
+    # (stream-static, append-legal); plan cost independent of n_cells.
+    # carr comes pre-checkpointed from the index cache (no per-batch
+    # re-aggregation)
     probes = src.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("qv"),
@@ -268,6 +285,11 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
 
     out_dir = tempfile.mkdtemp(prefix="ann_monitor_")
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    # per-batch output is <= _K rows per query — size the write from
+    # that estimate (~5M rows of (long, long, double) per ~128 MB file)
+    # instead of a fixed 4 files per batch (guide §6: output file
+    # sizing; at bench scale this is 1 file/batch, 16 -> 4 write tasks)
+    n_out = max(1, min(fan, int(_K * qry_per_batch // 5_000_000) + 1))
 
     def _sink(batch_df, _batch_id):
         # a query's candidates are complete within its own micro-batch
@@ -292,20 +314,25 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= _K)
             .select("id", "neighbor", "cos")
-            .coalesce(4)
+            .coalesce(n_out)
             .write.mode("append")
             .parquet(out_dir)
         )
 
-    q = (
-        cands.writeStream.foreachBatch(_sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_ann_topk_monitor replay timed out (300 s)")
+    # the foreachBatch window exchange runs without AQE coalescing, so
+    # pin its partition count to the same adaptive width for the replay
+    with pinned_partitions(spark, fan):
+        q = (
+            cands.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_ann_topk_monitor replay timed out (300 s)"
+            )
     return spark.read.schema("id long, neighbor long, cos double").parquet(out_dir)
 
 
@@ -340,7 +367,7 @@ def q_ann_index_merge(spark, sf_dir):
     report's occupancy skew motivates). The oracle computes the
     histogram from the single full rebuild; a hash match proves
     merge == rebuild."""
-    _db, cents = _ivf_index(spark, sf_dir)
+    _db, cents, _carr = _ivf_index(spark, sf_dir)
     carr = S.centroid_array(cents)
 
     def _assign(residue: int):
@@ -370,7 +397,7 @@ def _traffic_report(spark, sf_dir):
     """The per-cell (cell, n_indexed, n_probes, candidate_volume)
     telemetry frame — shared by the report query, the rebalance plan
     and the serving probe's rebalance trigger (streaming/serving.py)."""
-    db, cents = _ivf_index(spark, sf_dir)
+    db, cents, _carr = _ivf_index(spark, sf_dir)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % 2 == 1)

@@ -54,6 +54,46 @@ def stream_shuffle_partitions(spark, est_rows: int, n_batches: int = 4) -> int:
     return max(_MIN_PARTITIONS, min(cap, math.ceil(rows_per_batch / target)))
 
 
+def candidate_fanout(spark, est_cands_per_batch: float) -> int:
+    """Fan-out width for a stateless compute-bound replay batch (ANN
+    candidate scoring): candidates-per-task is the unit of work, not
+    state rows, so the per-partition target is orders of magnitude
+    higher than the state-store target above. 250k dim-64 cosines per
+    task keeps tasks ~0.25-1 s at the measured ~1M cands/s/task rate
+    (scripts/stress_ann_serving.py: 200M candidates/batch ran 6 s at 32
+    partitions = 6.25M/task); below that, task-launch overhead
+    dominates. Clamped like the state count: floor 8 keeps multi-core
+    parallelism locally, ceiling 4x parallelism restores full width at
+    cluster candidate volumes. Env-overridable for production tuning."""
+    target = int(
+        os.environ.get("SPARK_GRAFT_STREAM_CANDS_PER_PARTITION", "250000")
+    )
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cap = int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_MAX_PARTITIONS",
+            str(max(4 * spark.sparkContext.defaultParallelism, default)),
+        )
+    )
+    return max(
+        _MIN_PARTITIONS,
+        min(cap, math.ceil(max(1.0, est_cands_per_batch) / target)),
+    )
+
+
+@contextmanager
+def pinned_partitions(spark, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` to an explicit count for a
+    replay (same restore discipline as :func:`stream_partitioning`, for
+    callers that derived the count themselves)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield int(n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @contextmanager
 def stream_partitioning(spark, est_rows: int, n_batches: int = 4):
     """Pin ``spark.sql.shuffle.partitions`` to the adaptive count for
