@@ -245,9 +245,12 @@ def _pq_serving_index(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     protect_checkpoint(cents)
-    carr = S.centroid_array(cents)
-    _PQ_INDEX_CACHE[key] = (xcodes, carr, cbarr_df)
-    return xcodes, carr, cbarr_df
+    # checkpointed with the index: no per-batch re-aggregation of the
+    # one-row centroid array (opt r11, same as batch 115)
+    carr = S.centroid_array(cents).localCheckpoint(eager=True)
+    protect_checkpoint(carr)
+    _PQ_INDEX_CACHE[key] = (xcodes, carr, cbarr_df, xcodes.count())
+    return _PQ_INDEX_CACHE[key]
 
 
 @register("stream_ann_ivfpq_monitor", oracle=IVFPQ_MONITOR_SQL,
@@ -260,10 +263,26 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
     the same even/odd halves for any micro-batch slicing."""
     from pyspark.sql.window import Window
 
-    xcodes, carr, cbarr = _pq_serving_index(spark, sf_dir)
+    from prosnet_prefect_pipelines_spark.streaming.tuning import (
+        candidate_fanout,
+        pinned_partitions,
+    )
 
-    stream, _stage = _query_stream(spark, sf_dir)
-    src = stream.repartition(spark.sparkContext.defaultParallelism)
+    xcodes, carr, cbarr, n_index = _pq_serving_index(spark, sf_dir)
+
+    stream, stage = _query_stream(spark, sf_dir)
+    # opt r11 (guide §2): replay width from measured candidate volume
+    # (qpb x nprobe=1 x mean cell occupancy), not the core count — the
+    # ADC scorer is even cheaper per candidate than the raw-cosine
+    # monitor's, so fixed 32-wide fan-out was pure task overhead at
+    # bench volumes; cap 4x parallelism restores cluster width
+    n_stage_files = max(
+        1, len([f for f in os.listdir(stage) if f.endswith(".parquet")])
+    )
+    qry_per_batch = spark.read.parquet(stage).count() / n_stage_files
+    est_cands = qry_per_batch * (n_index / _PQ_CELLS)
+    fan = candidate_fanout(spark, est_cands)
+    src = stream.repartition(fan)
 
     probes = (
         src.select(
@@ -311,6 +330,8 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
     w = Window.partitionBy("qid").orderBy(
         F.col("adc_cos").desc(), F.col("xid")
     )
+    # output sizing from estimated result rows (guide §6), was fixed 4
+    n_out = max(1, min(fan, int(_K * qry_per_batch // 5_000_000) + 1))
 
     def _sink(batch_df, _batch_id):
         # a query's candidates are complete within its own micro-batch
@@ -320,20 +341,24 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= _K)
             .select("qid", "xid", "adc_cos")
-            .coalesce(4)
+            .coalesce(n_out)
             .write.mode("append")
             .parquet(out_dir)
         )
 
-    q = (
-        cands.writeStream.foreachBatch(_sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_ann_ivfpq_monitor replay timed out (300 s)")
+    # foreachBatch window exchange runs without AQE coalescing — pin it
+    with pinned_partitions(spark, fan):
+        q = (
+            cands.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_ann_ivfpq_monitor replay timed out (300 s)"
+            )
     return spark.read.schema("qid long, xid long, adc_cos double").parquet(
         out_dir
     )

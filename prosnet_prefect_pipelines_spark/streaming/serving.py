@@ -285,7 +285,7 @@ def ivfpq_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
         _pq_serving_index,
     )
 
-    xcodes, carr, cbarr = _pq_serving_index(spark, sf_dir)
+    xcodes, carr, cbarr, _n_index = _pq_serving_index(spark, sf_dir)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % 2 == 1)

@@ -80,7 +80,7 @@ def test_monitor_equals_batch_ivfpq_split(spark, sf_dir):
     """Batch twin computed WITHOUT streaming and WITHOUT the map-side
     probe: coarse assignment by the window-ranked cosine (the oracle's
     shape), ADC scoring against the same maintained index."""
-    xcodes, carr, _cbarr = P._pq_serving_index(spark, sf_dir)
+    xcodes, carr, _cbarr, _n = P._pq_serving_index(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     odd = emb.filter(F.col("vec_id") % 2 == 1)
     even = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
