@@ -320,20 +320,51 @@ def jaccard_verify(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     Jaccard join is restricted to bucket-colliding pairs, never all
     pairs. ``sh`` is a (id, shingle) table covering every id that can
     appear in ``cands`` (either side); pair orientation is free (Jaccard
-    is symmetric), so callers may pass (stream, static) pairs unsorted."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cands.join(sh.select(F.col("id").alias("a"), "shingle"), on="a")
-        .join(sh.select(F.col("id").alias("b"), F.col("shingle")), on=["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    is symmetric), so callers may pass (stream, static) pairs unsorted.
+
+    Shape (opt r11, guide §2.3/§2.4): ``sh`` rows are distinct per
+    (id, shingle), so the intersection is computed per PAIR with
+    ``array_intersect`` over per-id shingle arrays instead of a
+    (pair x shingle)-expanded equi-join: semi-filter ``sh`` to ids that
+    actually appear in a candidate pair (broadcast semi — candidate ids
+    are output-sized), one exchange to collect each surviving id's
+    shingle set, then two joins that attach the sets to the pair list.
+    The old form shuffled the full shingle table plus the expanded
+    match rows three more times (intersection join, n_common rollup,
+    two size joins); sizes now fall out of the same arrays for free.
+    n_common/na/nb are identical integers, so the rounded Jaccard is
+    bit-identical."""
+    # the pair list feeds three consumers (both sides of the id filter
+    # and the final join) — pin it so the candidate lineage is not
+    # replanned per consumer
+    cands = cands.localCheckpoint(eager=False)
+    ids = (
+        cands.select(F.col("a").alias("id"))
+        .union(cands.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    arrays = (
+        sh.join(ids, on="id", how="left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("_ss"))
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), on="a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), on="b")
+        cands.join(
+            arrays.select(F.col("id").alias("a"), F.col("_ss").alias("_sa")),
+            on="a",
+        )
+        .join(
+            arrays.select(F.col("id").alias("b"), F.col("_ss").alias("_sb")),
+            on="b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
