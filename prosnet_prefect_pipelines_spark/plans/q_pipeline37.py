@@ -177,6 +177,10 @@ def q_session_similarity_topk(spark, sf_dir):
                 "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div (na + nb - c) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
+        # both sym branches read this — without the pin the UNION
+        # replans the whole inverted-index self-join + rollup twice
+        # (opt r11: plan halved, 56 -> 34 nodes; scored is pair-sized)
+        .localCheckpoint(eager=False)
     )
     sym = scored.select(
         F.col("u").alias("user_id"), F.col("v").alias("other"), "jaccard_ppm"
