@@ -151,10 +151,20 @@ def q_llm_corpus_pipeline_v3(spark, sf_dir):
         ).alias("sy"),
     )
     flesch = F.expr("206835 - (1015 * w) div s - (84600 * sy) div w")
+    # opt r11 (guide §2.4): keep2 feeds the bigram explode AND the
+    # stage-3 survivor join; without the pin Spark replans the dedup
+    # window + syllable/regexp pass once per consumer (6 document scans
+    # in the physical plan; the syllable aggregate is the most
+    # expensive expression in the pipeline)
     keep2 = staged.filter(
         F.col("w").between(5, 400) & (flesch > -200000)
-    ).select("doc_id", "lang", "text", "w")
-    # stage 3: rare-bigram cap
+    ).select("doc_id", "lang", "text", "w").localCheckpoint(eager=False)
+    # stage 3: rare-bigram cap. Occurrences of the same bigram inside a
+    # doc share every downstream value, so pre-aggregate to
+    # (doc_id, b, cnt) once and carry cnt as an occurrence weight
+    # (single-pass shape proven on bigram_lm_score): c2 and the per-doc
+    # rare fraction are both rollups of the same pinned block, and the
+    # integer divisions see identical sums.
     arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     bigrams = F.when(
         F.size(arr) >= 2,
@@ -165,22 +175,28 @@ def q_llm_corpus_pipeline_v3(spark, sf_dir):
             ),
         ),
     )
-    bg = keep2.select("doc_id", F.explode(bigrams).alias("b"))
-    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    dbb = (
+        keep2.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds c2 and the rare rollup
+    )
+    c2 = dbb.groupBy("b").agg(F.sum("cnt").alias("c"))
     rare = (
-        bg.join(c2, "b")
+        dbb.join(c2, "b")
         .groupBy("doc_id")
         .agg(
             F.expr(
-                "CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) * 1000000 "
-                "AS DECIMAL(38,0)) div COUNT(1)"
+                "CAST(SUM(CASE WHEN c <= 2 THEN cnt ELSE 0 END) * 1000000 "
+                "AS DECIMAL(38,0)) div SUM(cnt)"
             ).alias("rare_micro")
         )
     )
     keep3 = keep2.join(rare, "doc_id").filter(
         F.col("rare_micro") <= 900000
-    ).select("doc_id", "lang", "w")
-    # stage 4: per-language balance
+    ).select("doc_id", "lang", "w").localCheckpoint(eager=False)
+    # stage 4: per-language balance (keep3 feeds the minority-count
+    # aggregate and the ranked window — pinned above)
     counts = keep3.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     tgt = counts.agg(F.min("c").alias("target"))
     wr = Window.partitionBy("lang").orderBy(
