@@ -107,7 +107,7 @@ num AS (
 )
 SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
        (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
-       round(CAST(w AS DOUBLE)
+       round(CAST(COALESCE(w, 0) AS DOUBLE)
              / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6)
            AS wasserstein1_dollars_6
 FROM num CROSS JOIN tot
@@ -149,8 +149,12 @@ def q_wasserstein1_returns(spark, sf_dir):
     return num.crossJoin(F.broadcast(tot)).select(
         F.col("n1").cast("long").alias("n_returned"),
         F.col("n2").cast("long").alias("n_kept"),
+        # a single distinct pooled value leaves no (x, next-x) gap rows:
+        # the empty SUM is NULL, but the distance is exactly 0 (both
+        # sides coalesce identically; oracle hash unchanged on any
+        # corpus with >= 2 distinct order values)
         F.round(
-            F.col("w").cast("double")
+            F.coalesce(F.col("w"), F.lit(0)).cast("double")
             / (F.col("n1").cast("double") * F.col("n2"))
             / 100.0,
             6,
