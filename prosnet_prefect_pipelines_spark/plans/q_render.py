@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 from prosnet_prefect_pipelines_spark.render.person import materialize_inverses, render_person
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
+
+# static select-expression trees for persons_from_tpch (opt r11: the
+# ~0.4 s/call of py4j Column construction is session-invariant — same
+# pattern as render.person._EXPR_CACHE)
+_PERSON_COLS_CACHE: dict = register_memo_cache({})
 
 
 def persons_from_tpch(spark, sf_dir):
@@ -20,12 +26,18 @@ def persons_from_tpch(spark, sf_dir):
     Twin of the ``person`` CTE in RENDER_PERSON_SQL — keep in lockstep.
     """
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    app_id = spark.sparkContext.applicationId
+    cols = _PERSON_COLS_CACHE.get(app_id)
+    if cols is not None:
+        return customer.select(*cols)
+    for stale in [a for a in _PERSON_COLS_CACHE if a != app_id]:
+        del _PERSON_COLS_CACHE[stale]
     k = F.col("c_custkey")
     year = (F.lit(1900) + k % 100).cast("string")
     year2 = (F.lit(1930) + k % 100).cast("string")
     full = F.concat(year, F.lit("-03-15"))
     full2 = F.concat(year2, F.lit("-06-20"))
-    return customer.select(
+    cols = [
         k.alias("id"),
         F.when(k % 17 != 0, F.col("c_name")).alias("name"),
         F.when(k % 3 != 0, F.concat(F.lit("First_"), k.cast("string"))).alias("first_name"),
@@ -67,7 +79,9 @@ def persons_from_tpch(spark, sf_dir):
                 F.when(k % 6 == 0, F.struct(F.concat(F.lit("http://t/"), k.cast("string"), F.lit("/2")).alias("url"))),
             )
         ).alias("text"),
-    )
+    ]
+    _PERSON_COLS_CACHE[app_id] = cols
+    return customer.select(*cols)
 
 
 # The DuckDB twin renders every template as one UNION ALL branch over the

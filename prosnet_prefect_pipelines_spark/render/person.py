@@ -23,9 +23,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prosnet_prefect_pipelines_spark.functions import scalar
-from prosnet_prefect_pipelines_spark.render.templates import Template, explode_templates, node
+from prosnet_prefect_pipelines_spark.render.templates import (
+    Template,
+    explode_prepared,
+    node,
+    prepare_templates,
+)
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 APIS_BASE = "https://apis.acdh.oeaw.ac.at"
+
+# Per-SparkContext memo of the static template expression trees (opt r11,
+# guide §1.2 step 2). The ~45 conditional-struct Columns reference only
+# field names — no data, no plan, no session state — but building them
+# costs thousands of py4j round trips: measured 1.6 s of driver time per
+# render_person call at sf0.1 against 1.1 s of actual execution. Keyed by
+# applicationId per the repo memo convention; reset_memo_fixtures clears
+# it, so bench cold passes still pay (and measure) full construction.
+_EXPR_CACHE: dict = register_memo_cache({})
 
 
 def _fstr(c: Column) -> Column:
@@ -33,34 +48,28 @@ def _fstr(c: Column) -> Column:
     return F.coalesce(c.cast("string"), F.lit("None"))
 
 
-def render_person(persons: DataFrame) -> DataFrame:
-    """persons: model.APIS_PERSON_SCHEMA columns -> triples (s,p,o,o_lang).
+def _person_exprs() -> dict:
+    """Build the static expression trees for render_person once.
 
-    One narrow pass for scalar templates + two explodes for the
-    profession/sameAs list fields, unioned, then distinct.
+    Returns {withcols, scalar_prep, prof_prep, same_prep, prof_sel,
+    same_sel}; everything is an unresolved Column tree over
+    APIS_PERSON_SCHEMA field names.
     """
-    # Precompute every node URI / shared label ONCE in an explicit
-    # projection: templates then reference plain columns. Without this the
-    # concat chains repeat inside ~45 conditional structs and the
-    # whole-stage-codegen method blows past the JIT huge-method limit
-    # (observed: 10-90s erratic runtimes at sf0.01; ~1s after).
     pid = F.col("id")
-    persons = persons.withColumns(
-        {
-            "_pers": node("idmapis:personproxy.", pid),
-            "_app": node("idmapis:appellation.label.", pid),
-            "_app_first": node("idmapis:appellation.first_name.", pid),
-            "_app_last": node("idmapis:appellation.last_name.", pid),
-            "_full_name": F.concat(_fstr(F.col("first_name")), F.lit(" "), _fstr(F.col("name"))),
-            "_birth_ev": node("idmapis:birthevent.", pid),
-            "_death_ev": node("idmapis:deathevent.", pid),
-            "_born_role": node("idmapis:born_person.", pid),
-            "_dec_role": node("idmapis:deceased_person.", pid),
-            "_birth_span": node("idmapis:birth.timespan.", pid),
-            "_death_span": node("idmapis:death.timespan.", pid),
-            "_bio": node("idmapis:text.", pid, ".bio"),
-        }
-    ).localCheckpoint(eager=False)
+    withcols = {
+        "_pers": node("idmapis:personproxy.", pid),
+        "_app": node("idmapis:appellation.label.", pid),
+        "_app_first": node("idmapis:appellation.first_name.", pid),
+        "_app_last": node("idmapis:appellation.last_name.", pid),
+        "_full_name": F.concat(_fstr(F.col("first_name")), F.lit(" "), _fstr(F.col("name"))),
+        "_birth_ev": node("idmapis:birthevent.", pid),
+        "_death_ev": node("idmapis:deathevent.", pid),
+        "_born_role": node("idmapis:born_person.", pid),
+        "_dec_role": node("idmapis:deceased_person.", pid),
+        "_birth_span": node("idmapis:birth.timespan.", pid),
+        "_death_span": node("idmapis:death.timespan.", pid),
+        "_bio": node("idmapis:text.", pid, ".bio"),
+    }
     pers = F.col("_pers")
     app = F.col("_app")
     app_first = F.col("_app_first")
@@ -140,29 +149,52 @@ def render_person(persons: DataFrame) -> DataFrame:
         Template(bio, "idmcore:short_bio_link", F.col("text").getItem(1).getField("url"), cond=has_bio),
     ]
 
-    scalar_triples = explode_templates(persons, ts)
-
     # professions (:619-630) — list explode
-    prof = persons.select(F.col("_pers").alias("pers"), F.explode("profession").alias("pr"))
     prof_node = node("idmapis:occupation.", F.col("pr.id"))
-    prof_triples = explode_templates(
-        prof,
-        [
-            Template(F.col("pers"), "bioc:has_occupation", prof_node),
-            Template(prof_node, "rdfs:label", F.col("pr.label"), lang="de"),
-            Template(prof_node, "rdfs:subClassOf",
-                     node("idmapis:occupation.", F.col("pr.parent_id")),
-                     cond=F.col("pr.parent_id").isNotNull()),
-            Template(prof_node, "rdfs:subClassOf", F.lit("bioc:Occupation")),
-        ],
-    )
+    prof_ts = [
+        Template(F.col("pers"), "bioc:has_occupation", prof_node),
+        Template(prof_node, "rdfs:label", F.col("pr.label"), lang="de"),
+        Template(prof_node, "rdfs:subClassOf",
+                 node("idmapis:occupation.", F.col("pr.parent_id")),
+                 cond=F.col("pr.parent_id").isNotNull()),
+        Template(prof_node, "rdfs:subClassOf", F.lit("bioc:Occupation")),
+    ]
 
     # sameAs list (:634-635)
-    same = persons.select(F.col("_pers").alias("pers"), F.explode("sameAs").alias("uri"))
-    same_triples = explode_templates(
-        same,
-        [Template(F.col("pers"), "owl:sameAs", F.col("uri"))],
-    )
+    same_ts = [Template(F.col("pers"), "owl:sameAs", F.col("uri"))]
+
+    return {
+        "withcols": withcols,
+        "scalar_prep": prepare_templates(ts),
+        "prof_prep": prepare_templates(prof_ts),
+        "same_prep": prepare_templates(same_ts),
+        "prof_sel": [F.col("_pers").alias("pers"), F.explode("profession").alias("pr")],
+        "same_sel": [F.col("_pers").alias("pers"), F.explode("sameAs").alias("uri")],
+    }
+
+
+def render_person(persons: DataFrame) -> DataFrame:
+    """persons: model.APIS_PERSON_SCHEMA columns -> triples (s,p,o,o_lang).
+
+    One narrow pass for scalar templates + two explodes for the
+    profession/sameAs list fields, unioned, then distinct.
+    """
+    key = persons.sparkSession.sparkContext.applicationId
+    exprs = _EXPR_CACHE.get(key)
+    if exprs is None:
+        for stale in [a for a in _EXPR_CACHE if a != key]:
+            del _EXPR_CACHE[stale]
+        exprs = _EXPR_CACHE[key] = _person_exprs()
+    # Precompute every node URI / shared label ONCE in an explicit
+    # projection: templates then reference plain columns. Without this the
+    # concat chains repeat inside ~45 conditional structs and the
+    # whole-stage-codegen method blows past the JIT huge-method limit
+    # (observed: 10-90s erratic runtimes at sf0.01; ~1s after).
+    persons = persons.withColumns(exprs["withcols"]).localCheckpoint(eager=False)
+
+    scalar_triples = explode_prepared(persons, exprs["scalar_prep"])
+    prof_triples = explode_prepared(persons.select(*exprs["prof_sel"]), exprs["prof_prep"])
+    same_triples = explode_prepared(persons.select(*exprs["same_sel"]), exprs["same_prep"])
 
     return scalar_triples.unionByName(prof_triples).unionByName(same_triples).distinct()
 

@@ -55,6 +55,73 @@ def _struct(t: Template, include_datatype: bool) -> Column:
     return F.when(t.s.isNotNull() & t.o.isNotNull(), st) if t.cond is None else st
 
 
+def template_arrays(
+    templates: list[Template],
+    chunk_size: int = 12,
+    include_datatype: bool = False,
+) -> list[Column]:
+    """Build the per-chunk conditional-struct array Columns for ``templates``.
+
+    Split out from :func:`explode_templates` so renderers can build these
+    Column trees ONCE per SparkContext and reuse them across calls: the
+    trees are pure unresolved expressions over field names (no data, no
+    plan state), but constructing 40+ of them costs thousands of py4j
+    round trips — measured ~1.6 s of driver time per render_person call
+    at any scale (opt r11, guide §1.2 step 2: per-call work).
+    """
+    arrs = []
+    for i in range(0, len(templates), chunk_size):
+        chunk = templates[i : i + chunk_size]
+        arrs.append(F.array_compact(F.array(*[_struct(t, include_datatype) for t in chunk])))
+    return arrs
+
+
+def prepare_templates(
+    templates: list[Template],
+    chunk_size: int = 12,
+    include_datatype: bool = False,
+) -> dict:
+    """Fully prebuild the reusable Column trees for a template set:
+    per-chunk ``explode(...)`` columns plus the output projection.
+    Everything returned is static and session-reusable — callers cache
+    the result per SparkContext and apply it with
+    :func:`explode_prepared` (zero template-construction py4j traffic
+    per call)."""
+    cols = ["s", "p", "o", "o_lang"] + (["o_datatype"] if include_datatype else [])
+    arrs = template_arrays(templates, chunk_size, include_datatype)
+    return {
+        "explodes": [F.explode(arr).alias("t") for arr in arrs],
+        "proj": [F.col(f"t.{c}").alias(c) for c in cols],
+    }
+
+
+def explode_prepared(df: DataFrame, prep: dict) -> DataFrame:
+    """Apply a :func:`prepare_templates` bundle to ``df``."""
+    outs = [df.select(e).select(*prep["proj"]) for e in prep["explodes"]]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def explode_arrays(
+    df: DataFrame, arrs: list[Column], include_datatype: bool = False
+) -> DataFrame:
+    """Explode prebuilt template arrays (:func:`template_arrays`) into
+    (s, p, o, o_lang[, o_datatype]) rows, one union branch per chunk."""
+    cols = ["s", "p", "o", "o_lang"] + (["o_datatype"] if include_datatype else [])
+    outs = [
+        df.select(F.explode(arr).alias("t")).select(
+            *[F.col(f"t.{c}").alias(c) for c in cols]
+        )
+        for arr in arrs
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def explode_templates(
     df: DataFrame,
     templates: list[Template],
@@ -70,20 +137,9 @@ def explode_templates(
     cached by the caller when chunks > 1 so each union branch reads the
     materialized frame, not a recomputed lineage.
     """
-    cols = ["s", "p", "o", "o_lang"] + (["o_datatype"] if include_datatype else [])
-    outs = []
-    for i in range(0, len(templates), chunk_size):
-        chunk = templates[i : i + chunk_size]
-        arr = F.array_compact(F.array(*[_struct(t, include_datatype) for t in chunk]))
-        outs.append(
-            df.select(F.explode(arr).alias("t")).select(
-                *[F.col(f"t.{c}").alias(c) for c in cols]
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return explode_arrays(
+        df, template_arrays(templates, chunk_size, include_datatype), include_datatype
+    )
 
 
 def node(prefix: str, *parts: Column | str) -> Column:

@@ -126,11 +126,18 @@ def test_all_plan_memo_caches_registered(spark):
 
     catalog.load()  # import every plan module so registrations ran
 
-    plan_dir = _os.path.dirname(plans_pkg.__file__)
-    declared = 0
-    for path in _glob.glob(_os.path.join(plan_dir, "*.py")):
+    # scan the whole package: operator/render modules may declare
+    # registered caches too (e.g. render.person._EXPR_CACHE)
+    pkg_dir = _os.path.dirname(_os.path.dirname(plans_pkg.__file__))
+    declared = registered = 0
+    for path in _glob.glob(
+        _os.path.join(pkg_dir, "**", "*.py"), recursive=True
+    ):
+        if _os.path.basename(path) == "session.py":
+            continue  # the registry itself
         src = open(path).read()
-        declared += len(
-            _re.findall(r"^_[A-Z_]*CACHE[^=]*=", src, flags=_re.M)
-        )
-    assert declared == len(_MEMO_CACHES) > 0
+        decls = _re.findall(r"^_[A-Z_]*CACHE[^=]*=.*$", src, flags=_re.M)
+        declared += len(decls)
+        registered += sum("register_memo_cache" in d for d in decls)
+    assert declared == registered, "cache dict declared without registration"
+    assert registered == len(_MEMO_CACHES) > 0
