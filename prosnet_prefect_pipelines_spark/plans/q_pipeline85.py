@@ -152,13 +152,17 @@ def q_llm_corpus_pipeline_v3(spark, sf_dir):
     )
     flesch = F.expr("206835 - (1015 * w) div s - (84600 * sy) div w")
     # opt r11 (guide §2.4): keep2 feeds the bigram explode AND the
-    # stage-3 survivor join; without the pin Spark replans the dedup
+    # stage-3 survivor join; without any pin Spark replans the dedup
     # window + syllable/regexp pass once per consumer (6 document scans
-    # in the physical plan; the syllable aggregate is the most
-    # expensive expression in the pipeline)
+    # in the physical plan). keep2 itself stays UNPINNED: it carries the
+    # full text column, and materializing a text-bearing corpus block is
+    # the 100 TB memory hazard (and measured slower warm at sf0.1 than
+    # the two scans it saves — 3.0 vs 2.3 s). Only the two NARROW blocks
+    # below (dbb, keep3) are pinned, which still collapses the fan-out:
+    # 6 document scans -> 2.
     keep2 = staged.filter(
         F.col("w").between(5, 400) & (flesch > -200000)
-    ).select("doc_id", "lang", "text", "w").localCheckpoint(eager=False)
+    ).select("doc_id", "lang", "text", "w")
     # stage 3: rare-bigram cap. Occurrences of the same bigram inside a
     # doc share every downstream value, so pre-aggregate to
     # (doc_id, b, cnt) once and carry cnt as an occurrence weight
