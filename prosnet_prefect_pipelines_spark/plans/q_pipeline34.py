@@ -79,7 +79,21 @@ def q_dsir_importance_scores(spark, sf_dir):
     aggregations and BROADCAST into the scoring pass — one explode, one
     broadcast join, one doc-keyed agg; nothing shuffles on anything
     bigger than the feature id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # opt r11 (guide §2.3/§2.4, the bigram_lm_score shape): the checkpoint
+    # used to materialize one row PER BIGRAM OCCURRENCE (doc_id, lang, f)
+    # and all four consumers re-scanned that occurrence-sized block. Every
+    # downstream value depends only on per-(doc, feature) multiplicities
+    # and f has <= 1024 values, so: fan out by doc_id (hashpartitioning on
+    # doc_id satisfies the (doc_id, lang, f) clustering — no exchange for
+    # the pre-aggregate, and the final per-doc rollup inherits it too),
+    # explode once, pre-aggregate to (doc_id, lang, f, cnt) — at most 1024
+    # rows per document regardless of document length — and checkpoint
+    # THAT. cnt is carried as an occurrence weight; every sum below is
+    # occurrence-exact by construction.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     grams = (
         docs.select("doc_id", "lang", toks.alias("toks"))
@@ -99,16 +113,18 @@ def q_dsir_importance_scores(spark, sf_dir):
             ).alias("gram"),
         )
         .select("doc_id", "lang", (_hash48(F.col("gram"), "dsir") % _B).alias("f"))
+        .groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)  # feeds raw, tgt AND the scoring join
     )
-    raw = grams.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("craw"))
+    raw = grams.groupBy("f").agg(F.sum("cnt").cast("long").alias("craw"))
     tgt = (
         grams.filter(F.col("lang") == "en")
         .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("long").alias("ctgt"))
+        .agg(F.sum("cnt").cast("long").alias("ctgt"))
     )
     tot = raw.agg(F.sum("craw").alias("traw")).crossJoin(
-        grams.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("ttgt"))
+        grams.filter(F.col("lang") == "en").agg(F.sum("cnt").alias("ttgt"))
     )
     ratio = (
         raw.join(tgt, "f", "left")
@@ -126,8 +142,11 @@ def q_dsir_importance_scores(spark, sf_dir):
         grams.join(F.broadcast(ratio), "f")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.expr("CAST(SUM(r_micro) div COUNT(*) AS BIGINT)").alias("score_micro"),
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.expr(
+                "CAST(SUM(CAST(r_micro AS DECIMAL(38,0)) * cnt) div SUM(cnt)"
+                " AS BIGINT)"
+            ).alias("score_micro"),
         )
     )
 
