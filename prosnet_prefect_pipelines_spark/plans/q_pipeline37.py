@@ -135,6 +135,29 @@ def q_session_similarity_topk(spark, sf_dir):
     EDBT-2020 interactive-session search shape); similarity is exact
     integer ppm; the final top-k is a per-user window."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # opt r11 (guide §2.3/§8 — shuffle keys and metadata, decide on
+    # lightweight proxies): the shingle vocabulary is bounded by the
+    # event_type ENUM (|E|^3 3-grams — a schema property, not a data-size
+    # property; |E|=5 here, 125 possible shingles), so each user's
+    # shingle SET fits in a 2-long bitmask. The old plan emitted one row
+    # per shared shingle per pair (23.1M rows at sf0.1), hash-aggregated
+    # them down to 1.12M (u, v) pairs, and joined per-user sizes back on
+    # twice. With per-posting masks the intersection count is
+    # bit_count(maskA & maskB), the sizes are bit_count(mask), and the
+    # FIRST-WITNESS filter (emit a pair only at its minimum common code)
+    # keeps exactly one emission per candidate pair — the 23.1M-row
+    # aggregation and both sizes joins disappear; the inverted-index
+    # candidate generation (never all user pairs) is unchanged.
+    etypes = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )  # enum-bounded driver fetch, same class as descendants' BFS
+    n_e = len(etypes)
+    if n_e**3 > 128:
+        raise ValueError(
+            f"session_similarity_topk: {n_e}^3 shingle codes exceed the "
+            "128-bit mask design bound — widen the masks"
+        )
+    et_arr = F.array(*[F.lit(t) for t in etypes])
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -142,43 +165,80 @@ def q_session_similarity_topk(spark, sf_dir):
         F.lag("event_type", 2).over(w).alias("t2"),
         F.lag("event_type", 1).over(w).alias("t1"),
     ).filter(F.col("t2").isNotNull())
+
+    def _idx(c):
+        return F.array_position(et_arr, c) - 1
+
+    # dense shingle code 0..|E|^3-1 — a bijection with the t2>t1>et
+    # string (enum labels carry no '>'), so DISTINCT is unchanged
+    code = (_idx(F.col("t2")) * n_e + _idx(F.col("t1"))) * n_e + _idx(
+        F.col("event_type")
+    )
+    # hashpartitioning(user_id) from the lag window satisfies the
+    # (user_id, code) clustering: distinct and the mask rollup add no
+    # exchange, and the masks join back on the same partitioning
+    pc = seq.select("user_id", code.cast("int").alias("code")).distinct()
+    one = F.lit(1).cast("long")
+    masks = pc.groupBy("user_id").agg(
+        F.bit_or(
+            F.when(F.col("code") < 64, F.expr("shiftleft(CAST(1 AS BIGINT), code)"))
+            .otherwise(one * 0)
+        ).alias("m0"),
+        F.bit_or(
+            F.when(F.col("code") >= 64, F.expr("shiftleft(CAST(1 AS BIGINT), code - 64)"))
+            .otherwise(one * 0)
+        ).alias("m1"),
+    )
     # explicit hash partitioning on the join key: AQE coalesces the
-    # ~10 MB shingle table to one partition by input size, blind to the
+    # ~10 MB posting table to one partition by input size, blind to the
     # shingle self-join's pair explosion (hot 3-grams fan out
     # quadratically) — measured 15.7 s single-task -> ~3 s at sf0.1.
     # A user-specified repartition is exempt from AQE coalescing, and
     # both join sides read the same colocated layout.
     shingles = (
-        seq.select(
-            "user_id",
-            F.concat_ws(">", "t2", "t1", "event_type").alias("sh"),
-        )
-        .distinct()
-        .repartition(ev.sparkSession.sparkContext.defaultParallelism, "sh")
+        pc.join(masks, "user_id")
+        .repartition(ev.sparkSession.sparkContext.defaultParallelism, "code")
         .localCheckpoint(eager=False)
-    )  # sizes + both join sides
-    sizes = shingles.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )  # both join sides
     a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # first-witness: keep the emission only at the pair's minimum common
+    # code (no common bit strictly below `code`), so each candidate pair
+    # survives exactly once and carries both masks
+    witness = F.expr(
+        "IF(a.code < 64,"
+        " ((a.m0 & b.m0) & ~ shiftleft(CAST(-1 AS BIGINT), a.code)) = 0,"
+        " (a.m0 & b.m0) = 0 AND"
+        " ((a.m1 & b.m1) & ~ shiftleft(CAST(-1 AS BIGINT), a.code - 64)) = 0)"
     )
-    sa = sizes.select(F.col("user_id").alias("u"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("user_id").alias("v"), F.col("n").alias("nb"))
+    pairs = a.join(
+        b,
+        (F.col("a.code") == F.col("b.code"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & witness,
+    )
+    c_expr = (
+        F.bit_count(F.col("a.m0").bitwiseAND(F.col("b.m0")))
+        + F.bit_count(F.col("a.m1").bitwiseAND(F.col("b.m1")))
+    ).cast("long")
+    na = F.bit_count(F.col("a.m0")) + F.bit_count(F.col("a.m1"))
+    nb = F.bit_count(F.col("b.m0")) + F.bit_count(F.col("b.m1"))
     scored = (
-        inter.join(sa, "u")
-        .join(sb, "v")
+        pairs.select(
+            F.col("a.user_id").alias("u"),
+            F.col("b.user_id").alias("v"),
+            c_expr.alias("c"),
+            (na + nb).cast("long").alias("nsum"),
+        )
         .select(
             "u",
             "v",
             "c",
             F.expr(
-                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div (na + nb - c) AS BIGINT)"
+                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div (nsum - c) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
         # both sym branches read this — without the pin the UNION
-        # replans the whole inverted-index self-join + rollup twice
+        # replans the whole inverted-index self-join twice
         # (opt r11: plan halved, 56 -> 34 nodes; scored is pair-sized)
         .localCheckpoint(eager=False)
     )
