@@ -5,6 +5,59 @@ from __future__ import annotations
 SF = "/root/testdata/sf0.001"
 
 
+def test_dsir_preaggregate_occurrence_exact(spark):
+    """Pin the r11 (doc, lang, f, cnt) pre-aggregate to occurrence-level
+    semantics: brute-force the whole DSIR estimator in Python one bigram
+    occurrence at a time (no cnt weighting anywhere) and require the
+    catalog query's (n_grams, score_micro) to match per document."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline34 import (
+        _B,
+        q_dsir_importance_scores,
+    )
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5((s + "dsir").encode()).hexdigest()[:12], 16) % _B
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc: dict[tuple, list] = {}
+    for doc_id, lang, text in docs.itertuples(index=False):
+        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        if len(toks) < 2:
+            continue
+        fs = [h48(f"{toks[i]} {toks[i+1]}") for i in range(len(toks) - 1)]
+        per_doc[(doc_id, lang)] = fs
+        raw.update(fs)
+        if lang == "en":
+            tgt.update(fs)
+    traw = sum(raw.values())
+    ttgt = sum(tgt.values())
+    r_micro = {
+        f: (tgt.get(f, 0) + 1) * (traw + _B) * 1_000_000
+        // ((raw[f] + 1) * (ttgt + _B))
+        for f in raw
+    }
+    expected = {
+        k: (len(fs), sum(r_micro[f] for f in fs) // len(fs))
+        for k, fs in per_doc.items()
+    }
+    got = {
+        (r.doc_id, r.lang): (r.n_grams, r.score_micro)
+        for r in q_dsir_importance_scores(spark, SF).collect()
+    }
+    assert got == expected
+
+
 def test_dsir_scores_float_log_twin_agrees_on_ranking(spark):
     """The catalog query scores with exact-integer mean ratios; the
     published estimator uses mean log ratios. Both must broadly agree:

@@ -35,6 +35,67 @@ def test_rls_view_rows_and_mask(spark):
     assert len(rows) == total_allowed
 
 
+def test_session_similarity_bitmask_matches_bruteforce(spark):
+    """Pin the r11 bitmask first-witness rewrite to brute-force set
+    Jaccard: per-user event-type 3-gram sets computed in Python, every
+    overlapping pair scored exactly, top-3 per user by (ppm desc, other
+    asc) — the full output must match tuple-for-tuple."""
+    import itertools
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline37 import (
+        _TOPK,
+        q_session_similarity_topk,
+    )
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    shingles: dict[int, set] = {}
+    for uid, g in ev.groupby("user_id"):
+        ts = list(g["event_type"])
+        s = {(ts[i], ts[i + 1], ts[i + 2]) for i in range(len(ts) - 2)}
+        if s:
+            shingles[uid] = s
+    per = defaultdict(list)
+    for u, v in itertools.combinations(sorted(shingles), 2):
+        c = len(shingles[u] & shingles[v])
+        if not c:
+            continue
+        ppm = c * 1_000_000 // len(shingles[u] | shingles[v])
+        per[u].append((ppm, v))
+        per[v].append((ppm, u))
+    expected = set()
+    for u, lst in per.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rn, (ppm, o) in enumerate(lst[:_TOPK], 1):
+            expected.add((u, o, ppm, rn))
+    got = {
+        (r.user_id, r.other, r.jaccard_ppm, r.rn)
+        for r in q_session_similarity_topk(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_session_similarity_mask_guard_raises(spark, tmp_path):
+    """The 128-bit mask design bound must fail loudly: 6 distinct
+    event types -> 216 possible 3-gram codes -> ValueError."""
+    import pytest
+
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline37 import (
+        q_session_similarity_topk,
+    )
+
+    rows = [(i % 7, i, i, f"T{i % 6}") for i in range(42)]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    with pytest.raises(ValueError, match="128-bit mask"):
+        q_session_similarity_topk(spark, str(tmp_path))
+
+
 def test_session_similarity_topk_sane(spark):
     from collections import Counter
 
