@@ -489,7 +489,12 @@ AUDITS = {
         ("BroadcastHashJoin", "policy table broadcast; mask is a projection"),
     ],
     "session_similarity_topk": [
-        ("partial_", "shingle-intersection counts combine map-side"),
+        # r11: intersection counts are no longer aggregated at all — the
+        # bitmask first-witness rewrite scores each pair from bit_count in
+        # a single emission (the audited plan truncates at the scored
+        # checkpoint; the full inner join is committed as
+        # plans/r11/session_similarity_topk_after_nopin.txt)
+        ("WindowGroupLimit", "per-user top-3 prunes map-side before the exchange"),
     ],
     "scd2_pit_join": [
         ("Window", "running-last state merge on the user key"),
