@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from prosnet_prefect_pipelines_spark.plans.catalog import register
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _ROLE = "analyst_eu"
 
@@ -126,6 +127,28 @@ FROM ranked WHERE rn <= {_TOPK}
 """
 
 
+# opt r12 (VERDICT r11 issue 1): the event-type enum is session-invariant
+# per dataset — memoize the one distinct scan per (app_id, sf_dir) so
+# repeated plan constructions launch NO Spark job (the old code ran a
+# full-column distinct scan of events at every DataFrame construction,
+# blocking the driver — at 100 TB an extra corpus pass per plan build).
+# Reset by reset_memo_fixtures, so bench repeat-cold passes still pay it.
+_ETYPES_CACHE: dict = register_memo_cache({})
+
+
+def _event_types(ev, sf_dir: str) -> list[str]:
+    app_id = ev.sparkSession.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    cached = _ETYPES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _ETYPES_CACHE if k[0] != app_id]:
+        del _ETYPES_CACHE[stale]
+    etypes = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    _ETYPES_CACHE[key] = etypes
+    return etypes
+
+
 @register("session_similarity_topk", oracle=SESSION_SIM_SQL, covers=["J1", "A1", "O6"])
 def q_session_similarity_topk(spark, sf_dir):
     """Top-3 most similar user sessions by exact Jaccard over
@@ -139,20 +162,16 @@ def q_session_similarity_topk(spark, sf_dir):
     # lightweight proxies): the shingle vocabulary is bounded by the
     # event_type ENUM (|E|^3 3-grams — a schema property, not a data-size
     # property; |E|=5 here, 125 possible shingles), so each user's
-    # shingle SET fits in a 2-long bitmask. The old plan emitted one row
-    # per shared shingle per pair (23.1M rows at sf0.1), hash-aggregated
-    # them down to 1.12M (u, v) pairs, and joined per-user sizes back on
-    # twice. With per-posting masks the intersection count is
-    # bit_count(maskA & maskB), the sizes are bit_count(mask), and the
-    # FIRST-WITNESS filter (emit a pair only at its minimum common code)
-    # keeps exactly one emission per candidate pair — the 23.1M-row
-    # aggregation and both sizes joins disappear; the inverted-index
-    # candidate generation (never all user pairs) is unchanged.
-    etypes = sorted(
-        r[0] for r in ev.select("event_type").distinct().collect()
-    )  # enum-bounded driver fetch, same class as descendants' BFS
+    # shingle SET fits in a 2-long bitmask. With per-posting masks the
+    # intersection count is bit_count(maskA & maskB), the sizes are
+    # bit_count(mask), and the FIRST-WITNESS filter (emit a pair only at
+    # its minimum common code) keeps exactly one emission per candidate
+    # pair; the inverted-index candidate generation (never all user
+    # pairs) is unchanged.
+    etypes = _event_types(ev, sf_dir)
     n_e = len(etypes)
-    if n_e**3 > 128:
+    ncodes = n_e**3
+    if ncodes > 128:
         raise ValueError(
             f"session_similarity_topk: {n_e}^3 shingle codes exceed the "
             "128-bit mask design bound — widen the masks"
@@ -176,7 +195,7 @@ def q_session_similarity_topk(spark, sf_dir):
     )
     # hashpartitioning(user_id) from the lag window satisfies the
     # (user_id, code) clustering: distinct and the mask rollup add no
-    # exchange, and the masks join back on the same partitioning
+    # exchange
     pc = seq.select("user_id", code.cast("int").alias("code")).distinct()
     one = F.lit(1).cast("long")
     masks = pc.groupBy("user_id").agg(
@@ -189,18 +208,57 @@ def q_session_similarity_topk(spark, sf_dir):
             .otherwise(one * 0)
         ).alias("m1"),
     )
-    # explicit hash partitioning on the join key: AQE coalesces the
-    # ~10 MB posting table to one partition by input size, blind to the
-    # shingle self-join's pair explosion (hot 3-grams fan out
-    # quadratically) — measured 15.7 s single-task -> ~3 s at sf0.1.
-    # A user-specified repartition is exempt from AQE coalescing, and
-    # both join sides read the same colocated layout.
-    shingles = (
-        pc.join(masks, "user_id")
-        .repartition(ev.sparkSession.sparkContext.defaultParallelism, "code")
-        .localCheckpoint(eager=False)
-    )  # both join sides
-    a, b = shingles.alias("a"), shingles.alias("b")
+    # opt r12: the posting list (user_id, code, m0, m1) used to be
+    # pc JOIN masks — a second corpus window pass plus a join. The mask
+    # already encodes the user's exact code set, so explode its set bits
+    # instead (vocab-bounded ≤128-element scan per user): one corpus
+    # window pass total, no join, same (user_id, code) posting rows.
+    postings = masks.select(
+        "user_id",
+        "m0",
+        "m1",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {ncodes - 1}), c -> IF(c < 64,"
+                " shiftright(m0, c), shiftright(m1, c - 64)) % 2 != 0)"
+            )
+        ).alias("code"),
+    )
+    # opt r12 (VERDICT r11 issue 2, guide §2.5 — skew/synthetic keys):
+    # the code key has at most |E|^3 = 125 distinct values, so a
+    # repartition("code") caps the self-join at 125 active partitions
+    # regardless of cluster width, and a hot 3-gram's posting list
+    # self-joins O(df^2) inside ONE task. Salt each posting with a
+    # deterministic block id within its code and enumerate block PAIRS
+    # (i <= j, the triangle): a pair of users sharing `code` meets in
+    # exactly one (code, i, j) bucket, so candidates are unchanged while
+    # the key space grows to ncodes * nb*(nb+1)/2 and a hot code's
+    # quadratic pair work splits across nb*(nb+1)/2 tasks. nb scales
+    # with parallelism (~20 keys per shuffle slot, guide §2.5's 20-100x
+    # rule), so wider clusters get more blocks, not a local constant.
+    par = spark.sparkContext.defaultParallelism
+    nb_blocks = 1
+    while ncodes * nb_blocks * (nb_blocks + 1) // 2 < 20 * par and nb_blocks < 64:
+        nb_blocks += 1
+    post = postings.withColumn(
+        "blk", F.pmod(F.xxhash64("user_id", "code"), F.lit(nb_blocks)).cast("int")
+    ).localCheckpoint(eager=False)  # both join sides read this
+    # left member of block pair (i, j): i = own block, j >= i;
+    # right member: j = own block, i <= j. A cross-block pair meets
+    # once with the smaller-block user on the left; a same-block pair
+    # meets twice, deduped by the user_id order filter below.
+    a = post.withColumn(
+        "jb", F.explode(F.expr(f"sequence(blk, {nb_blocks - 1})"))
+    ).alias("a")
+    b = post.withColumn("ib", F.explode(F.expr("sequence(0, blk)"))).alias("b")
+    # explicit hash partitioning on the salted join key (user-specified
+    # repartition is exempt from AQE coalescing, which would otherwise
+    # coalesce the ~10 MB posting table to one partition by input size,
+    # blind to the pair explosion — measured 15.7 s single-task -> ~3 s
+    # at sf0.1 in r11). Both sides repartition by their own key triple
+    # in join-key order so the join reuses the exchanges.
+    a = a.repartition(par, "code", "blk", "jb")
+    b = b.repartition(par, "code", "ib", "blk")
     # first-witness: keep the emission only at the pair's minimum common
     # code (no common bit strictly below `code`), so each candidate pair
     # survives exactly once and carries both masks
@@ -213,7 +271,12 @@ def q_session_similarity_topk(spark, sf_dir):
     pairs = a.join(
         b,
         (F.col("a.code") == F.col("b.code"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.blk") == F.col("b.ib"))
+        & (F.col("a.jb") == F.col("b.blk"))
+        & (
+            (F.col("a.blk") != F.col("b.blk"))
+            | (F.col("a.user_id") < F.col("b.user_id"))
+        )
         & witness,
     )
     c_expr = (
@@ -224,8 +287,10 @@ def q_session_similarity_topk(spark, sf_dir):
     nb = F.bit_count(F.col("b.m0")) + F.bit_count(F.col("b.m1"))
     scored = (
         pairs.select(
-            F.col("a.user_id").alias("u"),
-            F.col("b.user_id").alias("v"),
+            # cross-block pairs arrive in block order, not user order —
+            # canonicalize (masks, counts and witness are symmetric)
+            F.least(F.col("a.user_id"), F.col("b.user_id")).alias("u"),
+            F.greatest(F.col("a.user_id"), F.col("b.user_id")).alias("v"),
             c_expr.alias("c"),
             (na + nb).cast("long").alias("nsum"),
         )

@@ -121,3 +121,44 @@ def test_session_similarity_topk_sane(spark):
         assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.jaccard_ppm for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_session_similarity_construction_job_free_after_memo(spark, monkeypatch):
+    """Pin the r12 enum memo (VERDICT r11 issue 1): once the per-(app,
+    sf_dir) event-type enum is cached, constructing the DataFrame must
+    schedule NO corpus-scan job — the old code ran a full-column
+    distinct().collect() scan of events on EVERY plan build. Same probe
+    protocol as distrank's job-free construction test, with two
+    documented exemptions: the parquet footer/schema job spark.read
+    itself runs (1 task, every catalog query pays it), and the
+    load-bearing localCheckpoint pins (eager=False on an AQE plan
+    materializes the non-result stages — execution work the bench
+    times, not construction), intercepted to identity here."""
+    from prosnet_prefect_pipelines_spark.plans.q_pipeline37 import (
+        q_session_similarity_topk,
+    )
+
+    q_session_similarity_topk(spark, SF)  # warms the enum memo
+    sc = spark.sparkContext
+    df_cls = type(spark.range(1))  # classic DataFrame overrides the base
+    monkeypatch.setattr(df_cls, "localCheckpoint", lambda self, eager=True: self)
+    group = "session-similarity-construction-probe"
+    sc.setJobGroup(group, "construction must be scan-free")
+    try:
+        q_session_similarity_topk(spark, SF)
+        ids = list(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup("", "")
+    st = sc.statusTracker()
+    for jid in ids:
+        info = st.getJobInfo(jid)
+        for sid in info.stageIds:
+            si = st.getStageInfo(sid)
+            assert si is None or (si.numTasks <= 1 and "parquet" in si.name), (
+                f"construction scheduled a scan job: {si.name} "
+                f"({si.numTasks} tasks) — the enum memo must keep plan "
+                "builds free of the events distinct scan"
+            )
+    monkeypatch.undo()
+    # and the query still executes correctly afterwards
+    assert q_session_similarity_topk(spark, SF).count() > 0
