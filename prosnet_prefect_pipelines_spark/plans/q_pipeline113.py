@@ -49,7 +49,10 @@ from prosnet_prefect_pipelines_spark.plans.q_dedup import (
 )
 from prosnet_prefect_pipelines_spark.plans.q_pipeline33 import _docs_stream
 from prosnet_prefect_pipelines_spark.streaming import neardup as N
-from prosnet_prefect_pipelines_spark.streaming.tuning import stream_partitioning
+from prosnet_prefect_pipelines_spark.streaming.tuning import (
+    staged_row_count,
+    stream_partitioning,
+)
 from prosnet_prefect_pipelines_spark.session import register_memo_cache
 
 _THRESHOLD = 0.5
@@ -201,7 +204,8 @@ def q_stream_neardup_monitor(spark, sf_dir):
     # corpus instead (~4 band rows per doc, single-batch symlink stage);
     # at bench scale this lands near the floor, at cluster scale the row
     # estimate drives it back to full width.
-    est_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * 4
+    # memoized estimate (opt r12): no corpus count job per plan build
+    est_rows = staged_row_count(spark, f"{sf_dir}/documents.parquet") * 4
     with stream_partitioning(spark, est_rows, n_batches=1):
         q = (
             N.stream_state_candidates(stream_bands, emit_bands=True)

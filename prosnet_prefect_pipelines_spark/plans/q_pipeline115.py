@@ -159,8 +159,10 @@ def _ivf_index(spark, sf_dir):
     # (opt r11 — the array is rebuilt only when the index is)
     carr = S.centroid_array(cents).localCheckpoint(eager=True)
     protect_checkpoint(carr)
-    _INDEX_CACHE[key] = (db, cents, carr)
-    return db, cents, carr
+    # index cardinality cached at build time so the width estimate
+    # adds no job per plan construction (opt r12, same as q118)
+    _INDEX_CACHE[key] = (db, cents, carr, db.count())
+    return db, cents, carr, _INDEX_CACHE[key][3]
 
 
 def _query_stream(spark, sf_dir):
@@ -226,9 +228,10 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     from prosnet_prefect_pipelines_spark.streaming.tuning import (
         candidate_fanout,
         pinned_partitions,
+        staged_row_count,
     )
 
-    db, cents, carr = _ivf_index(spark, sf_dir)
+    db, cents, carr, n_db = _ivf_index(spark, sf_dir)
 
     # a micro-batch is ONE staged file = one partition, and with the
     # index broadcast nothing downstream reshuffles — without fan-out
@@ -243,8 +246,8 @@ def q_stream_ann_topk_monitor(spark, sf_dir):
     n_stage_files = max(
         1, len([f for f in os.listdir(stage) if f.endswith(".parquet")])
     )
-    qry_per_batch = spark.read.parquet(stage).count() / n_stage_files
-    est_cands = qry_per_batch * _NPROBE * (db.count() / _N_CELLS)
+    qry_per_batch = staged_row_count(spark, stage) / n_stage_files
+    est_cands = qry_per_batch * _NPROBE * (n_db / _N_CELLS)
     # opt r11 (guide §2): derive the replay width from the measured
     # candidate volume instead of pinning it at the core count — the
     # monitor is stateless and compute-bound, so candidates-per-task is
@@ -367,7 +370,7 @@ def q_ann_index_merge(spark, sf_dir):
     report's occupancy skew motivates). The oracle computes the
     histogram from the single full rebuild; a hash match proves
     merge == rebuild."""
-    _db, cents, _carr = _ivf_index(spark, sf_dir)
+    _db, cents, _carr, _n = _ivf_index(spark, sf_dir)
     carr = S.centroid_array(cents)
 
     def _assign(residue: int):
@@ -397,7 +400,7 @@ def _traffic_report(spark, sf_dir):
     """The per-cell (cell, n_indexed, n_probes, candidate_volume)
     telemetry frame — shared by the report query, the rebalance plan
     and the serving probe's rebalance trigger (streaming/serving.py)."""
-    db, cents, _carr = _ivf_index(spark, sf_dir)
+    db, cents, _carr, _n = _ivf_index(spark, sf_dir)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % 2 == 1)

@@ -266,6 +266,7 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
     from prosnet_prefect_pipelines_spark.streaming.tuning import (
         candidate_fanout,
         pinned_partitions,
+        staged_row_count,
     )
 
     xcodes, carr, cbarr, n_index = _pq_serving_index(spark, sf_dir)
@@ -279,7 +280,7 @@ def q_stream_ann_ivfpq_monitor(spark, sf_dir):
     n_stage_files = max(
         1, len([f for f in os.listdir(stage) if f.endswith(".parquet")])
     )
-    qry_per_batch = spark.read.parquet(stage).count() / n_stage_files
+    qry_per_batch = staged_row_count(spark, stage) / n_stage_files
     est_cands = qry_per_batch * (n_index / _PQ_CELLS)
     fan = candidate_fanout(spark, est_cands)
     src = stream.repartition(fan)

@@ -56,6 +56,26 @@ def get_spark(app_name: str = "prosnet_spark", cpus: int | None = None) -> Spark
         # Python Data Source filter pushdown (sources/rest_datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    # streaming state-store backend (opt r12, VERDICT r11 item 3): at
+    # 100 TB state sizes RocksDB + changelog checkpointing is the right
+    # backend (state >> heap; per-commit changelogs instead of full
+    # snapshots), so it is one env flip away — but it is NOT the local
+    # default because the A/B at bench state sizes (hundreds of state
+    # rows) measured flat-to-slower: cold x3 per monitor, HDFS-backed vs
+    # RocksDB+changelog — tumbling 1.3/1.3 vs 1.9/1.9 s, preference
+    # 4.2/3.9 vs 4.4/4.1 s, neardup/entity within noise
+    # (artifacts/statestore_ab_r12.json). The native store's open/commit
+    # overhead only amortizes when state outgrows the in-memory map.
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
@@ -217,4 +237,16 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass  # static conf on some builds; get_spark sets it at build time
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        # runtime-settable: StreamExecution clones the conf at query start
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     return spark
