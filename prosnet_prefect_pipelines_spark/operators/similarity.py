@@ -146,6 +146,39 @@ def cosine_topk(
     )
 
 
+def _argmax_row(
+    df: DataFrame, group: list[str], score: str, tie: str, keep: list[str]
+) -> DataFrame:
+    """One row per group: exactly the row ``row_number() OVER
+    (PARTITION BY group ORDER BY score DESC, tie ASC) = 1`` keeps,
+    computed as a partial+final ``max(struct(score, -tie, ...))``
+    aggregate instead of an Exchange+Sort+Window over the full fan-out
+    (opt r12, guide §2.3/§2.4 — aggregate before you shuffle: the
+    map-side partial max collapses the n_cells-way assignment fan-out
+    to one row per group BEFORE the exchange, and the sort disappears).
+
+    Order-exactness: a DESC sort key is Spark's single total order on
+    the type reversed with NULLS LAST — i.e. exactly the reverse of the
+    ASC order (NULL < -Inf < finite < +Inf < NaN) that struct-field
+    comparison inside ``max`` also uses, so the aggregate picks the
+    identical row for NULL and NaN scores and for ties (the negated tie
+    column turns ``tie ASC`` into a max; ids are non-negative, so the
+    negation cannot overflow).
+    """
+    packed = F.max(
+        F.struct(
+            F.col(score).alias("_s"),
+            (-F.col(tie)).alias("_nt"),
+            *[F.col(c).alias(c) for c in [tie, *keep]],
+        )
+    ).alias("_am")
+    cols = [F.col(g) for g in group]
+    cols.append(F.col("_am._s").alias(score))
+    cols.append(F.col(f"_am.{tie}").alias(tie))
+    cols += [F.col(f"_am.{c}").alias(c) for c in keep]
+    return df.groupBy(*group).agg(packed).select(*cols)
+
+
 def rhp_coef(h: int, d: int) -> int:
     """Deterministic hyperplane coefficient, identical in any engine:
     coef(h, d) = (((h+1) * (d+7) * 2654435761) % 2039) - 1019.
@@ -248,6 +281,18 @@ def ivf_assign(
             6,
         ).alias("ccos"),
     )
+    if rank_limit == 1:
+        # argmax aggregate instead of Exchange+Sort+Window (opt r12):
+        # identical row selection per _argmax_row's order-exactness note
+        return _argmax_row(
+            scored, group=["id"], score="ccos", tie="cid", keep=["v", "nv"]
+        ).select(
+            "id",
+            "v",
+            "nv",
+            F.col("cid").alias("cell"),
+            F.lit(1).cast("int").alias("cell_rank"),
+        )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -588,14 +633,14 @@ def kmeans_centroids(
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(iterations):
-        w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
-        assigned = (
-            vecs.join(F.broadcast(cents))
-            .select(
-                "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+        # argmax aggregate instead of Exchange+Sort+Window per iteration
+        # (opt r12): identical row selection per _argmax_row's note
+        assigned = _argmax_row(
+            vecs.join(F.broadcast(cents)).select(
+                "id", "v", "cid",
+                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+            ),
+            group=["id"], score="ccos", tie="cid", keep=["v"],
         )
         # per-cell elementwise mean via posexplode -> (cid, pos) agg.
         # Components are scaled to exact integers (round(x*1e9), well
@@ -679,18 +724,21 @@ def pq_encode(
         cents = kmeans_centroids(
             sliced, "id", "v", n_cells=n_cells, iterations=iterations
         )
-        w = Window.partitionBy("id").orderBy(F.col("scos").desc(), F.col("cid"))
+        # argmax aggregate instead of Exchange+Sort+Window (opt r12)
         outs.append(
-            sliced.join(F.broadcast(cents))
-            .select(
+            _argmax_row(
+                sliced.join(F.broadcast(cents)).select(
+                    "id",
+                    "cid",
+                    F.round(cosine(F.col("v"), F.col("cv")), 6).alias("scos"),
+                ),
+                group=["id"], score="scos", tie="cid", keep=[],
+            ).select(
                 "id",
                 F.lit(s).cast("int").alias("sub"),
-                "cid",
-                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("scos"),
+                F.col("cid").alias("code"),
+                "scos",
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", "sub", F.col("cid").alias("code"), "scos")
         )
     out = outs[0]
     for o in outs[1:]:
@@ -730,19 +778,17 @@ def pq_encode_with(
             )
         ).alias("_sl"),
     ).select("id", F.col("_sl.sub").alias("sub"), F.col("_sl.v").alias("v"))
-    w = Window.partitionBy("sub", "id").orderBy(F.col("scos").desc(), F.col("cid"))
-    return (
+    # argmax aggregate instead of Exchange+Sort+Window (opt r12)
+    return _argmax_row(
         sliced.join(F.broadcast(codebooks.select("sub", "cid", "cv")), on="sub")
         .select(
             "id",
             "sub",
             "cid",
             F.round(cosine(F.col("v"), F.col("cv")), 6).alias("scos"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "sub", F.col("cid").alias("code"))
-    )
+        ),
+        group=["sub", "id"], score="scos", tie="cid", keep=[],
+    ).select("id", "sub", F.col("cid").alias("code"))
 
 
 def pq_codebooks(
@@ -793,17 +839,14 @@ def pq_codebooks(
         .select("sub", F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(iterations):
-        w = Window.partitionBy("sub", "id").orderBy(
-            F.col("ccos").desc(), F.col("cid")
-        )
-        assigned = (
-            vecs.join(F.broadcast(cents), on="sub")
-            .select(
+        # argmax aggregate instead of Exchange+Sort+Window per iteration
+        # (opt r12): identical row selection per _argmax_row's note
+        assigned = _argmax_row(
+            vecs.join(F.broadcast(cents), on="sub").select(
                 "sub", "id", "v", "cid",
                 F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            ),
+            group=["sub", "id"], score="ccos", tie="cid", keep=["v"],
         )
         # exact integer-scaled per-cell elementwise means — identical
         # arithmetic to kmeans_centroids, keyed by (sub, cid, pos)

@@ -30,7 +30,7 @@ CITY_ROOT = "urn:class/7"
 # the five scalar-builder Column trees are session-invariant unresolved
 # expressions over fixed field names, built once per app. Both reset by
 # reset_memo_fixtures so bench repeat-cold passes pay the full build.
-_CITY_MEMO: dict = register_memo_cache({})
+_CITY_CACHE: dict = register_memo_cache({})
 
 
 def _city_subtree_cls(spark, triples, sf_dir) -> list[str]:
@@ -41,16 +41,16 @@ def _city_subtree_cls(spark, triples, sf_dir) -> list[str]:
     from a local relation with zero Spark jobs."""
     app_id = spark.sparkContext.applicationId
     key = ("subtree", app_id, sf_dir)
-    got = _CITY_MEMO.get(key)
+    got = _CITY_CACHE.get(key)
     if got is None:
-        for stale in [k for k in _CITY_MEMO if k[1] != app_id]:
-            del _CITY_MEMO[stale]
+        for stale in [k for k in _CITY_CACHE if k[1] != app_id]:
+            del _CITY_CACHE[stale]
         edges = R.triple_pattern(triples, "?src", "wdt:P279", "?dst")
         got = [
             r[0]
             for r in G.descendants(edges, [CITY_ROOT], reflexive=True).collect()
         ]
-        _CITY_MEMO[key] = got
+        _CITY_CACHE[key] = got
     return got
 
 
@@ -58,10 +58,10 @@ def _city_post_cols(spark):
     """(post select list, label Column) — the scalar-builder trees."""
     app_id = spark.sparkContext.applicationId
     key = ("cols", app_id)
-    got = _CITY_MEMO.get(key)
+    got = _CITY_CACHE.get(key)
     if got is None:
-        for stale in [k for k in _CITY_MEMO if k[1] != app_id]:
-            del _CITY_MEMO[stale]
+        for stale in [k for k in _CITY_CACHE if k[1] != app_id]:
+            del _CITY_CACHE[stale]
         # [lat, lng] emitted as scalar doubles: list-typed output columns
         # break the harness canonicalizer's sort; the array shape is
         # pytest-covered
@@ -80,7 +80,7 @@ def _city_post_cols(spark):
             F.col("name"), F.col("country"), F.col("feature_code")
         )
         got = (cols, label)
-        _CITY_MEMO[key] = got
+        _CITY_CACHE[key] = got
     return got
 
 CITY_INDEX_SQL = f"""

@@ -86,3 +86,50 @@ def test_city_index_construction_job_free_after_memo(spark, monkeypatch):
                 "of the BFS collect"
             )
     assert df.count() > 0
+
+
+def test_argmax_row_matches_window_on_null_nan_ties(spark):
+    """Pin the r12 argmax rewrite (VERDICT r11 item 5): _argmax_row must
+    pick exactly the row row_number() OVER (ORDER BY score DESC, tie
+    ASC) = 1 keeps, for every degenerate ordering case across Spark's
+    total double order — NULL scores (zero-norm cosines), NaN scores,
+    +/-Inf, exact ties broken by tie id, and all-NULL groups."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators.similarity import _argmax_row
+
+    nan, inf = float("nan"), float("inf")
+    rows = []
+    # group 1: plain max           # group 2: tie -> lowest tie id wins
+    rows += [(1, 10, 0.5, "a"), (1, 11, 0.9, "b"), (1, 12, 0.7, "c")]
+    rows += [(2, 20, 0.4, "d"), (2, 21, 0.4, "e"), (2, 22, 0.1, "f")]
+    # group 3: NULL sorts last under DESC -> non-null wins
+    rows += [(3, 30, None, "g"), (3, 31, 0.0, "h")]
+    # group 4: all NULL -> lowest tie id wins
+    rows += [(4, 40, None, "i"), (4, 41, None, "j")]
+    # group 5: NaN > +Inf in Spark's total order -> NaN wins
+    rows += [(5, 50, inf, "k"), (5, 51, nan, "l"), (5, 52, 1.0, "m")]
+    # group 6: -Inf beats NULL
+    rows += [(6, 60, -inf, "n"), (6, 61, None, "o")]
+    # group 7: NaN ties -> lowest tie id
+    rows += [(7, 70, nan, "p"), (7, 71, nan, "q")]
+    df = spark.createDataFrame(
+        rows, "g int, cid long, score double, payload string"
+    )
+
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("cid"))
+    want = {
+        (r.g, r.cid, r.payload)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    got = {
+        (r.g, r.cid, r.payload)
+        for r in _argmax_row(
+            df, group=["g"], score="score", tie="cid", keep=["payload"]
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 7
