@@ -153,7 +153,7 @@ def ann_serving_probe(spark, sf_dir: str, timeout_s: int = 300) -> dict:
         _ivf_index,
     )
 
-    db, cents, _carr = _ivf_index(spark, sf_dir)
+    db, cents, _carr, _n_db = _ivf_index(spark, sf_dir)
     carr = S.centroid_array(cents)
     odd = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -172,7 +172,7 @@ def test_prune_sink_matches_window_sink(spark, sf_dir):
 def test_monitor_equals_batch_ivf_split(spark, sf_dir, emb):
     """The replayed answer equals the batch IVF top-k over the same
     odd-probes-even-index split, computed without any streaming."""
-    db, cents, _carr = P._ivf_index(spark, sf_dir)
+    db, cents, _carr, _n_db = P._ivf_index(spark, sf_dir)
     odd = emb.filter(F.col("vec_id") % 2 == 1)
     probes = odd.crossJoin(F.broadcast(S.centroid_array(cents))).select(
         F.col("vec_id").alias("id"),
