@@ -644,6 +644,42 @@ def main() -> None:
         if arg.startswith("--repeat"):
             repeat = int(arg.split("=", 1)[1] if "=" in arg else 3)
 
+    # start-probe degraded-host auto-repeat (r11 verdict item 9): the
+    # mid-run drift check below only catches load that ARRIVES during
+    # the run; a host already degraded at bench start produces a
+    # stable-but-slow single-shot total (the r29-r32 fleet episodes:
+    # calibration floor 0.47 -> 1.62 s between same-code runs). Compare
+    # this run's start-of-bench steady floor against the stored
+    # cross-round floor (min over every prior round's recorded
+    # calib_samples); > 1.5x means the bench is starting on a degraded
+    # host, so default to the r31 median-of-3 protocol up front unless
+    # the caller already chose a repeat count. Additions-only: the
+    # timings contract and per-pass provenance are unchanged.
+    _floors = []
+    for _info in _prior_rounds().values():
+        _prior_samples = _info.get("calib_samples")
+        if _prior_samples:
+            _floors.append(min(_prior_samples))
+        elif _info.get("calib"):
+            _floors.append(_info["calib"])
+    calib_round_floor = min(_floors) if _floors else None
+    start_floor_now = min(calib_samples)
+    start_vs_floor = (
+        round(start_floor_now / calib_round_floor, 3)
+        if calib_round_floor
+        else None
+    )
+    repeat_engaged_start = False
+    if repeat == 1 and start_vs_floor is not None and start_vs_floor > 1.5:
+        repeat = 3
+        repeat_engaged_start = True
+        print(
+            f"# start calibration floor {start_floor_now}s is "
+            f"{start_vs_floor}x the stored round floor "
+            f"{calib_round_floor}s — engaging median-of-3 cold protocol",
+            file=sys.stderr,
+        )
+
     # per-pass provenance (r10 ADVICE, medium): repeat/auto-engaged
     # passes after the first used to reuse the session-memoized PQ/
     # corpus indexes (and, for auto-engaged passes, a fully JIT-warmed
@@ -1167,6 +1203,9 @@ def main() -> None:
         ),
         "repeat": len(cold_passes),
         "repeat_engaged": repeat_engaged,
+        "calib_round_floor": calib_round_floor,
+        "start_vs_floor": start_vs_floor,
+        "repeat_engaged_start": repeat_engaged_start,
         "cold_pass_provenance": cold_pass_provenance,
         "warm_total": warm_total,
         "shared_warm_total": shared_warm_total,
