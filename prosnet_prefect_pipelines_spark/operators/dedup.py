@@ -312,7 +312,24 @@ def minhash_lsh_pairs(
     return jaccard_verify(cands, sh, threshold)
 
 
-def jaccard_verify(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_set_cap() -> int:
+    """Per-id shingle-set size above which jaccard_verify falls back to
+    the expansion join (env-overridable; 0 disables the array path
+    entirely). The default bounds a collected array row at ~64k
+    shingles (a few MB) — far above any real document in the fixtures,
+    low enough that a pathological giant document can never materialize
+    a multi-GB aggregation-buffer row (opt r12, guide §2.5/§5)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_JACCARD_SET_CAP", "65536"))
+
+
+def jaccard_verify(
+    cands: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    max_set_size: int | None = None,
+) -> DataFrame:
     """(a, b) candidate pairs -> (a, b, jaccard) with EXACT shingle
     Jaccard >= threshold.
 
@@ -333,7 +350,24 @@ def jaccard_verify(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     match rows three more times (intersection join, n_common rollup,
     two size joins); sizes now fall out of the same arrays for free.
     n_common/na/nb are identical integers, so the rounded Jaccard is
-    bit-identical."""
+    bit-identical.
+
+    Giant-document guard (opt r12, guide §2.5/§5): a pathological id
+    with a huge shingle set would materialize its whole set as ONE
+    aggregation-buffer row, and every candidate pair row would carry
+    two such arrays — a row-size/skew hazard at 100 TB. Ids whose set
+    size exceeds ``max_set_size`` therefore skip the array path: pairs
+    touching a capped id are verified with the original expansion join
+    (shingle-match count + size joins), which never builds a per-id
+    row. The semi-filtered shingle table is repartitioned by id ONCE,
+    so the size count and the array aggregation share a single
+    exchange (ReusedExchange), and when no id exceeds the cap the
+    oversize branch's inputs are runtime-empty and AQE eliminates its
+    joins. Both branches compute the identical rounded Jaccard."""
+    from pyspark.sql.window import Window
+
+    if max_set_size is None:
+        max_set_size = _jaccard_set_cap()
     # the pair list feeds three consumers (both sides of the id filter
     # and the final join) — pin it so the candidate lineage is not
     # replanned per consumer
@@ -343,20 +377,49 @@ def jaccard_verify(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .union(cands.select(F.col("b").alias("id")))
         .distinct()
     )
-    arrays = (
+    # one exchange of the candidate ids' shingle rows; the set-size
+    # column comes from an unordered window over the SAME partitioning
+    # (the window buffer spills where a collect_list buffer would OOM),
+    # so the array aggregation and the oversize expansion hang off one
+    # reused exchange
+    part = (
         sh.join(ids, on="id", how="left_semi")
-        .groupBy("id")
-        .agg(F.collect_list("shingle").alias("_ss"))
+        .repartition("id")
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
     )
-    return (
-        cands.join(
-            arrays.select(F.col("id").alias("a"), F.col("_ss").alias("_sa")),
-            on="a",
-        )
-        .join(
-            arrays.select(F.col("id").alias("b"), F.col("_ss").alias("_sb")),
-            on="b",
-        )
+    # ONE aggregation for every id: a capped id's rows feed NULL into
+    # collect_list (which skips nulls), so its buffer stays empty and
+    # its true size still arrives via _n — no second sizes pass, no
+    # broadcast split of the id list
+    arrays = part.groupBy("id").agg(
+        F.collect_list(
+            F.when(F.col("_n") <= max_set_size, F.col("shingle"))
+        ).alias("_ss"),
+        F.max("_n").alias("_n"),
+    )
+    # same two attach joins as the unguarded path (an id absent from sh
+    # drops its pairs here in both designs); sizes ride along so the
+    # oversize pairs can be routed without touching sh again
+    joined = cands.join(
+        arrays.select(
+            F.col("id").alias("a"),
+            F.col("_ss").alias("_sa"),
+            F.col("_n").alias("_na"),
+        ),
+        on="a",
+    ).join(
+        arrays.select(
+            F.col("id").alias("b"),
+            F.col("_ss").alias("_sb"),
+            F.col("_n").alias("_nb"),
+        ),
+        on="b",
+    )
+    in_cap = (F.col("_na") <= max_set_size) & (F.col("_nb") <= max_set_size)
+    small = (
+        joined.filter(in_cap)
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
@@ -369,6 +432,41 @@ def jaccard_verify(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # oversize branch: pairs touching a capped id are verified with the
+    # pre-r11 expansion join (never builds a per-id row). Runtime-empty
+    # unless some id exceeds the cap, in which case only those pairs
+    # pay it; a LEFT join attaches n_common so a disjoint pair scores
+    # 0.0 exactly like size(array_intersect) does.
+    big_pairs = joined.filter(~in_cap).select("a", "b", "_na", "_nb")
+    # distinct so a duplicate candidate row cannot double-count shingle
+    # matches (the left join below re-attaches one n_common per row,
+    # preserving the array branch's duplicate semantics)
+    inter = (
+        big_pairs.select("a", "b")
+        .distinct()
+        .join(part.select(F.col("id").alias("a"), "shingle"), on="a")
+        .join(
+            part.select(F.col("id").alias("b"), "shingle"),
+            on=["b", "shingle"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    oversize = (
+        big_pairs.join(inter, on=["a", "b"], how="left")
+        .withColumn("n_common", F.coalesce(F.col("_nc"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return small.unionByName(oversize)
 
 
 def minhash_band_buckets(

@@ -133,3 +133,95 @@ def test_argmax_row_matches_window_on_null_nan_ties(spark):
     }
     assert got == want
     assert len(got) == 7
+
+
+def test_jaccard_verify_set_cap_branch_equality(spark):
+    """VERDICT r11 item 6: ids whose shingle set exceeds max_set_size
+    take the expansion-join branch instead of materializing a giant
+    collect_list row. Both branches (and the all-expansion degenerate)
+    must emit the identical (a, b, jaccard) rows, pinned against a
+    brute-force set-Jaccard twin on a fixture with a 100x outlier."""
+    import random
+
+    from prosnet_prefect_pipelines_spark.operators import dedup as D
+
+    random.seed(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(random.choices(vocab, k=40))) for i in range(12)
+    ]
+    # 100x outlier: shares vocabulary with the normal docs plus a
+    # unique tail so its set is huge but intersections are non-trivial
+    rows.append(
+        (
+            999,
+            " ".join(
+                random.choices(vocab, k=2000)
+                + [f"uniq{j}" for j in range(2000)]
+            ),
+        )
+    )
+    docs = spark.createDataFrame(rows, "id long, text string")
+    sh = D.shingle_table(docs, "id", "text", k=3)
+    cands = spark.createDataFrame(
+        [(i, 999) for i in range(12)]
+        + [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "a long, b long",
+    )
+
+    def run(cap):
+        return sorted(
+            (r.a, r.b, r.jaccard)
+            for r in D.jaccard_verify(
+                cands, sh, 0.0, max_set_size=cap
+            ).collect()
+        )
+
+    array_only = run(10**9)  # nothing capped: pure array branch
+    mixed = run(200)  # outlier capped: both branches active
+    expansion_only = run(0)  # everything capped: pure expansion branch
+    assert array_only == mixed == expansion_only
+
+    sets: dict[int, set] = {}
+    for r in sh.collect():
+        sets.setdefault(r.id, set()).add(r.shingle)
+    brute = sorted(
+        (
+            r.a,
+            r.b,
+            len(sets[r.a] & sets[r.b])
+            / (len(sets[r.a] | sets[r.b])),
+        )
+        for r in cands.collect()
+        if r.a in sets and r.b in sets
+    )
+    assert len(brute) == len(array_only)
+    for (xa, xb, xj), (ya, yb, yj) in zip(brute, array_only):
+        assert (xa, xb) == (ya, yb) and abs(xj - yj) < 1e-6
+
+
+def test_jaccard_verify_threshold_filter_both_branches(spark):
+    """The >= threshold filter must behave identically in the array and
+    expansion branches (including dropping zero-intersection pairs)."""
+    from prosnet_prefect_pipelines_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc dd ee gg"),
+            (3, "zz yy xx ww vv uu"),
+        ],
+        "id long, text string",
+    )
+    sh = D.shingle_table(docs, "id", "text", k=3)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "a long, b long"
+    )
+    for cap in (10**9, 0):
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in D.jaccard_verify(
+                cands, sh, 0.3, max_set_size=cap
+            ).collect()
+        }
+        assert set(got) == {(1, 2)}, got
