@@ -710,11 +710,11 @@ def semdedup(
     pair generation parallelizes across cells.
     """
     from prosnet_prefect_pipelines_spark.operators.similarity import (
+        _argmax_array,
         dot,
         kmeans_centroids,
         norm,
     )
-    from pyspark.sql.window import Window
 
     # norms hoisted: one fold per vector / per centroid instead of re-
     # folding inside every cosine — bit-identical (same fold + sqrt,
@@ -727,20 +727,29 @@ def semdedup(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
     )
-    scored = vecs.join(F.broadcast(cents)).select(
-        "id",
-        "v",
-        "nv",
-        "cid",
-        F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
-        ).alias("ccos"),
+    # per-row argmax over the broadcast centroid array (opt r12):
+    # identical cell selection to the old row_number window per
+    # _argmax_array's note, with NO corpus exchange — the window
+    # shuffled one (id, v, nv, cid, ccos) fan-out per vector
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv", "ncv"))).alias(
+            "_cents"
+        )
     )
-    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
     assign = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "v", "nv", F.col("cid").alias("cell"))
+        vecs.join(F.broadcast(carr))
+        .select(
+            "id",
+            "v",
+            "nv",
+            _argmax_array(
+                F.col("_cents"),
+                lambda e: F.round(
+                    dot(F.col("v"), e["cv"]) / (F.col("nv") * e["ncv"]), 6
+                ),
+            ).alias("_am"),
+        )
+        .select("id", "v", "nv", F.col("_am._e.cid").alias("cell"))
     )
     a = assign.select(
         F.col("id").alias("a_id"), F.col("v").alias("a_v"),

@@ -179,6 +179,42 @@ def _argmax_row(
     return df.groupBy(*group).agg(packed).select(*cols)
 
 
+def _argmax_array(
+    entries: Column, score, tie: Column | str = "cid"
+) -> Column:
+    """Per-ROW argmax over an array of candidate structs: returns the
+    struct ``max(struct(score, -tie, entry))`` would pick, computed by
+    ``array_max`` over ``transform(entries, ...)`` — no fan-out rows,
+    no exchange (opt r12, guide §2.4: the carried-array twin of
+    ``_argmax_row``; a Lloyd assignment pass with this shape shuffles
+    NOTHING, where the fan-out + groupBy(id) form shuffles one
+    payload-bearing row per vector per iteration).
+
+    Order-exactness: ``array_max`` compares structs with the same
+    interpreted total order (NULL < -Inf < finite < +Inf < NaN,
+    field-by-field) that the ``max`` aggregate and a DESC-ordered
+    row_number use, so NULL/NaN scores and tie-breaks select the
+    identical entry (pinned by the degenerate-case test next to
+    ``_argmax_row``'s).
+
+    ``entries`` is an array<struct<...>>; ``score`` is a callable
+    entry -> Column; ``tie`` names the entry field whose ASCENDING
+    order breaks score ties (non-negative, so negation cannot
+    overflow). Returns a struct with fields ``_s`` (the score) and
+    ``_e`` (the winning entry); NULL for an empty/NULL array.
+    """
+    return F.array_max(
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                score(e).alias("_s"),
+                (-e[tie]).alias("_nt"),
+                e.alias("_e"),
+            ),
+        )
+    )
+
+
 def rhp_coef(h: int, d: int) -> int:
     """Deterministic hyperplane coefficient, identical in any engine:
     coef(h, d) = (((h+1) * (d+7) * 2654435761) % 2039) - 1019.
@@ -621,10 +657,12 @@ def kmeans_centroids(
     Deterministic: init = the ``n_cells`` lowest-id vectors; assignment =
     argmax rounded cosine with centroid-id tie-break; update = per-cell
     elementwise mean, L2-normalized (spherical k-means — cosine geometry);
-    a fixed iteration count. Each iteration is one broadcast-join
-    assignment pass + one (cell, dim) aggregation — shuffle size is
-    n_cells x dim, independent of corpus size. Empty cells keep their
-    previous centroid.
+    a fixed iteration count. Each iteration is one carried-array
+    assignment pass (exchange-FREE: the centroids broadcast as one
+    array row and every vector picks its cell per row, so no
+    payload-bearing corpus shuffle per iteration) + one (cell, dim)
+    aggregation whose shuffle is n_cells x dim, independent of corpus
+    size. Empty cells keep their previous centroid.
     """
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = (
@@ -633,14 +671,26 @@ def kmeans_centroids(
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(iterations):
-        # argmax aggregate instead of Exchange+Sort+Window per iteration
-        # (opt r12): identical row selection per _argmax_row's note
-        assigned = _argmax_row(
-            vecs.join(F.broadcast(cents)).select(
-                "id", "v", "cid",
-                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
-            ),
-            group=["id"], score="ccos", tie="cid", keep=["v"],
+        # per-row argmax over the broadcast centroid array instead of a
+        # fan-out join + groupBy(id) aggregate (opt r12): identical row
+        # selection per _argmax_array's note, and the per-iteration
+        # exchange of one (id, ccos, cid, v) row per vector disappears
+        carr = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(
+                "_cents"
+            )
+        )
+        assigned = (
+            vecs.join(F.broadcast(carr))
+            .select(
+                "id",
+                "v",
+                _argmax_array(
+                    F.col("_cents"),
+                    lambda e: F.round(cosine(F.col("v"), e["cv"]), 6),
+                ).alias("_am"),
+            )
+            .select("id", "v", F.col("_am._e.cid").alias("cid"))
         )
         # per-cell elementwise mean via posexplode -> (cid, pos) agg.
         # Components are scaled to exact integers (round(x*1e9), well
@@ -650,41 +700,80 @@ def kmeans_centroids(
         # to double, which flips rounded cosines near .5e-6 boundaries
         # (seen at sf0.001). Integer->double is exact; the two IEEE
         # divisions that follow are correctly rounded everywhere.
-        sums = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("x").cast("double") * F.lit(1e9)).cast("long")
-                    ).cast("double")
-                    / F.count("*")
-                    / F.lit(1e9)
-                ).alias("m")
+        # empty-cell handling rides INSIDE the aggregation (opt r12): a
+        # zero-weight sentinel row per (cid, pos) from the previous
+        # centroids joins the member rows before the rollup, so the
+        # "empty cells keep their previous centroid" coalesce-join (a
+        # broadcast join + its build job per iteration) disappears.
+        # Exactness: members contribute round(x*1e9) longs with w=1,
+        # the sentinel contributes 0 with w=0 — the long sum and the
+        # member count are bit-identical to the old members-only
+        # aggregation; an empty cell (sum(w)=0) takes the sentinel
+        # component back unchanged and SKIPS the renormalization
+        # (its previous cv is already unit-norm but not exactly 1.0
+        # under refolding, so renormalizing would perturb 1 ulp).
+        exploded = assigned.select(
+            "cid", F.posexplode("v").alias("pos", "x"), F.lit(1).alias("w")
+        ).unionByName(
+            cents.select(
+                "cid", F.posexplode("cv").alias("pos", "x"), F.lit(0).alias("w")
             )
         )
-        new_cents = (
+        sums = exploded.groupBy("cid", "pos").agg(
+            # CASE guards the empty-cell division (sum(w)=0): the NULL
+            # m is never read (_mem=0 routes to cv_prev below) and the
+            # populated-cell arithmetic is untouched
+            F.when(
+                F.sum("w") > 0,
+                F.sum(
+                    F.round(F.col("x").cast("double") * F.lit(1e9)).cast(
+                        "long"
+                    )
+                    * F.col("w")
+                ).cast("double")
+                / F.sum("w")
+                / F.lit(1e9),
+            ).alias("m"),
+            F.max(
+                F.when(F.col("w") == 0, F.col("x").cast("double"))
+            ).alias("prev"),
+            F.sum("w").alias("members"),
+        )
+        cents = (
             sums.groupBy("cid")
             .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m", "prev"))
+                ).alias("pm"),
+                F.max("members").alias("_mem"),
             )
             .select(
                 "cid",
-                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cv_raw"),
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias(
+                    "cv_raw"
+                ),
+                F.transform(F.col("pm"), lambda s: s.getField("prev")).alias(
+                    "cv_prev"
+                ),
+                "_mem",
             )
             .withColumn("_n", norm(F.col("cv_raw")))
             .select(
                 "cid",
-                F.transform(
-                    F.col("cv_raw"), lambda x: (x / F.col("_n")).cast("float")
-                ).alias("cv"),
+                F.when(
+                    F.col("_mem") > 0,
+                    F.transform(
+                        F.col("cv_raw"),
+                        lambda x: (x / F.col("_n")).cast("float"),
+                    ),
+                )
+                .otherwise(
+                    F.transform(
+                        F.col("cv_prev"), lambda x: x.cast("float")
+                    )
+                )
+                .alias("cv"),
             )
-        )
-        # empty cells keep their previous centroid
-        cents = (
-            cents.alias("old")
-            .join(new_cents.alias("new"), on="cid", how="left")
-            .select("cid", F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"))
             .localCheckpoint(eager=False)
         )
     return cents

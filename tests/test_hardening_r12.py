@@ -225,3 +225,57 @@ def test_jaccard_verify_threshold_filter_both_branches(spark):
             ).collect()
         }
         assert set(got) == {(1, 2)}, got
+
+
+def test_argmax_array_matches_window_on_null_nan_ties(spark):
+    """Pin the r12 carried-array assignment (VERDICT r11 item 7):
+    _argmax_array over an array of candidate entries must pick exactly
+    the entry row_number() OVER (ORDER BY score DESC, tie ASC) = 1
+    keeps, for the same degenerate cases _argmax_row is pinned on —
+    array_max compares structs with the identical interpreted total
+    order (NULL < -Inf < finite < +Inf < NaN)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from prosnet_prefect_pipelines_spark.operators.similarity import (
+        _argmax_array,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = []
+    rows += [(1, 10, 0.5, "a"), (1, 11, 0.9, "b"), (1, 12, 0.7, "c")]
+    rows += [(2, 20, 0.4, "d"), (2, 21, 0.4, "e"), (2, 22, 0.1, "f")]
+    rows += [(3, 30, None, "g"), (3, 31, 0.0, "h")]
+    rows += [(4, 40, None, "i"), (4, 41, None, "j")]
+    rows += [(5, 50, inf, "k"), (5, 51, nan, "l"), (5, 52, 1.0, "m")]
+    rows += [(6, 60, -inf, "n"), (6, 61, None, "o")]
+    rows += [(7, 70, nan, "p"), (7, 71, nan, "q")]
+    df = spark.createDataFrame(
+        rows, "g int, cid long, score double, payload string"
+    )
+
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("cid"))
+    want = {
+        (r.g, r.cid, r.payload)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    # pack each group into one array row, as the trainer's broadcast
+    # centroid array does, then per-row argmax over the entries
+    packed = df.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("cid", "score", "payload"))
+        ).alias("_entries")
+    )
+    picked = packed.select(
+        "g",
+        _argmax_array(F.col("_entries"), lambda e: e["score"]).alias("_am"),
+    ).select(
+        "g",
+        F.col("_am._e.cid").alias("cid"),
+        F.col("_am._e.payload").alias("payload"),
+    )
+    got = {(r.g, r.cid, r.payload) for r in picked.collect()}
+    assert got == want
+    assert len(got) == 7
