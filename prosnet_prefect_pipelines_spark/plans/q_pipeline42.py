@@ -37,6 +37,17 @@ from pyspark.sql.window import Window
 from prosnet_prefect_pipelines_spark.plans.catalog import register
 from prosnet_prefect_pipelines_spark.plans.q_curation import _frac_sql
 from prosnet_prefect_pipelines_spark.plans.q_pipeline26 import _LINE_TOKENS, _lines_df
+from prosnet_prefect_pipelines_spark.session import register_memo_cache
+
+# the train-split block (stages 1-4) is a deterministic per-(session,
+# sf) fixture: its three load-bearing pins cost ~3 x 1.1 s of Catalyst
+# planning at EVERY construction (measured r11 — the query's dominant
+# cost), so it is memoized like q_dedup.lsh_pairs / q_pipeline115's IVF
+# index (opt r12, VERDICT r11 item 8). Narrow rows only (doc_id, lang,
+# source, bucket) are session-protected; the text-bearing docs2 pin
+# stays transient inside one construction. reset_memo_fixtures drops
+# the fixture, so bench repeat-cold passes pay the full build.
+_SPLIT_CACHE: dict = register_memo_cache({})
 
 # DuckDB twin of the epoch-varying shuffle hash (48-bit md5 prefix of
 # doc_id || 'shuffle' || epoch)
@@ -147,14 +158,19 @@ FROM expanded
 """
 
 
-@register("llm_corpus_pipeline_v2", oracle=V2_SQL, covers=["J9", "J1", "J7", "A2", "O1", "O6"])
-def q_llm_corpus_pipeline_v2(spark, sf_dir):
-    """The 2024 corpus pipeline as ONE lazy plan: CCNet line dedup ->
-    shape gate -> per-lang LM tertiles (tail dropped) -> leakage-proof
-    train split -> capped epoch expansion -> epoch-varying shard
-    shuffle. Emits the materialized training list. Composed from the
-    exact algebra of the stand-alone stage queries; the single value
-    hash checks the whole DAG."""
+def _train_split(spark, sf_dir):
+    """Stages 1-4 of the v2 pipeline (line dedup -> shape gate -> LM
+    tertiles -> leakage-proof split), memoized per (session, sf): the
+    narrow (doc_id, lang, source, bucket) train list behind a
+    session-protected lazy pin. See the module-level note on why."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    cached = _SPLIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _SPLIT_CACHE if k[0] != app_id]:
+        del _SPLIT_CACHE[k]
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     # 1. line dedup + rebuild
@@ -261,6 +277,24 @@ def q_llm_corpus_pipeline_v2(spark, sf_dir):
         .select("doc_id", "lang", "source", "bucket")
         .localCheckpoint(eager=False)  # feeds per-source plan and expansion
     )
+    from prosnet_prefect_pipelines_spark.session import protect_checkpoint
+
+    protect_checkpoint(split)
+    _SPLIT_CACHE[key] = split
+    return split
+
+
+@register("llm_corpus_pipeline_v2", oracle=V2_SQL, covers=["J9", "J1", "J7", "A2", "O1", "O6"])
+def q_llm_corpus_pipeline_v2(spark, sf_dir):
+    """The 2024 corpus pipeline as ONE lazy plan: CCNet line dedup ->
+    shape gate -> per-lang LM tertiles (tail dropped) -> leakage-proof
+    train split -> capped epoch expansion -> epoch-varying shard
+    shuffle. Emits the materialized training list. Composed from the
+    exact algebra of the stand-alone stage queries; the single value
+    hash checks the whole DAG. Stages 1-4 come from the memoized
+    _train_split fixture (first construction per session/pass pays the
+    full build; the bench's repeat protocol resets it)."""
+    split = _train_split(spark, sf_dir)
 
     # 5. capped epoch expansion
     per = split.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
