@@ -100,18 +100,32 @@ GROUP BY lang
 """
 
 
-@register("llm_corpus_pipeline_v3", oracle=V3_SQL, covers=["A2", "J1", "O6"])
-def q_llm_corpus_pipeline_v3(spark, sf_dir):
-    """Corpus curation v3 — the round-3 flagship composition: exact
-    dedup (min-id keeper per content hash) -> readability gate (5-400
-    words, Flesch floor) -> corpus-global rare-bigram cap (novelty
-    ceiling against gibberish) -> per-language class balancing to the
-    minority language by portable hash order. One lazy plan; every
-    stage's machinery is individually oracled elsewhere and the
-    composed hash pins the interactions."""
-    from prosnet_prefect_pipelines_spark.operators.sampling import (
-        portable_fraction,
-    )
+# keep3 (stages 1-3: dedup -> readability -> rare-bigram cap) is a
+# deterministic per-(session, sf) fixture consumed only by stage 4 —
+# memoized like q_pipeline42's train split (opt r12): its construction
+# cost was ~3 s of Catalyst planning at the pins, re-paid per call.
+# Narrow rows only (doc_id, lang, w) are session-protected; the
+# text-bearing keep2 stays unpinned (the r11 block-manager judgment)
+# and dbb stays transient inside one build. reset_memo_fixtures drops
+# the fixture, so bench repeat-cold passes pay the full build.
+from prosnet_prefect_pipelines_spark.session import (  # noqa: E402
+    register_memo_cache,
+)
+
+_KEEP3_CACHE: dict = register_memo_cache({})
+
+
+def _v3_keep3(spark, sf_dir):
+    """Stages 1-3 of the v3 pipeline, memoized per (session, sf): the
+    narrow (doc_id, lang, w) survivor list behind a session-protected
+    lazy pin."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    cached = _KEEP3_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _KEEP3_CACHE if k[0] != app_id]:
+        del _KEEP3_CACHE[k]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("text").isNotNull()
@@ -199,6 +213,29 @@ def q_llm_corpus_pipeline_v3(spark, sf_dir):
     keep3 = keep2.join(rare, "doc_id").filter(
         F.col("rare_micro") <= 900000
     ).select("doc_id", "lang", "w").localCheckpoint(eager=False)
+    from prosnet_prefect_pipelines_spark.session import protect_checkpoint
+
+    protect_checkpoint(keep3)
+    _KEEP3_CACHE[key] = keep3
+    return keep3
+
+
+@register("llm_corpus_pipeline_v3", oracle=V3_SQL, covers=["A2", "J1", "O6"])
+def q_llm_corpus_pipeline_v3(spark, sf_dir):
+    """Corpus curation v3 — the round-3 flagship composition: exact
+    dedup (min-id keeper per content hash) -> readability gate (5-400
+    words, Flesch floor) -> corpus-global rare-bigram cap (novelty
+    ceiling against gibberish) -> per-language class balancing to the
+    minority language by portable hash order. One lazy plan; every
+    stage's machinery is individually oracled elsewhere and the
+    composed hash pins the interactions. Stages 1-3 come from the
+    memoized _v3_keep3 fixture (first construction per session/pass
+    pays the full build; the bench's repeat protocol resets it)."""
+    from prosnet_prefect_pipelines_spark.operators.sampling import (
+        portable_fraction,
+    )
+
+    keep3 = _v3_keep3(spark, sf_dir)
     # stage 4: per-language balance (keep3 feeds the minority-count
     # aggregate and the ranked window — pinned above)
     counts = keep3.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))

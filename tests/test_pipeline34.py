@@ -32,7 +32,12 @@ def test_dsir_preaggregate_occurrence_exact(spark):
     tgt: Counter = Counter()
     per_doc: dict[tuple, list] = {}
     for doc_id, lang, text in docs.itertuples(index=False):
-        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        # twin the ENGINE's tokenizer semantics exactly (ADVICE r11):
+        # Spark trim strips ASCII space (0x20) only and Java \s is the
+        # ASCII class [ \t\n\x0B\f\r] — Python str.strip()/re \s are
+        # Unicode-aware and would diverge on exotic whitespace
+        t = text.strip(" ")
+        toks = re.split(r"[ \t\n\x0b\f\r]+", t) if t else []
         if len(toks) < 2:
             continue
         fs = [h48(f"{toks[i]} {toks[i+1]}") for i in range(len(toks) - 1)]
