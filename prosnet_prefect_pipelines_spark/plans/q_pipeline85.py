@@ -112,7 +112,7 @@ from prosnet_prefect_pipelines_spark.session import (  # noqa: E402
     register_memo_cache,
 )
 
-_KEEP3_CACHE: dict = register_memo_cache({})
+_KEEPLIST_CACHE: dict = register_memo_cache({})
 
 
 def _v3_keep3(spark, sf_dir):
@@ -121,11 +121,11 @@ def _v3_keep3(spark, sf_dir):
     lazy pin."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
-    cached = _KEEP3_CACHE.get(key)
+    cached = _KEEPLIST_CACHE.get(key)
     if cached is not None:
         return cached
-    for k in [k for k in _KEEP3_CACHE if k[0] != app_id]:
-        del _KEEP3_CACHE[k]
+    for k in [k for k in _KEEPLIST_CACHE if k[0] != app_id]:
+        del _KEEPLIST_CACHE[k]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("text").isNotNull()
@@ -216,7 +216,7 @@ def _v3_keep3(spark, sf_dir):
     from prosnet_prefect_pipelines_spark.session import protect_checkpoint
 
     protect_checkpoint(keep3)
-    _KEEP3_CACHE[key] = keep3
+    _KEEPLIST_CACHE[key] = keep3
     return keep3
 
 
