@@ -491,11 +491,11 @@ def test_distribution_distances_match_naive(spark, tmp_path, items):
         w1 += abs(cc1 * n2 - cc2 * n1) * (b - a)
     got_w = q_wasserstein1_returns(spark, str(tmp_path)).collect()[0]
     assert (got_w["n_returned"], got_w["n_kept"]) == (n1, n2)
-    assert abs(got_w["wasserstein1_dollars_6"] - round(w1 / (n1 * n2) / 100.0, 6)) <= 1e-9
+    assert abs(got_w["wasserstein1_dollars_6"] - _round6(w1 / (n1 * n2) / 100.0)) <= 1e-9
 
     sxy = sum(abs(a - b) for a in xs for b in ys)
     sxx = sum(abs(a - b) for i, a in enumerate(xs) for b in xs[i + 1:])
     syy = sum(abs(a - b) for i, a in enumerate(ys) for b in ys[i + 1:])
     e = 2 * sxy / (n1 * n2) - 2 * sxx / (n1 * n1) - 2 * syy / (n2 * n2)
     got_e = q_energy_distance_returns(spark, str(tmp_path)).collect()[0]
-    assert abs(got_e["energy_distance_dollars_6"] - round(e / 100.0, 6)) <= 1e-9
+    assert abs(got_e["energy_distance_dollars_6"] - _round6(e / 100.0)) <= 1e-9
